@@ -1,0 +1,108 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openpsg_tpu.ops.deform_attn import ms_deform_attn, ms_deform_attn_reference
+from openpsg_tpu.ops.mask_ops import (
+    downsample_mask_bilinear,
+    mask_pool,
+    masks_from_idmap,
+    pair_or_masks,
+)
+
+
+class TestMSDeformAttn:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_numpy_golden(self, seed):
+        rng = np.random.default_rng(seed)
+        B, nH, hd, K = 2, 4, 8, 4
+        shapes = [(6, 8), (3, 4), (2, 2)]
+        Lv = sum(h * w for h, w in shapes)
+        Lq = 5
+        value = rng.normal(size=(B, Lv, nH, hd)).astype(np.float32)
+        # locations span inside, near-border, and out-of-range
+        locs = rng.uniform(-0.1, 1.1, size=(B, Lq, nH, len(shapes), K, 2)).astype(np.float32)
+        wts = rng.uniform(size=(B, Lq, nH, len(shapes), K)).astype(np.float32)
+        wts /= wts.reshape(B, Lq, nH, -1).sum(-1)[..., None, None]
+
+        got = np.asarray(
+            jax.jit(
+                lambda v, l, w: ms_deform_attn(v, shapes, l, w)
+            )(value, locs, wts)
+        )
+        want = ms_deform_attn_reference(value, shapes, locs, wts)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_center_sample_identity(self):
+        """Sampling exactly at a pixel center returns that pixel's value."""
+        h, w, hd = 4, 4, 8
+        value = np.zeros((1, h * w, 1, hd), np.float32)
+        value[0, 2 * w + 1, 0] = 7.0  # pixel (y=2, x=1)
+        loc = np.array([(1 + 0.5) / w, (2 + 0.5) / h], np.float32).reshape(1, 1, 1, 1, 1, 2)
+        wts = np.ones((1, 1, 1, 1, 1), np.float32)
+        out = ms_deform_attn(jnp.asarray(value), [(h, w)], jnp.asarray(loc), jnp.asarray(wts))
+        np.testing.assert_allclose(np.asarray(out)[0, 0], value[0, 2 * w + 1, 0], atol=1e-6)
+
+    def test_out_of_range_zero(self):
+        value = np.ones((1, 16, 2, 4), np.float32)
+        loc = np.full((1, 3, 2, 1, 4, 2), 2.0, np.float32)  # far outside
+        wts = np.ones((1, 3, 2, 1, 4), np.float32) / 4
+        out = ms_deform_attn(jnp.asarray(value), [(4, 4)], jnp.asarray(loc), jnp.asarray(wts))
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-7)
+
+    def test_grad_flows(self):
+        shapes = [(4, 4)]
+        value = jnp.ones((1, 16, 2, 4))
+        locs = jnp.full((1, 2, 2, 1, 4, 2), 0.5)
+        wts = jnp.ones((1, 2, 2, 1, 4)) / 4
+
+        def f(v, l, w):
+            return jnp.sum(ms_deform_attn(v, shapes, l, w) ** 2)
+
+        grads = jax.grad(f, argnums=(0, 1, 2))(value, locs, wts)
+        assert all(bool(jnp.all(jnp.isfinite(g))) for g in grads)
+        assert float(jnp.abs(grads[0]).sum()) > 0
+
+
+class TestMaskOps:
+    def test_mask_pool_matches_manual(self):
+        rng = np.random.default_rng(0)
+        feats = rng.normal(size=(16, 8, 8)).astype(np.float32)
+        masks = rng.uniform(size=(5, 8, 8)) > 0.5
+        out = np.asarray(mask_pool(jnp.asarray(feats), jnp.asarray(masks)))
+        for n in range(5):
+            sel = feats[:, masks[n]]
+            want = sel.mean(axis=1) if sel.shape[1] else np.zeros(16)
+            np.testing.assert_allclose(out[n], want, rtol=1e-5, atol=1e-6)
+
+    def test_mask_pool_empty_mask_zero(self):
+        feats = jnp.ones((4, 4, 4))
+        masks = jnp.zeros((2, 4, 4), bool)
+        out = np.asarray(mask_pool(feats, masks))
+        np.testing.assert_allclose(out, 0.0)
+
+    def test_pair_or_masks_ordering(self):
+        masks = jnp.asarray(np.eye(3, 5, dtype=bool))  # 3 masks over 5 positions
+        pairs = np.asarray(pair_or_masks(masks))
+        assert pairs.shape == (3, 3, 5)
+        # pair (i, j) = mask_i OR mask_j; flattening i*N+j is pair-major
+        for i in range(3):
+            for j in range(3):
+                np.testing.assert_array_equal(
+                    pairs[i, j], np.asarray(masks[i]) | np.asarray(masks[j])
+                )
+
+    def test_downsample_bilinear_threshold(self):
+        m = np.zeros((1, 8, 8), np.float32)
+        m[0, :4, :4] = 1.0
+        out = np.asarray(downsample_mask_bilinear(jnp.asarray(m), (4, 4)))
+        assert out.dtype == bool
+        assert out[0, :2, :2].all() and not out[0, 2:, 2:].any()
+
+    def test_masks_from_idmap(self):
+        idmap = jnp.asarray([[1, 1, 2], [3, 2, 2]])
+        ids = jnp.asarray([2, 1])
+        out = np.asarray(masks_from_idmap(idmap, ids))
+        np.testing.assert_array_equal(out[0], np.asarray(idmap) == 2)
+        np.testing.assert_array_equal(out[1], np.asarray(idmap) == 1)
