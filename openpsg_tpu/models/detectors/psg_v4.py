@@ -1,0 +1,360 @@
+"""PSG v4 flagship pipeline — TPU-native ``OpenSeeDRelationV2`` equivalent.
+
+Reference orchestrator: kings_sgg/models/detectors/openseed_relation_v2.py
+(frozen OpenSeeD → relation head v4 → per-pair LLM).  The TPU redesign
+collapses the reference's host-heavy loop (CPU panoptic remap :113-131,
+python pair loops, ≤20 sequential ``generate()`` calls) into ONE jitted
+program per image:
+
+    image ─ segmenter ─ fusion(+id remap, on device) ─ object select
+          ─ device-assembled pair instructions ─ Q-Former over all pairs
+          ─ binary top-20 / multiclass top-100 ─ batched LLM greedy decode
+
+Host work per image is only: preprocessing (cv2 resize) and decoding ≤20
+short token strings into predicate names.
+
+Registered as ``OpenSeeDRelationV2`` so reference configs resolve.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openpsg_tpu.core.registry import DETECTORS
+from openpsg_tpu.data.vocab import (
+    INSTANCE_OFFSET,
+    NUM_THING_CLASSES,
+    OBJECT_CLASSES,
+    RELATION_CLASSES,
+)
+from openpsg_tpu.models.llm.decode import greedy_decode
+from openpsg_tpu.models.llm.llama import LlamaConfig, LlamaWithEmbeddings
+from openpsg_tpu.models.relation.head_v4 import (
+    HeadV4Config,
+    RelationHeadV4,
+    assemble_pair_instructions,
+    build_instruction_table,
+    multiclass_topk_triplets,
+    select_topk_pairs,
+)
+from openpsg_tpu.models.relation.tokenizer import build_prompt_tokenizer
+from openpsg_tpu.models.segmenter.fusion import panoptic_fusion
+from openpsg_tpu.models.segmenter.language import TextEncoder, encode_names
+from openpsg_tpu.models.segmenter.openseed import (
+    OpenSeedSegmenter,
+    SegmenterConfig,
+    normalize_image,
+)
+from openpsg_tpu.ops.mask_ops import downsample_nearest
+
+_INT_SENTINEL = np.iinfo(np.int32).max
+
+QFORMER_INSTRUCTION = "Is there a relation between {} and {}?"   # ref :25
+LLM_INSTRUCTION = "What are the relations between {} and {}? Assistant: "  # ref :35
+MAX_INSTR_LEN = 16
+MAX_PROMPT_LEN = 20
+
+
+@dataclasses.dataclass(frozen=True)
+class PSGv4Config:
+    segmenter: SegmenterConfig = SegmenterConfig()
+    head: HeadV4Config = HeadV4Config()
+    llm: LlamaConfig = LlamaConfig()
+    max_new_tokens: int = 16            # reference :308
+    object_mask_thr: float = 0.25       # OpenSeeD/MaskDINO panoptic threshold
+    iou_thr: float = 0.8
+    freeze_layers: Tuple[str, ...] = ("segmenter", "llm")  # ref config :64-66
+
+    @staticmethod
+    def tiny_test(llm_vocab: int = 512) -> "PSGv4Config":
+        return PSGv4Config(
+            segmenter=SegmenterConfig.tiny_test(),
+            head=HeadV4Config.tiny_test(),
+            llm=LlamaConfig.tiny_test(vocab_size=llm_vocab),
+            max_new_tokens=6,
+        )
+
+
+@DETECTORS.register_module(name="OpenSeeDRelationV2")
+class PSGv4:
+    """Builds params, tokenizer tables and the jitted inference program."""
+
+    def __init__(
+        self,
+        cfg: PSGv4Config,
+        rng: jax.Array,
+        class_names: Optional[List[str]] = None,
+        relation_names: Optional[List[str]] = None,
+        num_things: Optional[int] = None,
+        precomputed_class_embeds: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.class_names = class_names or OBJECT_CLASSES
+        self.relation_names = relation_names or RELATION_CLASSES
+        if num_things is not None:
+            self.num_things = num_things
+        else:
+            self.num_things = (
+                NUM_THING_CLASSES if class_names is None else len(self.class_names)
+            )
+
+        # --- tokenizer + tables (host, once) ---
+        self.tokenizer = build_prompt_tokenizer(
+            list(self.class_names) + list(self.relation_names)
+        )
+        V = self.tokenizer.vocab_size
+        head_cfg = dataclasses.replace(
+            cfg.head,
+            llm_feature_size=cfg.llm.dim,  # projection targets the LLM width
+            qformer=dataclasses.replace(
+                cfg.head.qformer, vocab_size=max(cfg.head.qformer.vocab_size, V),
+                max_text_len=MAX_INSTR_LEN,
+            ),
+        )
+        llm_cfg = dataclasses.replace(
+            cfg.llm, vocab_size=max(cfg.llm.vocab_size, V)
+        )
+        self.cfg = dataclasses.replace(cfg, head=head_cfg, llm=llm_cfg)
+
+        self.qf_parts = build_instruction_table(
+            self.tokenizer, self.class_names, QFORMER_INSTRUCTION, MAX_INSTR_LEN
+        )
+        self.llm_parts = build_instruction_table(
+            self.tokenizer, self.class_names, LLM_INSTRUCTION, MAX_PROMPT_LEN
+        )
+        # predicate token sequences for label building / decoding
+        self.relation_token_ids = [
+            self.tokenizer.encode(r) for r in self.relation_names
+        ]
+
+        # --- modules ---
+        self.segmenter = OpenSeedSegmenter(self.cfg.segmenter)
+        self.head = RelationHeadV4(self.cfg.head)
+        self.llm = LlamaWithEmbeddings(self.cfg.llm)
+        self.text_encoder = TextEncoder(dim=self.cfg.segmenter.dim)
+
+        self.params = self._init_params(rng, precomputed_class_embeds)
+
+    # ------------------------------------------------------------------ init
+    def _init_params(self, rng, precomputed_class_embeds):
+        c = self.cfg
+        k_seg, k_head, k_llm, k_txt = jax.random.split(rng, 4)
+
+        name_tokens = jnp.asarray(encode_names(self.class_names))
+        txt_params = jax.jit(self.text_encoder.init)(k_txt, name_tokens)
+        if precomputed_class_embeds:
+            class_embeds = jnp.asarray(np.load(precomputed_class_embeds))
+        else:
+            class_embeds = jax.jit(self.text_encoder.apply)(txt_params, name_tokens)
+
+        H, W = self._model_hw()
+        img0 = jnp.zeros((H, W, 3), jnp.float32)
+        seg_params = jax.jit(self.segmenter.init)(k_seg, img0, class_embeds)
+
+        M = c.head.max_objects_padded
+        H4 = H // 4
+        head_params = jax.jit(
+            functools.partial(self.head.init)
+        )(
+            k_head,
+            jnp.zeros((H4, H4, c.segmenter.mask_dim)),
+            jnp.zeros((M, H4, H4), bool),
+            jnp.zeros((M,), bool),
+            jnp.zeros((M * M, MAX_INSTR_LEN), jnp.int32),
+            jnp.zeros((M * M, MAX_INSTR_LEN), bool),
+        )
+
+        Lp = c.head.qformer.num_relation_queries + MAX_PROMPT_LEN
+        llm_params = jax.jit(
+            lambda k: self.llm.init(
+                k,
+                token_ids=jnp.zeros((1, Lp), jnp.int32),
+                attention_mask=jnp.ones((1, Lp), bool),
+                positions=jnp.zeros((1, Lp), jnp.int32),
+            )
+        )(k_llm)
+
+        return {
+            "segmenter": seg_params,
+            "head": head_params,
+            "llm": llm_params,
+            "text": txt_params,
+            "class_embeds": class_embeds,
+        }
+
+    def _model_hw(self) -> Tuple[int, int]:
+        """Static model input size; tiny configs use 64, full uses 1344."""
+        return (64, 64) if self.cfg.segmenter.embed_dim <= 32 else (1344, 1344)
+
+    # ------------------------------------------------------------- inference
+    @functools.partial(jax.jit, static_argnums=0)
+    def _infer_jit(self, params, image_u8: jnp.ndarray, img_hw: jnp.ndarray):
+        """The whole per-image pipeline as one program.
+
+        image_u8: [H, W, 3] float/uint8 RGB 0-255 (padded bucket);
+        img_hw: (2,) int32 valid region.
+        """
+        c = self.cfg
+        M = c.head.max_objects_padded
+        image = normalize_image(image_u8)
+        seg_out = self.segmenter.apply(
+            params["segmenter"], image, params["class_embeds"]
+        )
+
+        H, W = image.shape[:2]
+        masks = jax.image.resize(
+            seg_out["masks"], (seg_out["masks"].shape[0], H, W), method="bilinear"
+        )
+        # pixels outside the valid region can't belong to any segment
+        # (reference strips padding before OpenSeeD, :101-103)
+        yy = jnp.arange(H)[:, None]
+        xx = jnp.arange(W)[None, :]
+        inside = (yy < img_hw[0]) & (xx < img_hw[1])
+
+        fusion = panoptic_fusion(
+            seg_out["cls_logits"], masks,
+            cls_mode="sigmoid", object_mask_thr=c.object_mask_thr,
+            iou_thr=c.iou_thr, instance_mode="per_class",
+            num_things=self.num_things, region_mask=inside,
+        )
+
+        # --- object selection: ascending oid (reference unique()), cap 30 ---
+        key = jnp.where(fusion.survive, fusion.object_ids, _INT_SENTINEL)
+        order = jnp.argsort(key)
+        sel = order[:M]
+        sel_oid = jnp.take(key, sel)
+        valid = (sel_oid != _INT_SENTINEL) & (
+            jnp.arange(M) < c.head.max_object_num
+        )
+        sel_oid = jnp.where(valid, sel_oid, 0)
+        labels = (sel_oid % INSTANCE_OFFSET).astype(jnp.int32)
+        obj_scores = jnp.take(fusion.query_scores, sel)
+
+        # --- object masks on the stride-4 grid ---
+        H4, W4 = H // 4, W // 4
+        pan4 = downsample_nearest(fusion.pan_seg, (H4, W4))
+        object_masks = (pan4[None] == sel_oid[:, None, None]) & valid[:, None, None]
+
+        # --- pair instructions, assembled on device ---
+        pair_idx = jnp.arange(M * M, dtype=jnp.int32)
+        sub_lab = jnp.take(labels, pair_idx // M)
+        obj_lab = jnp.take(labels, pair_idx % M)
+        text_ids, text_mask = assemble_pair_instructions(
+            self.qf_parts, sub_lab, obj_lab
+        )
+
+        head_out = self.head.apply(
+            params["head"], seg_out["mask_features"], object_masks, valid,
+            text_ids, text_mask,
+        )
+        pair_valid = jnp.take(valid, pair_idx // M) & jnp.take(valid, pair_idx % M)
+
+        out: Dict[str, jnp.ndarray] = {
+            "pan_seg": fusion.pan_seg,
+            "object_ids": jnp.where(valid, sel_oid, -1),
+            "object_valid": valid,
+            "object_scores": obj_scores,
+            "object_labels": labels,
+        }
+
+        K = c.head.top_pairs
+        top_idx, top_scores = select_topk_pairs(
+            head_out["binary_logits"], pair_valid, K
+        )
+        out["top_pair_idx"] = top_idx
+        out["top_pair_scores"] = top_scores
+
+        if "multiclass_logits" in head_out:
+            mc_triplets, mc_scores = multiclass_topk_triplets(
+                head_out["multiclass_logits"], pair_valid, M, k=100
+            )
+            out["mc_triplets"] = mc_triplets
+            out["mc_scores"] = mc_scores
+
+        # --- batched LLM decode over the top-K pairs ---
+        vis = jnp.take(head_out["llm_visual_tokens"], top_idx, axis=0)  # [K, R, D]
+        p_ids, p_mask = assemble_pair_instructions(
+            self.llm_parts,
+            jnp.take(sub_lab, top_idx),
+            jnp.take(obj_lab, top_idx),
+        )
+        p_emb = self.llm.apply(
+            params["llm"], p_ids, method=lambda m, i: m.embed(i)
+        )
+        prefix = jnp.concatenate([vis.astype(p_emb.dtype), p_emb], axis=1)
+        pmask = jnp.concatenate(
+            [jnp.ones((K, vis.shape[1]), bool), p_mask], axis=1
+        )
+        toks, tok_scores = greedy_decode(
+            self.llm, params["llm"], prefix, pmask,
+            c.max_new_tokens, eos_id=self.tokenizer.eos_id,
+        )
+        out["gen_tokens"] = toks
+        out["gen_scores"] = tok_scores
+        return out
+
+    def infer(self, image_u8: np.ndarray, img_hw: Tuple[int, int]) -> Dict[str, Any]:
+        """Host entry: returns the reference ``simple_test`` result surface
+        (openseed_relation_v2.py:183-190): pan_results (np), rel_results
+        {object_id_list, relation}, rel_scores."""
+        dev = self._infer_jit(
+            self.params, jnp.asarray(image_u8), jnp.asarray(img_hw, jnp.int32)
+        )
+        dev = jax.device_get(dev)  # one batched transfer, not per-array
+        return self.postprocess(dev)
+
+    # ---------------------------------------------------------- postprocess
+    def postprocess(self, dev: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        M = self.cfg.head.max_objects_padded
+        valid = dev["object_valid"]
+        object_id_list = [int(x) for x in dev["object_ids"][valid]]
+
+        # LLM triplets: decode tokens → predicate names (reference :313-326)
+        rel_pred: List[List[int]] = []
+        rel_scores: List[float] = []
+        rel_set = set()
+        for k, si in enumerate(dev["top_pair_idx"]):
+            text = self.tokenizer.decode(dev["gen_tokens"][k])
+            sub, obj = int(si) // M, int(si) % M
+            for piece in text.split("  "):
+                name = piece.strip()
+                if name in self.relation_names:
+                    trip = (sub, obj, self.relation_names.index(name))
+                    if trip not in rel_set:
+                        rel_set.add(trip)
+                        rel_pred.append(list(trip))
+                        rel_scores.append(1.0)  # reference scores LLM hits 1 (:326)
+            # single-name fallback: whole decoded string is one predicate
+            name = text.strip()
+            if name in self.relation_names:
+                trip = (sub, obj, self.relation_names.index(name))
+                if trip not in rel_set:
+                    rel_set.add(trip)
+                    rel_pred.append(list(trip))
+                    rel_scores.append(1.0)
+
+        # multiclass top-100 appended after LLM predictions (reference :355)
+        if "mc_triplets" in dev:
+            for (s, o, r), sc in zip(dev["mc_triplets"], dev["mc_scores"]):
+                if sc <= 0:
+                    continue
+                trip = (int(s), int(o), int(r))
+                if trip not in rel_set:
+                    rel_set.add(trip)
+                    rel_pred.append(list(trip))
+                    rel_scores.append(float(sc))
+
+        return {
+            "pan_results": dev["pan_seg"],
+            "rel_results": {
+                "object_id_list": object_id_list,
+                "relation": rel_pred,
+            },
+            "rel_scores": rel_scores,
+        }

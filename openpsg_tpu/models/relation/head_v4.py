@@ -1,0 +1,218 @@
+"""Relation head v4 — the paper's model (Q-Former + existence filter + LLM).
+
+Reference: kings_sgg/models/relation_heads/relation_transformer_head_v4.py.
+Stages (reference line refs in brackets):
+  (a) PatchEmbed(patch=16) over the 256-ch mask_features [:75-76, 362];
+  (b) per-pair cross-attention mask = OR(mask_i, mask_j) on the patch grid
+      [:401-404, 430-433];
+  (c) 2-layer Q-Former, queries = 1 cls + 32 relation queries, per-pair
+      instruction "Is there a relation between {sub} and {obj}?" [:26, 87-90,
+      144-186];
+  (d) pair-existence filter: binary and/or 56-way heads on the cls token
+      [:91-95, 187-214];
+  (e) LLM decode over projected query tokens (handled by the detector via
+      openpsg_tpu.models.llm — batched, not the reference's python loop).
+
+TPU redesign: everything below is a single static-shape jitted region.
+Instruction token ids are *assembled on device* from a precomputed
+[num_classes, name_len] token table (host tokenizes 133 names once at
+init) — no per-image host tokenization, no device↔host ping-pong.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from openpsg_tpu.models.relation.qformer import QFormerConfig, RelationQFormer
+from openpsg_tpu.models.relation.tokenizer import WordTokenizer
+from openpsg_tpu.ops.mask_ops import downsample_mask_bilinear, pair_or_masks
+
+NAME_TOKENS = 4  # max tokens per class name ('baseball glove' etc. ≤ 2 words)
+
+
+@dataclasses.dataclass(frozen=True)
+class HeadV4Config:
+    qformer: QFormerConfig = QFormerConfig()
+    patch_size: int = 16
+    object_feature_size: int = 256
+    num_relation_classes: int = 56
+    max_object_num: int = 30          # reference cap (:44)
+    max_objects_padded: int = 32      # static padding (≥ max_object_num)
+    rel_cls_type: str = "binary+multiclass"  # see SURVEY.md §7.3 quirk #1
+    llm_feature_size: int = 4096
+    sampled_qformer_batch_size: int = 32   # train subsample (:29)
+    qformer_neg_over_pos: int = 3          # (:30)
+    max_llm_forward_num: int = 4           # train pairs through LLM (:38)
+    top_pairs: int = 20                    # inference pairs through LLM (:237)
+    dtype: Any = jnp.float32
+
+    @property
+    def max_pairs(self) -> int:
+        return self.max_objects_padded ** 2
+
+    @staticmethod
+    def tiny_test() -> "HeadV4Config":
+        return HeadV4Config(
+            qformer=QFormerConfig.tiny_test(), patch_size=4,
+            object_feature_size=16, max_object_num=6, max_objects_padded=8,
+            llm_feature_size=32, top_pairs=4, sampled_qformer_batch_size=8,
+        )
+
+
+def build_instruction_table(tokenizer: WordTokenizer, class_names, template: str,
+                            max_len: int):
+    """Host-side, once at init: template prefix/infix/suffix token ids and a
+    [num_classes, NAME_TOKENS] name-token table (0-padded)."""
+    pre, rest = template.split("{}", 1)
+    mid, post = rest.split("{}", 1)
+    seg = lambda s: np.asarray(tokenizer.encode(s), np.int32)
+    names = np.zeros((len(class_names), NAME_TOKENS), np.int32)
+    for i, n in enumerate(class_names):
+        ids = tokenizer.encode(n)[:NAME_TOKENS]
+        names[i, : len(ids)] = ids
+    parts = {"pre": seg(pre), "mid": seg(mid), "post": seg(post), "names": names}
+    total = len(parts["pre"]) + len(parts["mid"]) + len(parts["post"]) + 2 * NAME_TOKENS
+    assert total <= max_len, (total, max_len)
+    parts["max_len"] = max_len
+    return parts
+
+
+def assemble_pair_instructions(parts, sub_labels: jnp.ndarray, obj_labels: jnp.ndarray):
+    """Device-side: [NP] class labels → ([NP, max_len] ids, [NP, max_len] mask).
+
+    Layout: pre ⧺ name(sub) ⧺ mid ⧺ name(obj) ⧺ post, with name slots
+    0-padded in place (mask marks real tokens; id 0 is the tokenizer PAD)."""
+    NP = sub_labels.shape[0]
+    pre = jnp.broadcast_to(jnp.asarray(parts["pre"]), (NP, len(parts["pre"])))
+    mid = jnp.broadcast_to(jnp.asarray(parts["mid"]), (NP, len(parts["mid"])))
+    post = jnp.broadcast_to(jnp.asarray(parts["post"]), (NP, len(parts["post"])))
+    names = jnp.asarray(parts["names"])
+    sub = jnp.take(names, sub_labels, axis=0)
+    obj = jnp.take(names, obj_labels, axis=0)
+    ids = jnp.concatenate([pre, sub, mid, obj, post], axis=1)
+    pad = parts["max_len"] - ids.shape[1]
+    ids = jnp.pad(ids, ((0, 0), (0, pad)))
+    mask = ids != 0
+    return ids, mask
+
+
+class RelationHeadV4(nn.Module):
+    cfg: HeadV4Config
+
+    @nn.compact
+    def __call__(
+        self,
+        mask_features: jnp.ndarray,   # [H4, W4, C] stride-4 features
+        object_masks: jnp.ndarray,    # [M, H4, W4] bool per-object masks (padded)
+        object_valid: jnp.ndarray,    # [M] bool
+        text_ids: jnp.ndarray,        # [NP, T] per-pair instruction ids
+        text_mask: jnp.ndarray,       # [NP, T]
+        pair_select: jnp.ndarray | None = None,  # [S] int32 — train subsample
+    ) -> Dict[str, jnp.ndarray]:
+        """Runs (a)-(d).  NP must equal M² (all ordered pairs, pair-major)
+        unless ``pair_select`` gathers S pairs (training).  Returns
+        qformer outputs, existence logits, and projected LLM visual tokens
+        for every processed pair."""
+        c = self.cfg
+        M = object_masks.shape[0]
+        D = c.qformer.hidden_size
+
+        # (a) patch embedding of mask features
+        patches = nn.Conv(
+            c.object_feature_size,
+            (c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            dtype=c.dtype,
+            name="patch_embed",
+        )(mask_features)                                   # [hp, wp, C]
+        hp, wp, _ = patches.shape
+        patches = patches.reshape(1, hp * wp, c.object_feature_size)
+
+        # (b) pair OR-masks on the patch grid
+        obj_patch_masks = downsample_mask_bilinear(object_masks, (hp, wp))
+        obj_patch_masks = obj_patch_masks & object_valid[:, None, None]
+        flat = obj_patch_masks.reshape(M, hp * wp)
+        pmask = pair_or_masks(flat).reshape(M * M, hp * wp)  # [NP, P]
+
+        # (c) relation Q-Former over pairs
+        rel_query = self.param(
+            "relation_query", nn.initializers.normal(1.0),
+            (c.qformer.num_relation_queries, D),
+        )
+        cls_query = self.param(
+            "rel_cls_query", nn.initializers.normal(1.0), (1, D)
+        )
+        query = jnp.concatenate([cls_query, rel_query], axis=0)
+
+        if pair_select is not None:
+            pmask = jnp.take(pmask, pair_select, axis=0)
+            text_ids = jnp.take(text_ids, pair_select, axis=0)
+            text_mask = jnp.take(text_mask, pair_select, axis=0)
+        NP = pmask.shape[0]
+
+        queries = jnp.broadcast_to(query[None], (NP,) + query.shape)
+        enc = jnp.broadcast_to(patches, (NP, hp * wp, c.object_feature_size))
+        qf_out = RelationQFormer(c.qformer, name="qformer")(
+            queries, text_ids, text_mask, enc, pmask
+        )                                                  # [NP, 1+R, D]
+
+        out: Dict[str, jnp.ndarray] = {"qformer_out": qf_out, "pair_mask": pmask}
+        cls_feat = qf_out[:, 0]
+        if "binary" in c.rel_cls_type:
+            out["binary_logits"] = nn.Dense(
+                1, dtype=c.dtype, name="binary_rel_cls"
+            )(cls_feat)[:, 0].astype(jnp.float32)
+        if "multiclass" in c.rel_cls_type:
+            out["multiclass_logits"] = nn.Dense(
+                c.num_relation_classes, dtype=c.dtype, name="multiclass_rel_cls"
+            )(cls_feat).astype(jnp.float32)
+
+        pair_feature = qf_out[:, 1:]                       # [NP, R, D]
+        out["llm_visual_tokens"] = nn.Dense(
+            c.llm_feature_size, dtype=c.dtype, name="language_projection"
+        )(pair_feature)
+        return out
+
+
+def select_topk_pairs(binary_logits: jnp.ndarray, pair_valid: jnp.ndarray, k: int):
+    """Inference pair selection: top-k pairs by binary existence score
+    (reference: sigmoid → topk → first 20, :235-237).  Invalid (padding)
+    pairs are excluded via -inf."""
+    scored = jnp.where(pair_valid, binary_logits, -jnp.inf)
+    scores, idx = jax.lax.top_k(scored, k)
+    return idx.astype(jnp.int32), jax.nn.sigmoid(scores)
+
+
+def multiclass_topk_triplets(
+    multiclass_logits: jnp.ndarray,   # [NP, R]
+    pair_valid: jnp.ndarray,          # [NP]
+    n_obj_padded: int,
+    k: int = 100,
+):
+    """Top-k (sub, obj, rel) triplets from the multiclass branch.
+
+    Intended semantics of reference :238-257 (its index arithmetic has
+    latent bugs — SURVEY.md §7.3 quirk — the flattening is pair-major):
+    sigmoid scores, self-pairs zeroed, flatten [NP*R], top-100."""
+    NP, R = multiclass_logits.shape
+    probs = jax.nn.sigmoid(multiclass_logits)
+    pair_idx = jnp.arange(NP, dtype=jnp.int32)
+    sub = pair_idx // n_obj_padded
+    obj = pair_idx % n_obj_padded
+    valid = pair_valid & (sub != obj)                      # diag zeroed (:240-241)
+    probs = jnp.where(valid[:, None], probs, 0.0)
+    flat = probs.reshape(-1)
+    scores, idx = jax.lax.top_k(flat, k)
+    tsub = (idx // R) // n_obj_padded
+    tobj = (idx // R) % n_obj_padded
+    trel = idx % R
+    return (
+        jnp.stack([tsub, tobj, trel], axis=1).astype(jnp.int32),
+        scores,
+    )

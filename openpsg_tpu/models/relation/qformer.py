@@ -1,0 +1,144 @@
+"""Relation Q-Former (InstructBLIP-style), batched over object pairs.
+
+Reference: a 2-layer ``InstructBlipQFormerModel`` with queries = 1 cls
+token + 32 relation queries, per-pair text instruction, cross-attention to
+image patches restricted by the pair's OR-mask
+(relation_transformer_head_v4.py:78-98, 144-186).
+
+Faithful structural choices (so converted HF weights can slot in):
+  * self-attention runs over [queries ; instruction tokens];
+  * cross-attention and a *separate* query FFN apply only to the query
+    positions (BLIP-2's ``intermediate_query``/``output_query`` split);
+  * text embeddings are word-embedding + position + LayerNorm.
+
+TPU-first batching: ALL pairs are processed as one [n_pairs, ...] batch —
+the reference's inference already batches all N² ≤ 900 pairs at once
+(:179-186); training subsampling (32 pairs @ 3:1 neg:pos) is a static
+gather before this module.  Invalid (padding) pairs are masked, not
+skipped: static shapes everywhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class QFormerConfig:
+    hidden_size: int = 768
+    num_layers: int = 2           # qformer_layer_num
+    num_heads: int = 12
+    intermediate: int = 3072
+    encoder_hidden_size: int = 256
+    num_relation_queries: int = 32
+    vocab_size: int = 1024        # prompt tokenizer vocab (closed set)
+    max_text_len: int = 16
+    dtype: Any = jnp.float32
+
+    @staticmethod
+    def tiny_test() -> "QFormerConfig":
+        return QFormerConfig(
+            hidden_size=32, num_layers=2, num_heads=2, intermediate=64,
+            encoder_hidden_size=16, num_relation_queries=4, vocab_size=64,
+            max_text_len=8,
+        )
+
+
+class _MHA(nn.Module):
+    """Plain multi-head attention with additive-free boolean masking."""
+
+    dim: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, kv_in, mask: Optional[jnp.ndarray] = None):
+        """q_in: [B, Lq, D]; kv_in: [B, Lk, Dk]; mask: [B, Lq, Lk] bool."""
+        hd = self.dim // self.num_heads
+        q = nn.Dense(self.dim, dtype=self.dtype, name="q")(q_in)
+        k = nn.Dense(self.dim, dtype=self.dtype, name="k")(kv_in)
+        v = nn.Dense(self.dim, dtype=self.dtype, name="v")(kv_in)
+        B, Lq, _ = q.shape
+        Lk = k.shape[1]
+        q = q.reshape(B, Lq, self.num_heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, Lk, self.num_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, Lk, self.num_heads, hd).transpose(0, 2, 1, 3)
+        attn = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * (hd ** -0.5)
+        if mask is not None:
+            attn = jnp.where(mask[:, None], attn, -1e9)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="o")(out)
+
+
+class RelationQFormer(nn.Module):
+    cfg: QFormerConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        query_embeds: jnp.ndarray,    # [B, Q, D] (cls + relation queries)
+        text_ids: jnp.ndarray,        # [B, T] int32
+        text_mask: jnp.ndarray,       # [B, T] bool
+        encoder_hidden: jnp.ndarray,  # [B, P, De] image patches
+        encoder_mask: jnp.ndarray,    # [B, P] bool — the pair OR-mask
+    ) -> jnp.ndarray:                 # [B, Q, D] query outputs
+        c = self.cfg
+        B, Qn, D = query_embeds.shape
+        T = text_ids.shape[1]
+
+        tok = nn.Embed(c.vocab_size, D, dtype=c.dtype, name="word_embed")(text_ids)
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02), (c.max_text_len, D)
+        )
+        tok = tok + pos[None, :T].astype(c.dtype)
+        tok = nn.LayerNorm(dtype=c.dtype, name="embed_ln")(tok)
+
+        x = jnp.concatenate([query_embeds.astype(c.dtype), tok], axis=1)  # [B, Q+T, D]
+        seq_mask = jnp.concatenate(
+            [jnp.ones((B, Qn), bool), text_mask], axis=1
+        )                                                                  # [B, Q+T]
+        self_mask = seq_mask[:, None, :] & seq_mask[:, :, None]
+
+        for i in range(c.num_layers):
+            # self-attention over queries+text
+            h = _MHA(D, c.num_heads, dtype=c.dtype, name=f"self_attn{i}")(
+                x, x, self_mask
+            )
+            x = nn.LayerNorm(dtype=c.dtype, name=f"self_ln{i}")(x + h)
+
+            # cross-attention: query positions only, masked to the pair region
+            xq = x[:, :Qn]
+            cm = encoder_mask[:, None, :] & jnp.ones((B, Qn, 1), bool)
+            # guard fully-empty pair masks (padding pairs): attend everywhere
+            cm = jnp.where(
+                jnp.any(encoder_mask, axis=-1)[:, None, None], cm, True
+            )
+            hq = _MHA(D, c.num_heads, dtype=c.dtype, name=f"cross_attn{i}")(
+                xq, encoder_hidden.astype(c.dtype), cm
+            )
+            xq = nn.LayerNorm(dtype=c.dtype, name=f"cross_ln{i}")(xq + hq)
+
+            # split FFN: query tokens get their own weights (BLIP-2)
+            fq = nn.Dense(c.intermediate, dtype=c.dtype, name=f"ffn_q_up{i}")(xq)
+            fq = nn.gelu(fq, approximate=False)
+            fq = nn.Dense(D, dtype=c.dtype, name=f"ffn_q_down{i}")(fq)
+            xq = nn.LayerNorm(dtype=c.dtype, name=f"ffn_q_ln{i}")(xq + fq)
+
+            xt = x[:, Qn:]
+            ft = nn.Dense(c.intermediate, dtype=c.dtype, name=f"ffn_t_up{i}")(xt)
+            ft = nn.gelu(ft, approximate=False)
+            ft = nn.Dense(D, dtype=c.dtype, name=f"ffn_t_down{i}")(ft)
+            xt = nn.LayerNorm(dtype=c.dtype, name=f"ffn_t_ln{i}")(xt + ft)
+
+            x = jnp.concatenate([xq, xt], axis=1)
+
+        return x[:, :Qn]

@@ -1,0 +1,173 @@
+"""Deformable-transformer building blocks (Deformable DETR / MaskDINO style).
+
+These wrap ``openpsg_tpu.ops.ms_deform_attn`` with the learned
+offset/weight projections, replacing the CUDA ``MSDeformAttn`` module used
+throughout the reference's segmenters (SURVEY.md §2.9).  Shapes are single
+image (no batch dim); batch via ``jax.vmap`` at the detector level.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from openpsg_tpu.ops.deform_attn import ms_deform_attn
+
+
+def make_reference_points(spatial_shapes: Sequence[Tuple[int, int]]) -> np.ndarray:
+    """Normalized (x, y) pixel-center reference points for every position of
+    every level, concatenated: [Lv, 2] (static numpy)."""
+    pts = []
+    for (h, w) in spatial_shapes:
+        ys, xs = np.meshgrid(
+            (np.arange(h) + 0.5) / h, (np.arange(w) + 0.5) / w, indexing="ij"
+        )
+        pts.append(np.stack([xs, ys], -1).reshape(-1, 2))
+    return np.concatenate(pts, 0).astype(np.float32)
+
+
+class MSDeformAttnLayer(nn.Module):
+    """Learned-offset multi-scale deformable attention."""
+
+    dim: int = 256
+    num_heads: int = 8
+    num_levels: int = 3
+    num_points: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,              # [Lq, C]
+        value: jnp.ndarray,              # [Lv, C]
+        spatial_shapes: Sequence[Tuple[int, int]],
+        reference_points: jnp.ndarray,   # [Lq, 2] centers or [Lq, 4] boxes (cxcywh), normalized
+    ) -> jnp.ndarray:                    # [Lq, C]
+        Lq = query.shape[0]
+        nH, L, K = self.num_heads, self.num_levels, self.num_points
+        hd = self.dim // nH
+
+        v = nn.Dense(self.dim, dtype=self.dtype, name="value_proj")(value)
+        v = v.reshape(1, -1, nH, hd)
+
+        off = nn.Dense(
+            nH * L * K * 2,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            bias_init=_grid_offset_init(nH, L, K),
+            name="sampling_offsets",
+        )(query).reshape(1, Lq, nH, L, K, 2)
+        attn = nn.Dense(
+            nH * L * K,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            name="attention_weights",
+        )(query).reshape(1, Lq, nH, L * K)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).reshape(
+            1, Lq, nH, L, K
+        )
+
+        if reference_points.shape[-1] == 2:
+            # offsets in units of each level's pixels (Deformable DETR eq. 2)
+            sizes = jnp.asarray(
+                [(w, h) for (h, w) in spatial_shapes], dtype=jnp.float32
+            )                                            # [L, 2] as (x, y)
+            loc = (
+                reference_points[None, :, None, None, None, :]
+                + off.astype(jnp.float32) / sizes[None, None, None, :, None, :]
+            )
+        else:
+            # box references: offsets scaled by half the box size
+            centers = reference_points[..., :2]
+            wh = reference_points[..., 2:]
+            loc = (
+                centers[None, :, None, None, None, :]
+                + off.astype(jnp.float32) / K * wh[None, :, None, None, None, :] * 0.5
+            )
+
+        out = ms_deform_attn(v, spatial_shapes, loc, attn)[0]  # [Lq, C]
+        return nn.Dense(self.dim, dtype=self.dtype, name="output_proj")(out)
+
+
+def _grid_offset_init(nH: int, L: int, K: int):
+    """Bias init spreading initial samples on a ring per head (Deformable
+    DETR's ``_reset_parameters``), so training starts with a sane pattern."""
+    theta = np.arange(nH) * (2.0 * np.pi / nH)
+    grid = np.stack([np.cos(theta), np.sin(theta)], -1)   # [nH, 2]
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid[:, None, None, :], (1, L, K, 1))
+    for k in range(K):
+        grid[:, :, k] *= k + 1
+
+    def init(key, shape, dtype=jnp.float32):
+        del key
+        return jnp.asarray(grid.reshape(-1), dtype=dtype).reshape(shape)
+
+    return init
+
+
+class FFN(nn.Module):
+    dim: int = 256
+    hidden: int = 2048
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        h = nn.relu(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
+        return nn.LayerNorm(dtype=self.dtype, name="norm")(x + h)
+
+
+class DeformableEncoderLayer(nn.Module):
+    dim: int = 256
+    num_heads: int = 8
+    num_levels: int = 3
+    num_points: int = 4
+    ffn_hidden: int = 2048
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, spatial_shapes, reference_points, pos_embed):
+        q = src + pos_embed
+        attn_out = MSDeformAttnLayer(
+            self.dim, self.num_heads, self.num_levels, self.num_points,
+            dtype=self.dtype, name="self_attn",
+        )(q, src, spatial_shapes, reference_points)
+        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src + attn_out)
+        return FFN(self.dim, self.ffn_hidden, dtype=self.dtype, name="ffn")(src)
+
+
+class MLP(nn.Module):
+    hidden: int
+    out: int
+    layers: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.layers - 1):
+            x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name=f"fc{i}")(x))
+        return nn.Dense(self.out, dtype=self.dtype, name=f"fc{self.layers - 1}")(x)
+
+
+def sine_pos_embed(coords: jnp.ndarray, dim: int = 256, temperature: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal embedding of normalized coords [..., 2] → [..., dim]."""
+    half = dim // 2
+    scale = 2.0 * np.pi
+    dim_t = temperature ** (2 * (np.arange(half // 2)) / half)
+    x = coords[..., 0:1] * scale / dim_t
+    y = coords[..., 1:2] * scale / dim_t
+    pe = jnp.concatenate(
+        [jnp.sin(x), jnp.cos(x), jnp.sin(y), jnp.cos(y)], axis=-1
+    )
+    return pe
+
+
+def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    x = jnp.clip(x, eps, 1.0 - eps)
+    return jnp.log(x / (1.0 - x))

@@ -1,0 +1,100 @@
+"""OpenSeeD-style panoptic segmenter assembly (TPU-native).
+
+Replaces the reference's 3rdparty OpenSeeD (Swin-T + MaskDINO + CLIP
+language encoder; SURVEY.md §2.10).  The forward contract mirrors what the
+detector consumes (openseed_relation_v2.py:107-139):
+
+    outputs, mask_features = segmenter(image)
+
+where outputs carry class logits / mask logits / boxes for Q queries and
+``mask_features`` is the dense stride-4 map the relation head pools from.
+
+The whole forward is one jitted function of static input shape: backbone →
+deformable-encoder pixel decoder → two-stage query decoder → (fusion done
+by the caller so the relation head can fuse it into the same jit).
+Classification is open-vocabulary against a class-embedding matrix that is
+computed once (language.get_text_embeddings) and passed in as a constant —
+exactly the reference's precompute-at-init pattern.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from openpsg_tpu.models.segmenter.decoder import QueryDecoder
+from openpsg_tpu.models.segmenter.pixel_decoder import PixelDecoder
+from openpsg_tpu.models.segmenter.swin import SwinTransformer
+
+# ImageNet normalization, identical in mmdet & OpenSeeD
+# (configs/psg/baseline_v4_ov.py:74-75; openseed_relation_v2.py:97-99).
+PIXEL_MEAN = (123.675, 116.28, 103.53)
+PIXEL_STD = (58.395, 57.12, 57.375)
+
+
+@dataclasses.dataclass(frozen=True)
+class SegmenterConfig:
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window: int = 7
+    dim: int = 256
+    mask_dim: int = 256
+    num_queries: int = 100
+    enc_layers: int = 6
+    dec_layers: int = 9
+    num_points: int = 4
+    ffn_hidden: int = 2048
+    dtype: Any = jnp.float32
+
+    @staticmethod
+    def tiny_test() -> "SegmenterConfig":
+        """Minimal config for CPU tests: same topology, tiny widths."""
+        return SegmenterConfig(
+            embed_dim=16, depths=(1, 1, 1, 1), num_heads=(1, 2, 2, 2),
+            window=4, dim=32, mask_dim=32, num_queries=20, enc_layers=1,
+            dec_layers=2, ffn_hidden=64,
+        )
+
+
+class OpenSeedSegmenter(nn.Module):
+    """Single-image segmenter; returns query predictions + mask features."""
+
+    cfg: SegmenterConfig
+
+    @nn.compact
+    def __call__(self, image: jnp.ndarray, class_embeds: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """image: [H, W, 3] normalized ((x-mean)/std), H, W static, ÷32.
+
+        Returns dict: cls_logits [Q, num_classes] (f32), masks [Q, H/4, W/4]
+        (f32 logits), boxes [Q, 4], query_embed [Q, C],
+        mask_features [H/4, W/4, mask_dim].
+        """
+        c = self.cfg
+        feats = SwinTransformer(
+            embed_dim=c.embed_dim, depths=c.depths, num_heads=c.num_heads,
+            window=c.window, dtype=c.dtype, name="backbone",
+        )(image)
+        memory, spatial_shapes, mask_features = PixelDecoder(
+            dim=c.dim, num_layers=c.enc_layers, num_points=c.num_points,
+            ffn_hidden=c.ffn_hidden, mask_dim=c.mask_dim, dtype=c.dtype,
+            name="pixel_decoder",
+        )(feats)
+        out = QueryDecoder(
+            dim=c.dim, num_queries=c.num_queries, num_layers=c.dec_layers,
+            num_points=c.num_points, ffn_hidden=c.ffn_hidden,
+            mask_dim=c.mask_dim, dtype=c.dtype, name="decoder",
+        )(memory, spatial_shapes, mask_features, class_embeds)
+        out["mask_features"] = mask_features
+        return out
+
+
+def normalize_image(image_u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8/float [H, W, 3] RGB 0-255 → normalized float32."""
+    mean = jnp.asarray(PIXEL_MEAN, jnp.float32)
+    std = jnp.asarray(PIXEL_STD, jnp.float32)
+    return (image_u8.astype(jnp.float32) - mean) / std

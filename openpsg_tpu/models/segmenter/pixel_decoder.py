@@ -1,0 +1,91 @@
+"""Deformable-encoder pixel decoder (MaskDINO / Mask2Former style).
+
+Produces (a) encoder-enhanced multi-scale memory over strides 8/16/32 and
+(b) dense stride-4 ``mask_features`` — the tensor the whole relation stack
+consumes (reference surfaces it by patching the segmenter; SURVEY.md §2.10
+and kings_sgg/models/relation_heads/mask2former_relation_head.py:57-121).
+
+Replaces mmdet's ``MSDeformAttnPixelDecoder`` (CUDA) with the XLA/Pallas
+deformable attention from openpsg_tpu.ops.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from openpsg_tpu.models.segmenter.deform_layers import (
+    DeformableEncoderLayer,
+    make_reference_points,
+    sine_pos_embed,
+)
+
+
+class PixelDecoder(nn.Module):
+    dim: int = 256
+    num_layers: int = 6
+    num_heads: int = 8
+    num_points: int = 4
+    ffn_hidden: int = 2048
+    mask_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray]):
+        """features: NHWC maps at strides (4, 8, 16, 32), single image.
+
+        Returns:
+          memory: [Lv, dim] encoder output over strides 8/16/32 (flattened,
+                  level-major, matching ``spatial_shapes`` order)
+          spatial_shapes: static [(h, w)] for the 3 encoder levels
+          mask_features: [H/4, W/4, mask_dim]
+        """
+        c2, c3, c4, c5 = features  # strides 4, 8, 16, 32
+        # high-to-low resolution order as in Deformable DETR: (8, 16, 32)
+        levels = [c3, c4, c5]
+        spatial_shapes = tuple((f.shape[0], f.shape[1]) for f in levels)
+
+        tokens = []
+        pos = []
+        for i, f in enumerate(levels):
+            t = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name=f"input_proj{i}")(f)
+            t = nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"input_norm{i}")(t)
+            tokens.append(t.reshape(-1, self.dim))
+            level_embed = self.param(
+                f"level_embed{i}", nn.initializers.normal(1.0), (self.dim,)
+            )
+            p = sine_pos_embed(
+                jnp.asarray(make_reference_points([spatial_shapes[i]])), self.dim
+            )
+            pos.append(p.astype(self.dtype) + level_embed[None, :].astype(self.dtype))
+
+        src = jnp.concatenate(tokens, 0)                  # [Lv, C]
+        pos_embed = jnp.concatenate(pos, 0)
+        ref = jnp.asarray(make_reference_points(spatial_shapes))
+
+        for i in range(self.num_layers):
+            src = DeformableEncoderLayer(
+                self.dim, self.num_heads, len(levels), self.num_points,
+                self.ffn_hidden, dtype=self.dtype, name=f"layer{i}",
+            )(src, spatial_shapes, ref, pos_embed)
+
+        # FPN top-down to stride 4 for mask features
+        h8, w8 = spatial_shapes[0]
+        enc8 = src[: h8 * w8].reshape(h8, w8, self.dim)
+        lat4 = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="lateral4")(c2)
+        lat4 = nn.GroupNorm(num_groups=32, dtype=self.dtype, name="lateral4_norm")(lat4)
+        up = jax.image.resize(
+            enc8, (c2.shape[0], c2.shape[1], self.dim), method="bilinear"
+        ).astype(self.dtype)
+        fused = lat4 + up
+        fused = nn.Conv(self.dim, (3, 3), dtype=self.dtype, name="output4")(fused)
+        fused = nn.GroupNorm(num_groups=32, dtype=self.dtype, name="output4_norm")(fused)
+        fused = nn.relu(fused)
+        mask_features = nn.Conv(
+            self.mask_dim, (1, 1), dtype=self.dtype, name="mask_feature_proj"
+        )(fused)
+
+        return src, spatial_shapes, mask_features

@@ -1,0 +1,91 @@
+"""HiLo-compatible submission writer.
+
+Reference emission rules (tools/infer.py:149-188):
+  * one PNG per test image named ``{test_idx}.png`` under
+    ``submission/panseg/``, each object colored with a random distinct RGB,
+    segment id = rgb2id(color);
+  * ``segments_info`` in object_id_list order with 1-indexed
+    ``category_id = object_id % INSTANCE_OFFSET + 1``;
+  * object_id 133 (background sentinel) skipped;
+  * ``relations = [[sub, obj, rel+1], ...]`` (1-indexed predicates);
+  * empty outputs dummy-filled: relation ``[[0,0,0]]``, one random segment;
+  * final ``submission/relation.json`` is the list over images.
+
+Colors are drawn from a seedable RNG (reproducible, unlike the reference)
+and guaranteed distinct within an image.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from openpsg_tpu.data.vocab import INSTANCE_OFFSET
+from openpsg_tpu.utils.panoptic import random_colors, rgb2id
+
+
+class SubmissionWriter:
+    def __init__(self, output_dir: str, seed: Optional[int] = None):
+        self.panseg_dir = os.path.join(output_dir, "submission", "panseg")
+        self.json_dir = os.path.join(output_dir, "submission")
+        os.makedirs(self.panseg_dir, exist_ok=True)
+        self.results: List[Dict[str, Any]] = []
+        self.seed = seed
+        self._counter = 0
+
+    def add(
+        self,
+        pan_results: np.ndarray,          # [H, W] mmdet-scheme ids (ori size)
+        object_id_list: List[int],
+        relation: List[List[int]],
+        test_idx: Optional[int] = None,
+    ) -> None:
+        import cv2
+
+        test_idx = self._counter if test_idx is None else test_idx
+        self._counter += 1
+
+        H, W = pan_results.shape
+        out_bgr = np.zeros((H, W, 3), np.uint8)
+        kept = [oid for oid in object_id_list if oid != 133]
+        colors = random_colors(
+            max(len(kept), 1),
+            seed=None if self.seed is None else self.seed + test_idx,
+        )
+        segments_info = []
+        for i, oid in enumerate(kept):
+            r, g, b = (int(x) for x in colors[i])
+            mask = pan_results == oid
+            out_bgr[mask] = (b, g, r)  # cv2 writes BGR; file RGB = (r, g, b)
+            segments_info.append(
+                dict(
+                    category_id=int(oid % INSTANCE_OFFSET) + 1,
+                    id=int(rgb2id(np.asarray([r, g, b], np.uint8))),
+                )
+            )
+
+        cv2.imwrite(os.path.join(self.panseg_dir, f"{test_idx}.png"), out_bgr)
+
+        if len(relation) == 0:
+            relation = [[0, 0, 0]]
+        if len(segments_info) == 0:
+            r, g, b = (int(x) for x in colors[0])
+            segments_info = [
+                dict(category_id=1, id=int(rgb2id(np.asarray([r, g, b], np.uint8))))
+            ]
+        self.results.append(
+            dict(
+                relations=[[int(s), int(o), int(r) + 1] for s, o, r in relation],
+                segments_info=segments_info,
+                pan_seg_file_name=f"{test_idx}.png",
+            )
+        )
+
+    def finalize(self) -> str:
+        path = os.path.join(self.json_dir, "relation.json")
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(self.results, f, default=str)
+        return path

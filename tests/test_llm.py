@@ -1,0 +1,139 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openpsg_tpu.models.llm.decode import greedy_decode
+from openpsg_tpu.models.llm.llama import Llama, LlamaConfig, LlamaWithEmbeddings
+
+
+@pytest.fixture(scope="module")
+def tiny_llm():
+    cfg = LlamaConfig.tiny_test(vocab_size=97)
+    model = LlamaWithEmbeddings(cfg)
+    B, L = 2, 10
+    ids = jnp.zeros((B, L), jnp.int32)
+    mask = jnp.ones((B, L), bool)
+    pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None], (B, L))
+    params = jax.jit(
+        lambda k: model.init(
+            k, token_ids=ids, attention_mask=mask, positions=pos
+        )
+    )(jax.random.PRNGKey(0))
+    return cfg, model, params
+
+
+def _naive_greedy(model, params, prefix_embeds, prefix_mask, steps, eos_id):
+    """Reference decode: re-run the full (growing) sequence each step."""
+    B, Lp, D = prefix_embeds.shape
+    emb = prefix_embeds
+    mask = prefix_mask
+    out = []
+    done = np.zeros(B, bool)
+    for _ in range(steps):
+        pos = jnp.maximum(jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1, 0)
+        logits, _ = model.apply(
+            params, input_embeds=emb, attention_mask=mask, positions=pos
+        )
+        nxt = np.asarray(jnp.argmax(logits[:, -1], axis=-1)).astype(np.int32)
+        emit = np.where(done, 0, nxt)
+        done = done | (nxt == eos_id)
+        out.append(np.where(done & (nxt == eos_id), 0, emit))
+        tok_emb = model.apply(params, jnp.asarray(nxt)[:, None], method=lambda m, i: m.embed(i))
+        emb = jnp.concatenate([emb, tok_emb], axis=1)
+        mask = jnp.concatenate([mask, jnp.ones((B, 1), bool)], axis=1)
+    return np.stack(out, axis=1)
+
+
+class TestLlama:
+    def test_forward_shapes(self, tiny_llm):
+        cfg, model, params = tiny_llm
+        B, L = 2, 10
+        ids = jnp.arange(B * L, dtype=jnp.int32).reshape(B, L) % cfg.vocab_size
+        mask = jnp.ones((B, L), bool)
+        pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None], (B, L))
+        logits, _ = jax.jit(
+            lambda p, i: model.apply(p, token_ids=i, attention_mask=mask, positions=pos)
+        )(params, ids)
+        assert logits.shape == (B, L, cfg.vocab_size)
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_causality(self, tiny_llm):
+        """Changing a later token must not affect earlier logits."""
+        cfg, model, params = tiny_llm
+        L = 8
+        ids1 = jnp.arange(L, dtype=jnp.int32)[None] % cfg.vocab_size
+        ids2 = ids1.at[0, -1].set((ids1[0, -1] + 1) % cfg.vocab_size)
+        mask = jnp.ones((1, L), bool)
+        pos = jnp.arange(L, dtype=jnp.int32)[None]
+        f = jax.jit(lambda p, i: model.apply(p, token_ids=i, attention_mask=mask, positions=pos)[0])
+        l1, l2 = f(params, ids1), f(params, ids2)
+        np.testing.assert_allclose(
+            np.asarray(l1[0, :-1]), np.asarray(l2[0, :-1]), atol=1e-5
+        )
+        assert not np.allclose(np.asarray(l1[0, -1]), np.asarray(l2[0, -1]))
+
+    def test_left_pad_equals_no_pad(self, tiny_llm):
+        """Left padding with cumsum positions must not change real logits."""
+        cfg, model, params = tiny_llm
+        L = 6
+        ids = (jnp.arange(L, dtype=jnp.int32)[None] * 3 + 1) % cfg.vocab_size
+        mask = jnp.ones((1, L), bool)
+        pos = jnp.arange(L, dtype=jnp.int32)[None]
+        logits_plain, _ = model.apply(
+            params, token_ids=ids, attention_mask=mask, positions=pos
+        )
+        P = 3
+        ids_pad = jnp.concatenate([jnp.zeros((1, P), jnp.int32), ids], axis=1)
+        mask_pad = jnp.concatenate([jnp.zeros((1, P), bool), mask], axis=1)
+        pos_pad = jnp.maximum(jnp.cumsum(mask_pad.astype(jnp.int32), axis=1) - 1, 0)
+        logits_pad, _ = model.apply(
+            params, token_ids=ids_pad, attention_mask=mask_pad, positions=pos_pad
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits_plain[0]), np.asarray(logits_pad[0, P:]), atol=2e-4
+        )
+
+
+class TestGreedyDecode:
+    @pytest.mark.parametrize("pad_layout", ["left", "middle"])
+    def test_matches_naive_decode(self, tiny_llm, pad_layout):
+        """Batched KV-cache decode == naive full-forward decode, for left
+        padding and for the reference's [visual ; left-padded text] middle
+        padding (relation_transformer_head_v4.py:296-299)."""
+        cfg, model, params = tiny_llm
+        B, Lp = 3, 9
+        rng = jax.random.PRNGKey(7)
+        emb = jax.random.normal(rng, (B, Lp, cfg.dim)) * 0.5
+        if pad_layout == "left":
+            mask = np.ones((B, Lp), bool)
+            mask[0, :3] = False
+            mask[1, :1] = False
+        else:  # visual prefix (2 slots) real, pads in the middle, text real
+            mask = np.ones((B, Lp), bool)
+            mask[0, 2:5] = False
+            mask[1, 2:3] = False
+        mask = jnp.asarray(mask)
+        emb = jnp.where(mask[..., None], emb, 0.0)
+
+        steps = 5
+        toks, scores = jax.jit(
+            lambda p, e, m: greedy_decode(model, p, e, m, steps, eos_id=3)
+        )(params, emb, mask)
+        want = _naive_greedy(model, params, emb, mask, steps, eos_id=3)
+        np.testing.assert_array_equal(np.asarray(toks), want)
+        assert scores.shape == (B, steps)
+
+    def test_eos_stops_sequence(self, tiny_llm):
+        """After EOS the emitted tokens are pad (0) and scores 0."""
+        cfg, model, params = tiny_llm
+        B, Lp = 4, 4
+        emb = jax.random.normal(jax.random.PRNGKey(1), (B, Lp, cfg.dim))
+        mask = jnp.ones((B, Lp), bool)
+        toks, scores = greedy_decode(model, params, emb, mask, 8, eos_id=3)
+        toks, scores = np.asarray(toks), np.asarray(scores)
+        for b in range(B):
+            eos_pos = np.nonzero(toks[b] == 0)[0]
+            # wherever a 0 appears after decode start, scores must be 0 too
+            for p in eos_pos:
+                assert scores[b, p] == 0.0

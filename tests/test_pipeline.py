@@ -1,0 +1,187 @@
+"""End-to-end tests: tiny PSGv4 inference + one training step.
+
+Mirrors the reference's operational verification (SURVEY.md §4): inference
+produces the ``simple_test`` result surface; training produces finite
+losses and only updates trainable (head) params.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openpsg_tpu.models.detectors.psg_v4 import PSGv4, PSGv4Config
+from openpsg_tpu.train.trainer import (
+    TrainBatch,
+    V4Trainer,
+    build_llm_labels,
+    make_lr_schedule,
+    make_optimizer,
+    sample_training_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    cfg = PSGv4Config.tiny_test()
+    return PSGv4(cfg, jax.random.PRNGKey(0))
+
+
+def _fake_image(H=64, W=64):
+    rng = np.random.default_rng(0)
+    return rng.integers(0, 255, (H, W, 3)).astype(np.float32)
+
+
+class TestInference:
+    def test_end_to_end_surface(self, tiny_pipeline):
+        p = tiny_pipeline
+        res = p.infer(_fake_image(), (60, 64))
+        # reference simple_test surface (openseed_relation_v2.py:183-190)
+        assert set(res) == {"pan_results", "rel_results", "rel_scores"}
+        assert res["pan_results"].shape == (64, 64)
+        assert isinstance(res["rel_results"]["object_id_list"], list)
+        rel = res["rel_results"]["relation"]
+        assert all(len(t) == 3 for t in rel)
+        n_obj = len(res["rel_results"]["object_id_list"])
+        M = p.cfg.head.max_objects_padded
+        for s, o, r in rel:
+            assert 0 <= s < M and 0 <= o < M
+            assert 0 <= r < len(p.relation_names)
+        assert len(res["rel_scores"]) == len(rel)
+
+    def test_pan_ids_consistent_with_object_list(self, tiny_pipeline):
+        p = tiny_pipeline
+        res = p.infer(_fake_image(), (64, 64))
+        ids_in_map = set(np.unique(res["pan_results"])) - {133}
+        listed = set(res["rel_results"]["object_id_list"])
+        # every listed object must own pixels; map may contain objects
+        # beyond the max_object cap
+        assert listed <= ids_in_map or len(listed) == 0
+
+    def test_deterministic(self, tiny_pipeline):
+        p = tiny_pipeline
+        r1 = p.infer(_fake_image(), (64, 64))
+        r2 = p.infer(_fake_image(), (64, 64))
+        np.testing.assert_array_equal(r1["pan_results"], r2["pan_results"])
+        assert r1["rel_results"]["relation"] == r2["rel_results"]["relation"]
+
+
+class TestSamplers:
+    def test_qformer_sampler_ratios(self):
+        rng = np.random.default_rng(0)
+        M, R = 8, 5
+        target = np.zeros((M, M, R))
+        target[0, 1, 2] = 1
+        target[2, 3, 0] = 1
+        valid = np.ones(M * M, bool)
+        qf_idx, qf_w, llm_idx, llm_valid = sample_training_pairs(
+            rng, target, valid, sample_size=16, neg_over_pos=3, llm_pairs=4
+        )
+        n_active = int(qf_w.sum())
+        # 2 positives → 2 pos + min(14, 6)=6 neg = 8 active slots
+        assert n_active == 8
+        flat = target.sum(-1).reshape(-1)
+        active = qf_idx[qf_w > 0]
+        assert flat[active[:2]].all()          # positives first
+        assert llm_valid[:2].all() and not llm_valid[2:].any()
+        assert set(llm_idx[llm_valid]) == {0 * M + 1, 2 * M + 3}
+
+    def test_llm_labels(self):
+        from openpsg_tpu.models.relation.tokenizer import build_prompt_tokenizer
+        from openpsg_tpu.data.vocab import RELATION_CLASSES
+
+        tok = build_prompt_tokenizer()
+        M, R = 4, 56
+        target = np.zeros((M, M, R))
+        target[1, 2, RELATION_CLASSES.index("on")] = 1
+        target[1, 2, RELATION_CLASSES.index("beside")] = 1
+        ids, mask = build_llm_labels(
+            tok, RELATION_CLASSES, target, np.asarray([1 * M + 2]), 12
+        )
+        text = tok.decode(ids[0][mask[0]], stop_at_eos=False)
+        assert "on" in text and "beside" in text
+        assert (ids[0] == tok.eos_id).sum() == 2   # one </s> per relation
+
+
+class TestTrainStep:
+    def test_loss_finite_and_params_update(self, tiny_pipeline):
+        p = tiny_pipeline
+        M = p.cfg.head.max_objects_padded
+        R = p.cfg.head.num_relation_classes
+        H = W = 64
+        H4 = H // 4
+        B = 2
+        rng = np.random.default_rng(0)
+
+        images, masks, labels, valids, targets = [], [], [], [], []
+        qf_i, qf_w, llm_i, llm_v, lab_ids, lab_mask = [], [], [], [], [], []
+        for b in range(B):
+            images.append(_fake_image(H, W))
+            m = rng.uniform(size=(M, H4, H4)) > 0.8
+            masks.append(m)
+            labels.append(rng.integers(0, 133, M))
+            valid = np.zeros(M, bool)
+            valid[:4] = True
+            valids.append(valid)
+            t = np.zeros((M, M, R), np.float32)
+            t[0, 1, 3] = 1
+            t[2, 0, 10] = 1
+            targets.append(t)
+            qi, qw, li, lv = sample_training_pairs(
+                rng, t, np.repeat(valid, M) & np.tile(valid, M),
+                sample_size=p.cfg.head.sampled_qformer_batch_size,
+            )
+            qf_i.append(qi)
+            qf_w.append(qw)
+            llm_i.append(li)
+            llm_v.append(lv)
+            ids, msk = build_llm_labels(
+                p.tokenizer, p.relation_names, t, li, 12
+            )
+            lab_ids.append(ids)
+            lab_mask.append(msk)
+
+        batch = TrainBatch(
+            image=jnp.asarray(np.stack(images)),
+            object_masks=jnp.asarray(np.stack(masks)),
+            object_labels=jnp.asarray(np.stack(labels), jnp.int32),
+            object_valid=jnp.asarray(np.stack(valids)),
+            relation_target=jnp.asarray(np.stack(targets)),
+            qf_sel_idx=jnp.asarray(np.stack(qf_i)),
+            qf_sel_weight=jnp.asarray(np.stack(qf_w)),
+            llm_sel_idx=jnp.asarray(np.stack(llm_i)),
+            llm_valid=jnp.asarray(np.stack(llm_v)),
+            llm_label_ids=jnp.asarray(np.stack(lab_ids)),
+            llm_label_mask=jnp.asarray(np.stack(lab_mask)),
+        )
+
+        trainer = V4Trainer(p)
+        sched = make_lr_schedule(steps_per_epoch=10)
+        opt = make_optimizer(sched)
+        head_params = p.params["head"]["params"]
+        frozen = {k: v for k, v in p.params.items() if k != "head"}
+        opt_state = opt.init(head_params)
+        step = jax.jit(trainer.make_train_step(opt))
+        new_params, new_opt, metrics = step(head_params, opt_state, frozen, batch)
+
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), k
+        assert float(metrics["rel_llm_loss"]) > 0
+        assert float(metrics["binary_rel_cls_loss"]) >= 0
+        # params actually changed
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), head_params, new_params
+        )
+        assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+    def test_lr_schedule(self):
+        s = make_lr_schedule(
+            base_lr=1e-4, warmup_iters=500, warmup_ratio=1e-3,
+            step_epochs=(6, 10), steps_per_epoch=100,
+        )
+        assert float(s(0)) == pytest.approx(1e-7, rel=1e-3)
+        assert float(s(500)) == pytest.approx(1e-4, rel=1e-4)
+        assert float(s(650)) == pytest.approx(1e-5, rel=1e-4)   # epoch 6 → ×0.1
+        assert float(s(1050)) == pytest.approx(1e-6, rel=1e-4)  # epoch 10 → ×0.01
