@@ -16,5 +16,27 @@ Layering (bottom → top):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compile_cache():
+    """Persist XLA programs across processes (first compile on the 1-core
+    host / tunneled TPU is minutes; cached reloads are seconds)."""
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.path.join(_os.path.dirname(_os.path.dirname(
+                    _os.path.abspath(__file__))), ".jax_cache"),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compile_cache()
+
 from openpsg_tpu.core.registry import Registry, DETECTORS, HEADS, DATASETS  # noqa: F401
 from openpsg_tpu.core.config import Config  # noqa: F401

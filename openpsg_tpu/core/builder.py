@@ -26,6 +26,8 @@ def _head_cfg_from_dict(d: Dict[str, Any], tpu: Dict[str, Any]):
     from openpsg_tpu.models.relation.head_v4 import HeadV4Config
     from openpsg_tpu.models.relation.qformer import QFormerConfig
 
+    if tpu.get("head_preset") == "tiny":
+        return HeadV4Config.tiny_test()
     qf = QFormerConfig(
         hidden_size=d.get("qformer_feature_size", 768),
         num_layers=d.get("qformer_layer_num", 2),

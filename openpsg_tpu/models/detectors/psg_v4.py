@@ -70,6 +70,7 @@ class PSGv4Config:
     object_mask_thr: float = 0.25       # OpenSeeD/MaskDINO panoptic threshold
     iou_thr: float = 0.8
     freeze_layers: Tuple[str, ...] = ("segmenter", "llm")  # ref config :64-66
+    input_hw: Optional[Tuple[int, int]] = None  # static model bucket override
 
     @staticmethod
     def tiny_test(llm_vocab: int = 512) -> "PSGv4Config":
@@ -189,7 +190,10 @@ class PSGv4:
         }
 
     def _model_hw(self) -> Tuple[int, int]:
-        """Static model input size; tiny configs use 64, full uses 1344."""
+        """Static model input size; tiny configs use 64, full uses 1344
+        (the (1333, 1333) test scale padded ÷32, tools/infer.py:40)."""
+        if self.cfg.input_hw is not None:
+            return tuple(self.cfg.input_hw)
         return (64, 64) if self.cfg.segmenter.embed_dim <= 32 else (1344, 1344)
 
     # ------------------------------------------------------------- inference
@@ -226,6 +230,10 @@ class PSGv4:
 
         # --- object selection: ascending oid (reference unique()), cap 30 ---
         key = jnp.where(fusion.survive, fusion.object_ids, _INT_SENTINEL)
+        if key.shape[0] < M:  # fewer queries than object slots: pad
+            key = jnp.concatenate(
+                [key, jnp.full((M - key.shape[0],), _INT_SENTINEL, key.dtype)]
+            )
         order = jnp.argsort(key)
         sel = order[:M]
         sel_oid = jnp.take(key, sel)

@@ -15,6 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize prepends 'axon' to jax_platforms, overriding the
+# env var — force CPU via the config API so the 8-device virtual mesh works.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # This VM has ONE cpu core and ~1.3s per-op XLA compile latency: always jit
 # whole model fns (never eager init) and persist compiled programs across

@@ -1,0 +1,63 @@
+"""Synthetic mini PSG dataset for tests and tool drives.
+
+Generates images + panoptic PNGs + a flat-style PSG json (the fake-backend
+idea from SURVEY.md §4: known GT isolates pipeline stages from model
+quality)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from openpsg_tpu.utils.panoptic import id2rgb
+
+
+def make_fixture(root: str, n_images: int = 4, hw=(96, 64), seed: int = 0):
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    img_dir = os.path.join(root, "images")
+    pan_dir = os.path.join(root, "panoptic")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(pan_dir, exist_ok=True)
+
+    data = []
+    H, W = hw
+    for i in range(n_images):
+        img = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+        cv2.imwrite(os.path.join(img_dir, f"{i}.jpg"), img[..., ::-1])
+
+        # three segments: person (thing 0), dog (thing 16), sky (stuff)
+        pan = np.zeros((H, W), np.int64)
+        pan[: H // 2, : W // 2] = 7001
+        pan[: H // 2, W // 2:] = 7002
+        pan[H // 2:, :] = 7003
+        cv2.imwrite(
+            os.path.join(pan_dir, f"{i}.png"), id2rgb(pan)[..., ::-1]
+        )
+        segments_info = [
+            {"id": 7001, "category_id": 0, "isthing": 1},
+            {"id": 7002, "category_id": 16, "isthing": 1},
+            {"id": 7003, "category_id": 119, "isthing": 0},  # sky
+        ]
+        data.append(
+            {
+                "image_id": str(i),
+                "file_name": f"images/{i}.jpg",
+                "pan_seg_file_name": f"panoptic/{i}.png",
+                "height": H,
+                "width": W,
+                "segments_info": segments_info,
+                "relations": [[0, 2, 4], [1, 0, 23]],  # in(4), looking-at(23)
+            }
+        )
+    payload = {
+        "data": data,
+        "test_image_ids": [str(i) for i in range(n_images // 2, n_images)],
+    }
+    path = os.path.join(root, "psg.json")
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(payload, f)
+    return path

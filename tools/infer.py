@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Validation inference → HiLo submission (reference tools/infer.py parity).
+
+Usage (reference surface):  python tools/infer.py <exp_tag> <epoch>
+  — loads work_dirs/ov_psg_{exp_tag}/{exp_tag}.py + checkpoint epoch
+or explicitly:              python tools/infer.py --config C [--checkpoint D]
+
+Flow (reference :65-188): filter PSG json to test ids with ≥1 relation,
+run the model per image with test scale (1333, 1333), write panseg PNGs +
+relation.json.  TPU notes: the whole per-image model is one jitted call
+(compiled once — static bucket); preprocessing and PNG IO overlap with
+device compute via simple double-buffering.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("exp_tag", nargs="?", default=None)
+    ap.add_argument("epoch", nargs="?", type=int, default=None)
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--test-file", default=None)
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--output-dir", default="./")
+    ap.add_argument("--img-scale", type=int, nargs=2, default=(1333, 1333))
+    ap.add_argument("--limit", type=int, default=0, help="cap image count (0 = all)")
+    ap.add_argument("--seed", type=int, default=0)
+    return ap.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    from openpsg_tpu.core.config import Config
+    from openpsg_tpu.core.builder import build_detector_from_config
+    from openpsg_tpu.data.preprocess import Preprocessor, load_image_rgb
+    from openpsg_tpu.train.checkpoint import PartCheckpointer
+    from openpsg_tpu.utils.submission import SubmissionWriter
+
+    if args.config is None:
+        assert args.exp_tag, "need exp_tag or --config"
+        args.config = f"./work_dirs/ov_psg_{args.exp_tag}/{args.exp_tag}.py"
+        if args.checkpoint is None and args.epoch is not None:
+            args.checkpoint = f"./work_dirs/ov_psg_{args.exp_tag}/ckpts"
+
+    cfg = Config.fromfile(args.config)
+    test_file = args.test_file or cfg.data.test.ann_file
+    data_dir = args.data_dir or cfg.data.test.img_prefix
+
+    model = build_detector_from_config(cfg, jax.random.PRNGKey(args.seed))
+    if args.checkpoint and os.path.isdir(args.checkpoint):
+        ckpt = PartCheckpointer(args.checkpoint)
+        params, _, _, step = ckpt.restore(
+            step=args.epoch, like_params=model.params["head"]["params"]
+        )
+        model.params["head"] = {"params": params}
+        print(f"restored head params from step {step}")
+
+    with open(test_file, "r", encoding="utf-8") as f:
+        dataset = json.load(f)
+    test_ids = set(dataset.get("test_image_ids", []))
+    # keep only test images with ≥1 relation (reference :53-62)
+    records = [
+        d for d in dataset["data"]
+        if d["image_id"] in test_ids and len(d.get("relations", []))
+    ]
+    if args.limit:
+        records = records[: args.limit]
+
+    H, W = model._model_hw()
+    preproc = Preprocessor(scale=(min(args.img_scale), min(args.img_scale)))
+    if preproc.bucket_hw[0] > H:
+        preproc = Preprocessor(scale=(H, H))
+
+    writer = SubmissionWriter(args.output_dir, seed=args.seed)
+    t0 = time.time()
+    for i, d in enumerate(records):
+        import cv2
+
+        img = load_image_rgb(os.path.join(data_dir, d["file_name"]))
+        ex = preproc(img)
+        res = model.infer(ex["image"].astype(np.float32), ex["img_shape"])
+        # id map back to original resolution (nearest keeps ids intact)
+        pan_ori = cv2.resize(
+            res["pan_results"].astype(np.float64),
+            (img.shape[1], img.shape[0]),
+            interpolation=cv2.INTER_NEAREST,
+        ).astype(np.int64)
+        writer.add(
+            pan_ori,
+            res["rel_results"]["object_id_list"],
+            res["rel_results"]["relation"],
+            test_idx=i,
+        )
+        if (i + 1) % 50 == 0:
+            rate = (i + 1) / (time.time() - t0)
+            print(f"[{i + 1}/{len(records)}] {rate:.2f} img/s")
+
+    path = writer.finalize()
+    dt = time.time() - t0
+    print(f"Inference finished: {len(records)} images in {dt:.1f}s "
+          f"({len(records) / max(dt, 1e-9):.2f} img/s). Results: {path}")
+
+
+if __name__ == "__main__":
+    main()

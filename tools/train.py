@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Training CLI (reference tools/train.py parity, TPU-native runtime).
+
+Usage:  python tools/train.py <config> [--work-dir D] [--resume-from C]
+        [--auto-resume] [--seed N] [--cfg-options k=v ...]
+
+Reference flow (:109-246): config load + merge, work_dir setup + dumped
+config + timestamped log, seeding, detector build + param table, dataset
+build, train loop with TextLogger-style printouts every ``interval``
+iters, per-epoch part-checkpoints.  The distributed story is one pjit
+over a dp×tp mesh instead of torchrun+NCCL (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("--work-dir", default=None)
+    ap.add_argument("--resume-from", default=None)
+    ap.add_argument("--auto-resume", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--diff-seed", action="store_true")
+    ap.add_argument("--max-steps", type=int, default=0, help="debug cap")
+    ap.add_argument("--cfg-options", nargs="*", default=[])
+    return ap.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from openpsg_tpu.core.builder import build_detector_from_config
+    from openpsg_tpu.core.config import Config
+    from openpsg_tpu.data.preprocess import Preprocessor
+    from openpsg_tpu.data.psg_dataset import PSGDataset
+    from openpsg_tpu.train.checkpoint import PartCheckpointer
+    from openpsg_tpu.train.trainer import (
+        TrainBatch,
+        V4Trainer,
+        build_llm_labels,
+        make_lr_schedule,
+        make_optimizer,
+        sample_training_pairs,
+    )
+    from openpsg_tpu.utils.logging import setup_logger, param_table
+
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        opts = dict(kv.split("=", 1) for kv in args.cfg_options)
+        cfg.merge_from_dict({k: eval(v, {}, {}) for k, v in opts.items()})
+
+    work_dir = args.work_dir or cfg.get("work_dir", "./work_dirs/default")
+    os.makedirs(work_dir, exist_ok=True)
+    cfg.dump(os.path.join(work_dir, os.path.basename(args.config)))
+    logger = setup_logger(work_dir)
+    logger.info(f"jax devices: {jax.devices()}")
+    logger.info(f"config: {args.config} seed: {args.seed}")
+
+    rng = jax.random.PRNGKey(args.seed)
+    model = build_detector_from_config(cfg, rng)
+    logger.info("\n" + param_table(model.params))
+
+    data_cfg = cfg.data.train
+    dataset = PSGDataset(
+        ann_file=data_cfg.ann_file,
+        img_prefix=data_cfg.img_prefix,
+        seg_prefix=data_cfg.seg_prefix,
+        split="train",
+    )
+    logger.info(f"train dataset: {len(dataset)} images")
+
+    batch_size = cfg.data.get("samples_per_gpu", 1) * max(jax.device_count(), 1)
+    steps_per_epoch = max(len(dataset) // batch_size, 1)
+    max_epochs = cfg.runner.get("max_epochs", 12)
+
+    sched = make_lr_schedule(
+        base_lr=cfg.optimizer.lr,
+        warmup_iters=cfg.lr_config.get("warmup_iters", 500),
+        warmup_ratio=cfg.lr_config.get("warmup_ratio", 1e-3),
+        step_epochs=tuple(cfg.lr_config.get("step", [6, 10])),
+        steps_per_epoch=steps_per_epoch,
+    )
+    opt = make_optimizer(
+        sched,
+        max_norm=cfg.optimizer_config.grad_clip.get("max_norm", 0.01),
+        weight_decay=cfg.optimizer.get("weight_decay", 0.05),
+    )
+
+    trainer = V4Trainer(model)
+    head_params = model.params["head"]["params"]
+    frozen = {k: v for k, v in model.params.items() if k != "head"}
+    opt_state = opt.init(head_params)
+    step_fn = jax.jit(trainer.make_train_step(opt), donate_argnums=(0, 1))
+
+    ckpt_dir = os.path.join(work_dir, "ckpts")
+    ckpt = PartCheckpointer(
+        ckpt_dir, max_keep=cfg.checkpoint_config.get("max_keep_ckpts", 3)
+    )
+    start_step = 0
+    if args.resume_from or (args.auto_resume and ckpt.latest_step() is not None):
+        head_params, opt_state, meta, start_step = ckpt.restore(
+            like_params=head_params, like_opt_state=opt_state
+        )
+        logger.info(f"resumed from step {start_step}")
+
+    H, W = model._model_hw()
+    preproc = Preprocessor(scale=(H, H))
+    M = model.cfg.head.max_objects_padded
+    S = model.cfg.head.sampled_qformer_batch_size
+    T = model.cfg.head.max_llm_forward_num
+    L_LAB = 16
+    nprng = np.random.default_rng(args.seed + (jax.process_index() if args.diff_seed else 0))
+
+    interval = cfg.log_config.get("interval", 50)
+    global_step = start_step
+    t_last = time.time()
+    for epoch in range(max_epochs):
+        for examples in dataset.iter_train(preproc, M, batch_size, seed=args.seed + epoch):
+            arrays = {k: np.stack([e[k] for e in examples]) for k in
+                      ("image", "object_masks", "object_labels", "object_valid",
+                       "relation_target")}
+            qf_i, qf_w, llm_i, llm_v, lab_i, lab_m = [], [], [], [], [], []
+            for e in examples:
+                v = e["object_valid"]
+                pv = np.repeat(v, M) & np.tile(v, M)
+                qi, qw, li, lv = sample_training_pairs(
+                    nprng, e["relation_target"], pv, sample_size=S, llm_pairs=T
+                )
+                ids, msk = build_llm_labels(
+                    model.tokenizer, model.relation_names,
+                    e["relation_target"], li, L_LAB,
+                )
+                qf_i.append(qi); qf_w.append(qw); llm_i.append(li)
+                llm_v.append(lv); lab_i.append(ids); lab_m.append(msk)
+            batch = TrainBatch(
+                image=jnp.asarray(arrays["image"]),
+                object_masks=jnp.asarray(arrays["object_masks"]),
+                object_labels=jnp.asarray(arrays["object_labels"], jnp.int32),
+                object_valid=jnp.asarray(arrays["object_valid"]),
+                relation_target=jnp.asarray(arrays["relation_target"]),
+                qf_sel_idx=jnp.asarray(np.stack(qf_i)),
+                qf_sel_weight=jnp.asarray(np.stack(qf_w)),
+                llm_sel_idx=jnp.asarray(np.stack(llm_i)),
+                llm_valid=jnp.asarray(np.stack(llm_v)),
+                llm_label_ids=jnp.asarray(np.stack(lab_i)),
+                llm_label_mask=jnp.asarray(np.stack(lab_m)),
+            )
+            head_params, opt_state, metrics = step_fn(
+                head_params, opt_state, frozen, batch
+            )
+            global_step += 1
+            if global_step % interval == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = (time.time() - t_last) / interval
+                t_last = time.time()
+                logger.info(
+                    f"Epoch [{epoch + 1}][{global_step % steps_per_epoch}/"
+                    f"{steps_per_epoch}] time: {dt:.3f}s "
+                    + " ".join(f"{k}: {v:.4f}" for k, v in sorted(m.items()))
+                )
+            if args.max_steps and global_step >= args.max_steps:
+                break
+        ckpt.save(global_step, head_params, opt_state,
+                  meta={"epoch": epoch + 1, "classes": model.class_names})
+        if args.max_steps and global_step >= args.max_steps:
+            break
+    ckpt.close()
+    logger.info("training done")
+
+
+if __name__ == "__main__":
+    main()
