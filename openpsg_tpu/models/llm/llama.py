@@ -3,22 +3,23 @@
 Fills the role of the frozen HF ``Llama-2-7b-hf`` relation decoder
 (relation_transformer_head_v4.py:99-105) and of the truncated-LLaMA v3
 relation encoder (kings_sgg/models/commons/llama.py): RMSNorm, RoPE,
-grouped-query attention, SwiGLU FFN.  Differences from the reference's
-usage are deliberate TPU redesigns:
+grouped-query attention, SwiGLU FFN.  Deliberate TPU redesigns:
 
-  * the reference issues ≤20 *sequential* ``generate()`` calls per image
-    (SURVEY.md §3.5#3); here decode is one batched KV-cache loop
-    (``decode.greedy_decode``) over all selected pairs;
-  * attention masks / positions are explicit so left-padded prompts,
-    visual-prefix tokens and teacher-forcing labels are all the same
-    static-shape forward;
-  * ``layer_truncate`` reproduces both ``llm_truncate_num``
-    (v4, :101-103) and ``shave_language_decoder_at`` (v3 head);
-  * optional non-causal mode mirrors v3's full-attention option
-    (commons/llama.py:211-218).
+  * layers run under ``nn.scan`` — one compiled block instead of
+    ``n_layers`` unrolled copies (compile time and HLO size stay flat as
+    depth grows; params are stacked on a leading layer axis);
+  * full forward and cached decode are ONE code path: a forward without a
+    caller-provided cache writes into a fresh cache of the input length
+    (prefill ≡ forward), so the scanned block is always homogeneous;
+  * explicit positions + attention masks support any pad layout, matching
+    HF ``cumsum(mask)-1`` semantics (the reference feeds
+    [visual ; left-padded text] whose pads sit mid-sequence);
+  * ``layer_truncate`` reproduces ``llm_truncate_num`` (v4 :101-103) and
+    v3's ``shave_language_decoder_at``; optional non-causal mode mirrors
+    commons/llama.py:211-218.
 
-Tensor-parallel sharding of the params is applied externally
-(openpsg_tpu.parallel.sharding) — the module itself is mesh-agnostic.
+Tensor-parallel sharding of params is applied externally
+(openpsg_tpu.parallel.sharding); the module is mesh-agnostic.
 """
 
 from __future__ import annotations
@@ -70,7 +71,6 @@ def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
     cos = jnp.cos(angles)[:, :, None, :]
     sin = jnp.sin(angles)[:, :, None, :]
     x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
-    # interleaved convention (x_even, x_odd) pairs, matching Llama weights
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1).astype(
         x.dtype
     )
@@ -90,17 +90,15 @@ class RMSNorm(nn.Module):
 
 
 class LlamaBlock(nn.Module):
+    """One decoder block operating against a cache slice (always cached —
+    see module docstring).  Scan signature: carry is the hidden state +
+    shared context; per-layer input/output is that layer's (k, v) cache."""
+
     cfg: LlamaConfig
 
     @nn.compact
-    def __call__(
-        self,
-        x: jnp.ndarray,                 # [B, L, D]
-        positions: jnp.ndarray,         # [B, L]
-        attn_mask: jnp.ndarray,         # [B, L, Lk] bool (True = attend)
-        cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-        cache_index: Optional[jnp.ndarray] = None,
-    ):
+    def __call__(self, carry, layer_cache: Tuple[jnp.ndarray, jnp.ndarray]):
+        x, positions, mask, cache_index = carry
         c = self.cfg
         hd = c.dim // c.n_heads
         B, L, _ = x.shape
@@ -109,22 +107,15 @@ class LlamaBlock(nn.Module):
         q = nn.Dense(c.n_heads * hd, use_bias=False, dtype=c.dtype, name="wq")(h)
         k = nn.Dense(c.n_kv_heads * hd, use_bias=False, dtype=c.dtype, name="wk")(h)
         v = nn.Dense(c.n_kv_heads * hd, use_bias=False, dtype=c.dtype, name="wv")(h)
-        q = q.reshape(B, L, c.n_heads, hd)
-        k = k.reshape(B, L, c.n_kv_heads, hd)
+        q = _rope(q.reshape(B, L, c.n_heads, hd), positions, c.rope_theta)
+        k = _rope(k.reshape(B, L, c.n_kv_heads, hd), positions, c.rope_theta)
         v = v.reshape(B, L, c.n_kv_heads, hd)
-        q = _rope(q, positions, c.rope_theta)
-        k = _rope(k, positions, c.rope_theta)
 
-        if cache is not None:
-            ck, cv = cache  # [B, S, n_kv, hd]
-            ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), cache_index, axis=1)
-            cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), cache_index, axis=1)
-            k_all, v_all = ck, cv
-            new_cache = (ck, cv)
-        else:
-            k_all, v_all = k, v
-            new_cache = None
+        ck, cv = layer_cache  # [B, S, n_kv, hd]
+        ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), cache_index, axis=1)
+        cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), cache_index, axis=1)
 
+        k_all, v_all = ck, cv
         rep = c.n_heads // c.n_kv_heads
         if rep > 1:
             k_all = jnp.repeat(k_all, rep, axis=2)
@@ -133,7 +124,7 @@ class LlamaBlock(nn.Module):
         attn = jnp.einsum(
             "blhd,bmhd->bhlm", q, k_all, preferred_element_type=jnp.float32
         ) * (hd ** -0.5)
-        attn = jnp.where(attn_mask[:, None], attn, -1e9)
+        attn = jnp.where(mask[:, None], attn, -1e9)
         attn = jax.nn.softmax(attn, axis=-1).astype(c.dtype)
         out = jnp.einsum("bhlm,bmhd->blhd", attn, v_all)
         out = out.reshape(B, L, c.n_heads * hd)
@@ -145,7 +136,7 @@ class LlamaBlock(nn.Module):
         down = nn.Dense(c.dim, use_bias=False, dtype=c.dtype, name="w_down")(
             nn.silu(gate) * up
         )
-        return x + down, new_cache
+        return (x + down, positions, mask, cache_index), (ck, cv)
 
 
 class Llama(nn.Module):
@@ -156,62 +147,63 @@ class Llama(nn.Module):
         self,
         *,
         input_embeds: jnp.ndarray,              # [B, L, D]
-        attention_mask: jnp.ndarray,            # [B, Lk_total] bool over keys
+        attention_mask: jnp.ndarray,            # [B, S] bool over keys
         positions: jnp.ndarray,                 # [B, L] int32
-        cache: Optional[Tuple] = None,          # tuple per layer of (k, v)
+        cache: Optional[Tuple] = None,          # stacked (k, v): [nL, B, S, kv, hd]
         cache_index: Optional[jnp.ndarray] = None,
         key_positions: Optional[jnp.ndarray] = None,  # [B, S] when cache used
         return_hidden: bool = False,
     ):
-        """Returns (logits [B, L, V], new_cache).
+        """Returns (logits [B, L, V] or hidden, new_cache).
 
-        With ``cache``: keys span the cache length S; ``attention_mask`` and
-        ``key_positions`` must be [B, S] (the caller maintains the positions
-        it wrote into each cache slot — this supports padded/held layouts
-        like the reference's [visual ; left-padded text] prompt, where HF
-        computes position_ids = cumsum(mask)-1).  Without cache: keys are
-        the inputs and ``key_positions`` defaults to ``positions``.
-        Causality: query at position p attends to keys with position ≤ p;
-        padded slots are excluded by ``attention_mask``.
+        With an external ``cache`` (from ``init_kv_cache``): keys span the
+        cache length S; ``attention_mask`` and ``key_positions`` are
+        [B, S].  Without: a scratch cache of length L is allocated, so
+        S == L and ``key_positions`` defaults to ``positions``.
+        Causality: query position p attends to key positions ≤ p; padded
+        slots excluded by ``attention_mask``.
         """
         c = self.cfg
         B, L, _ = input_embeds.shape
 
-        if cache is not None:
-            assert key_positions is not None, "cache path requires key_positions"
-        else:
-            key_positions = positions if key_positions is None else key_positions
-        if c.causal:
-            causal = key_positions[:, None, :] <= positions[:, :, None]
-        else:
-            causal = jnp.ones((B, L, key_positions.shape[1]), bool)
-        mask = causal & attention_mask[:, None, :]
-
-        x = input_embeds.astype(c.dtype)
-        new_caches = []
-        for i in range(c.n_layers):
-            layer_cache = cache[i] if cache is not None else None
-            x, nc = LlamaBlock(c, name=f"layer{i}")(
-                x, positions, mask, layer_cache, cache_index
+        if cache is None:
+            hd = c.dim // c.n_heads
+            cache = (
+                jnp.zeros((c.n_layers, B, L, c.n_kv_heads, hd), c.dtype),
+                jnp.zeros((c.n_layers, B, L, c.n_kv_heads, hd), c.dtype),
             )
-            new_caches.append(nc)
+            cache_index = jnp.int32(0)
+            key_positions = positions if key_positions is None else key_positions
+            external_cache = False
+        else:
+            assert key_positions is not None, "cache path requires key_positions"
+            external_cache = True
+
+        if c.causal:
+            mask = key_positions[:, None, :] <= positions[:, :, None]
+        else:
+            mask = jnp.ones((B, L, key_positions.shape[1]), bool)
+        mask = mask & attention_mask[:, None, :]
+
+        block = nn.scan(
+            LlamaBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=0,
+            out_axes=0,
+        )(c, name="layers")
+        (x, _, _, _), new_cache = block(
+            (input_embeds.astype(c.dtype), positions, mask, cache_index), cache
+        )
         x = RMSNorm(c.dim, c.norm_eps, c.dtype, name="final_norm")(x)
         if return_hidden:
-            return x, (tuple(new_caches) if cache is not None else None)
+            return x, (new_cache if external_cache else None)
         logits = nn.Dense(
             c.vocab_size, use_bias=False, dtype=c.dtype, name="lm_head"
         )(x)
         return logits.astype(jnp.float32), (
-            tuple(new_caches) if cache is not None else None
+            new_cache if external_cache else None
         )
-
-    def embed_tokens(self, params, token_ids: jnp.ndarray) -> jnp.ndarray:
-        """Look up input embeddings (the ``get_input_embeddings()`` path)."""
-        emb = params["params"]["tok_embed"]["embedding"]
-        return jnp.take(emb, token_ids, axis=0).astype(self.cfg.dtype)
-
-    def setup_embed(self):  # pragma: no cover - placeholder
-        pass
 
 
 class LlamaWithEmbeddings(nn.Module):
@@ -242,8 +234,9 @@ class LlamaWithEmbeddings(nn.Module):
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=None):
-    """Zeroed per-layer (k, v) cache: tuple of [B, max_len, n_kv, hd]."""
+    """Zeroed stacked (k, v) cache: two [n_layers, B, max_len, n_kv, hd]
+    arrays (leading layer axis matches the scanned block layout)."""
     hd = cfg.dim // cfg.n_heads
     dtype = dtype or cfg.dtype
-    one = lambda: jnp.zeros((batch, max_len, cfg.n_kv_heads, hd), dtype)
-    return tuple((one(), one()) for _ in range(cfg.n_layers))
+    shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, hd)
+    return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))

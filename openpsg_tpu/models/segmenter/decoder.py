@@ -7,10 +7,11 @@ class embeddings (open-vocab, as in OpenSeeD — the reference precomputes
 them once at init, openseed_relation_v2.py:59-60); masks are a dot product
 between decoded query embeddings and the stride-4 mask features.
 
-TPU notes: Q is static (default 100, OpenSeeD uses up to 300); top-k keeps
-a static shape; box refinement uses inverse-sigmoid deltas; all attention
-is dense batched matmul on the MXU except the deformable cross-attention,
-which routes through the gather kernel.
+TPU notes: Q is static; top-k keeps static shapes; the per-layer stack
+(self-attn → deformable cross-attn → FFN → box refinement) runs under
+``nn.scan`` so compile cost is one block, not ``num_layers`` copies; box
+refinement uses inverse-sigmoid deltas; dense attention rides the MXU and
+the deformable cross-attention routes through the gather kernel.
 """
 
 from __future__ import annotations
@@ -45,24 +46,34 @@ class SelfAttention(nn.Module):
 
 
 class DecoderLayer(nn.Module):
+    """One refinement round; scanned over layers (carry = queries+boxes)."""
+
     dim: int = 256
     num_heads: int = 8
     num_levels: int = 3
     num_points: int = 4
     ffn_hidden: int = 2048
+    spatial_shapes: Tuple[Tuple[int, int], ...] = ()
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, queries, query_pos, memory, spatial_shapes, ref_boxes):
-        queries = SelfAttention(self.dim, self.num_heads, dtype=self.dtype, name="self_attn")(
-            queries, query_pos
+    def __call__(self, carry, _):
+        queries, boxes, memory = carry
+        qpos = nn.Dense(self.dim, dtype=self.dtype, name="ref_point_head")(
+            sine_pos_embed(boxes[:, :2], self.dim).astype(self.dtype)
         )
+        queries = SelfAttention(
+            self.dim, self.num_heads, dtype=self.dtype, name="self_attn"
+        )(queries[None], qpos[None])[0]
         cross = MSDeformAttnLayer(
             self.dim, self.num_heads, self.num_levels, self.num_points,
             dtype=self.dtype, name="cross_attn",
-        )(queries + query_pos, memory, spatial_shapes, ref_boxes)
+        )(queries + qpos, memory, self.spatial_shapes, boxes)
         queries = nn.LayerNorm(dtype=self.dtype, name="norm_cross")(queries + cross)
-        return FFN(self.dim, self.ffn_hidden, dtype=self.dtype, name="ffn")(queries)
+        queries = FFN(self.dim, self.ffn_hidden, dtype=self.dtype, name="ffn")(queries)
+        delta = MLP(self.dim, 4, layers=3, dtype=self.dtype, name="box_head")(queries)
+        boxes = jax.nn.sigmoid(inverse_sigmoid(boxes) + delta.astype(jnp.float32))
+        return (queries, boxes, memory), None
 
 
 class QueryDecoder(nn.Module):
@@ -113,19 +124,18 @@ class QueryDecoder(nn.Module):
         queries = jax.lax.stop_gradient(enc_out[top_idx])             # [Q, C]
         boxes = jax.lax.stop_gradient(proposal_boxes[top_idx])        # [Q, 4]
 
-        # ---- iterative refinement ----
-        for i in range(self.num_layers):
-            qpos = nn.Dense(C, dtype=self.dtype, name=f"ref_point_head{i}")(
-                sine_pos_embed(boxes[:, :2], C).astype(self.dtype)
-            )
-            queries = DecoderLayer(
-                C, self.num_heads, len(spatial_shapes), self.num_points,
-                self.ffn_hidden, dtype=self.dtype, name=f"layer{i}",
-            )(queries, qpos, memory, spatial_shapes, boxes)
-            delta = MLP(C, 4, layers=3, dtype=self.dtype, name=f"box_head{i}")(queries)
-            boxes = jax.nn.sigmoid(
-                inverse_sigmoid(boxes) + delta.astype(jnp.float32)
-            )
+        # ---- iterative refinement, scanned over layers ----
+        layer = nn.scan(
+            DecoderLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.num_layers,
+        )(
+            self.dim, self.num_heads, len(spatial_shapes), self.num_points,
+            self.ffn_hidden, tuple(spatial_shapes), dtype=self.dtype,
+            name="layers",
+        )
+        (queries, boxes, _), _ = layer((queries, boxes, memory), None)
 
         decoded = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")(queries)
         cls_logits = self._class_logits(decoded, class_embeds, name="final")

@@ -24,6 +24,27 @@ from openpsg_tpu.models.segmenter.deform_layers import (
 )
 
 
+class _ScannedEncoderLayer(nn.Module):
+    """Adapter giving DeformableEncoderLayer an nn.scan carry signature."""
+
+    dim: int
+    num_heads: int
+    num_levels: int
+    num_points: int
+    ffn_hidden: int
+    spatial_shapes: tuple
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, _):
+        src, ref, pos_embed = carry
+        src = DeformableEncoderLayer(
+            self.dim, self.num_heads, self.num_levels, self.num_points,
+            self.ffn_hidden, dtype=self.dtype, name="layer",
+        )(src, self.spatial_shapes, ref, pos_embed)
+        return (src, ref, pos_embed), None
+
+
 class PixelDecoder(nn.Module):
     dim: int = 256
     num_layers: int = 6
@@ -66,11 +87,17 @@ class PixelDecoder(nn.Module):
         pos_embed = jnp.concatenate(pos, 0)
         ref = jnp.asarray(make_reference_points(spatial_shapes))
 
-        for i in range(self.num_layers):
-            src = DeformableEncoderLayer(
-                self.dim, self.num_heads, len(levels), self.num_points,
-                self.ffn_hidden, dtype=self.dtype, name=f"layer{i}",
-            )(src, spatial_shapes, ref, pos_embed)
+        scanned = nn.scan(
+            _ScannedEncoderLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.num_layers,
+        )(
+            self.dim, self.num_heads, len(levels), self.num_points,
+            self.ffn_hidden, tuple(spatial_shapes), dtype=self.dtype,
+            name="layers",
+        )
+        (src, _, _), _ = scanned((src, ref, pos_embed), None)
 
         # FPN top-down to stride 4 for mask features
         h8, w8 = spatial_shapes[0]
