@@ -3,15 +3,20 @@
 
 Measures the flagship v4 pipeline (Swin-T segmenter at real widths →
 deformable encoder/decoder → panoptic fusion → Q-Former over all 1024
-pairs → batched 16-step LLM greedy decode over top-20 pairs) as ONE jitted
-program per image, steady-state.
+pairs → batched 16-step LLM greedy decode over top-20 pairs).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is value / 20 img/s — the driver's north-star target for PSG
-val on v5e-8 (BASELINE.md).  Size knobs via env:
-  BENCH_IMAGE=512   input bucket (square, ÷64)
-  BENCH_LLM_LAYERS=2  truncated-LLM depth stand-in (7B convert pending)
-  BENCH_ITERS=8
+Timing methodology (IMPORTANT on this environment): the axon tunnel's
+``block_until_ready`` does not actually block, and fetching arrays
+measures the tunnel's transfer bandwidth, not compute.  So the bench jits
+ONE program that runs the pipeline ``iters`` times inside ``lax.scan``
+with a data dependency between iterations (no elision possible) and
+returns a single scalar; wall time of the scalar fetch = iters × step +
+one round trip (measured separately and subtracted).
+
+Prints one JSON line {"metric", "value", "unit", "vs_baseline"};
+vs_baseline = value / 20 img/s (driver north-star for PSG val on v5e-8,
+BASELINE.md).  Size knobs via env: BENCH_IMAGE (default 512, ÷64),
+BENCH_LLM_LAYERS (default 2 — truncated-7B stand-in), BENCH_ITERS (8).
 """
 
 from __future__ import annotations
@@ -26,14 +31,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    import dataclasses
-
+    import openpsg_tpu  # noqa: F401  (enables the persistent compile cache)
     from openpsg_tpu.models.detectors.psg_v4 import PSGv4, PSGv4Config
     from openpsg_tpu.models.llm.llama import LlamaConfig
     from openpsg_tpu.models.relation.head_v4 import HeadV4Config
@@ -62,17 +60,40 @@ def main():
     img = jnp.asarray(rng.integers(0, 255, (size, size, 3)).astype(np.float32))
     hw = jnp.asarray([size, size - 8], jnp.int32)
 
+    infer_impl = pipeline._infer_jit.__wrapped__
+
+    @jax.jit
+    def run_n(params, image, img_hw):
+        def body(carry, _):
+            # data dependency: perturb the image by the previous scalar so
+            # iterations can't be elided or reordered
+            out = infer_impl(pipeline, params, image + carry * 1e-9, img_hw)
+            s = (
+                jnp.sum(out["gen_scores"])
+                + jnp.sum(out["top_pair_scores"])
+                + jnp.sum(out["object_scores"])
+            )
+            return s.astype(jnp.float32), None
+        s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return s
+
+    # measure tunnel round-trip latency with a trivial program
+    trivial = jax.jit(lambda x: jnp.sum(x))
+    float(trivial(img))
     t0 = time.time()
-    out = pipeline._infer_jit(pipeline.params, img, hw)
-    jax.block_until_ready(out)
-    compile_s = time.time() - t0
+    for _ in range(3):
+        float(trivial(img + 1.0))
+    rtt = (time.time() - t0) / 3
 
     t0 = time.time()
-    for _ in range(iters):
-        out = pipeline._infer_jit(pipeline.params, img, hw)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters
-    ips = 1.0 / dt
+    s = float(run_n(pipeline.params, img, hw))  # includes compile
+    compile_and_first = time.time() - t0
+
+    t0 = time.time()
+    s = float(run_n(pipeline.params, img, hw))
+    total = time.time() - t0
+    step = max(total - rtt, 1e-9) / iters
+    ips = 1.0 / step
 
     print(
         json.dumps(
@@ -82,8 +103,11 @@ def main():
                 "unit": "images/sec/chip",
                 "vs_baseline": round(ips / 20.0, 4),
                 "detail": {
-                    "compile_s": round(compile_s, 1),
-                    "step_ms": round(dt * 1e3, 1),
+                    "compile_plus_first_s": round(compile_and_first, 1),
+                    "step_ms": round(step * 1e3, 2),
+                    "rtt_ms": round(rtt * 1e3, 1),
+                    "iters": iters,
+                    "checksum": s,
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -26,10 +26,13 @@ def _enable_compile_cache():
         import jax
 
         if jax.config.jax_compilation_cache_dir is None:
+            # partition by platform: AOT artifacts are not portable across
+            # backends/machine feature sets (CPU loader SIGILL risk)
+            plat = (_os.environ.get("JAX_PLATFORMS") or "default").replace(",", "_")
             jax.config.update(
                 "jax_compilation_cache_dir",
                 _os.path.join(_os.path.dirname(_os.path.dirname(
-                    _os.path.abspath(__file__))), ".jax_cache"),
+                    _os.path.abspath(__file__))), ".jax_cache", plat),
             )
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - cache is best-effort

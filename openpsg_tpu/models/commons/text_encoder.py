@@ -1,0 +1,179 @@
+"""BERT/CLIP-style transformer encoder with the reference's wrapper knobs.
+
+Covers the capability surface of the reference's commons zoo
+(SURVEY.md §2.5) in ONE configurable module:
+
+  * layer truncation (``num_layers`` — BertWrapper ``num_transformer_layer``,
+    bert_wrapper.py:45-46);
+  * decoder mode with cross-attention to encoder states
+    (``add_cross_attention`` — bert_wrapper.py:28-30, used by head v2's
+    pair text↔vision experts);
+  * bottleneck adapters after attention and parallel to the FFN with the
+    trunk frozen (bert_with_adapter.py:15-65, clip_with_adapter.py:30-98;
+    freezing is an optimizer-mask concern in JAX — see
+    openpsg_tpu.train.checkpoint.split_trainable);
+  * learnable prompt embeddings spliced between CLS and the text tokens
+    with mask extension (bert_with_learnable_embeds.py:80-86, 135-139);
+  * ``forward_embeds`` (externally-projected token sequences, no word
+    embedding — bert_wrapper.py:53-58 / clip_wrapper.py:45-54) and
+    ``forward_texts`` (token ids → pooled vector, bert_wrapper.py:60-69).
+
+Layers run under nn.scan (stacked params) like the rest of the framework.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class BertStyleConfig:
+    hidden_size: int = 768
+    num_layers: int = 2
+    num_heads: int = 12
+    intermediate: int = 3072
+    vocab_size: int = 1024
+    max_len: int = 128
+    add_cross_attention: bool = False
+    encoder_hidden_size: int = 256
+    use_adapters: bool = False
+    adapter_reduction: int = 4        # bottleneck /4 (clip_with_adapter.py:16-27)
+    num_learnable_prompts: int = 0
+    dtype: Any = jnp.float32
+
+    @staticmethod
+    def tiny_test(**kw) -> "BertStyleConfig":
+        base = dict(hidden_size=32, num_layers=2, num_heads=2,
+                    intermediate=64, vocab_size=64, max_len=32)
+        base.update(kw)
+        return BertStyleConfig(**base)
+
+
+class _Adapter(nn.Module):
+    """Bottleneck adapter: down /r → GELU → up, residual added by caller."""
+
+    dim: int
+    reduction: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim // self.reduction, dtype=self.dtype, name="down")(x)
+        h = nn.gelu(h, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="up")(h)
+
+
+class _EncoderLayer(nn.Module):
+    cfg: BertStyleConfig
+
+    @nn.compact
+    def __call__(self, carry, _):
+        x, self_mask, enc_states, enc_mask = carry
+        c = self.cfg
+        D = c.hidden_size
+
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=c.num_heads, dtype=c.dtype, name="self_attn"
+        )(x, inputs_k=x, inputs_v=x, mask=self_mask[:, None])
+        if c.use_adapters:
+            h = h + _Adapter(D, c.adapter_reduction, c.dtype, name="attn_adapter")(h)
+        x = nn.LayerNorm(dtype=c.dtype, name="self_ln")(x + h)
+
+        if c.add_cross_attention:
+            h = nn.MultiHeadDotProductAttention(
+                num_heads=c.num_heads, dtype=c.dtype, name="cross_attn"
+            )(x, inputs_k=enc_states, inputs_v=enc_states,
+              mask=enc_mask[:, None])
+            x = nn.LayerNorm(dtype=c.dtype, name="cross_ln")(x + h)
+
+        f = nn.Dense(c.intermediate, dtype=c.dtype, name="ffn_up")(x)
+        f = nn.gelu(f, approximate=False)
+        f = nn.Dense(D, dtype=c.dtype, name="ffn_down")(f)
+        if c.use_adapters:
+            # parallel adapter on the FFN input (bert_with_adapter.py:15-65)
+            f = f + _Adapter(D, c.adapter_reduction, c.dtype, name="ffn_adapter")(x)
+        x = nn.LayerNorm(dtype=c.dtype, name="ffn_ln")(x + f)
+        return (x, self_mask, enc_states, enc_mask), None
+
+
+class BertStyleEncoder(nn.Module):
+    cfg: BertStyleConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        *,
+        token_ids: Optional[jnp.ndarray] = None,      # [B, L]
+        input_embeds: Optional[jnp.ndarray] = None,   # [B, L, D] (forward_embeds)
+        attention_mask: Optional[jnp.ndarray] = None, # [B, L] bool
+        encoder_hidden: Optional[jnp.ndarray] = None, # [B, P, De]
+        encoder_mask: Optional[jnp.ndarray] = None,   # [B, P] bool
+        pool: bool = False,                           # forward_texts pooling
+    ):
+        c = self.cfg
+        D = c.hidden_size
+        if input_embeds is None:
+            emb = nn.Embed(c.vocab_size, D, dtype=c.dtype, name="word_embed")(token_ids)
+        else:
+            emb = input_embeds.astype(c.dtype)
+        B, L = emb.shape[:2]
+        if attention_mask is None:
+            attention_mask = jnp.ones((B, L), bool)
+
+        pos = self.param("pos_embed", nn.initializers.normal(0.02), (c.max_len, D))
+        x = emb + pos[None, :L].astype(c.dtype)
+
+        if c.num_learnable_prompts > 0:
+            # splice learned prompts between position 0 (CLS) and the rest
+            prompts = self.param(
+                "learnable_prompts", nn.initializers.normal(0.02),
+                (c.num_learnable_prompts, D),
+            )
+            pr = jnp.broadcast_to(prompts[None], (B,) + prompts.shape).astype(c.dtype)
+            x = jnp.concatenate([x[:, :1], pr, x[:, 1:]], axis=1)
+            attention_mask = jnp.concatenate(
+                [
+                    attention_mask[:, :1],
+                    jnp.ones((B, c.num_learnable_prompts), bool),
+                    attention_mask[:, 1:],
+                ],
+                axis=1,
+            )
+            L = L + c.num_learnable_prompts
+
+        x = nn.LayerNorm(dtype=c.dtype, name="embed_ln")(x)
+
+        self_mask = attention_mask[:, None, :] & attention_mask[:, :, None]
+        if encoder_hidden is None:
+            enc_states = jnp.zeros((B, 1, D), c.dtype)
+            enc_mask3 = jnp.ones((B, L, 1), bool)
+        else:
+            if encoder_hidden.shape[-1] != D:
+                encoder_hidden = nn.Dense(
+                    D, dtype=c.dtype, name="encoder_proj"
+                )(encoder_hidden)
+            enc_states = encoder_hidden.astype(c.dtype)
+            em = (
+                encoder_mask
+                if encoder_mask is not None
+                else jnp.ones(enc_states.shape[:2], bool)
+            )
+            enc_mask3 = jnp.broadcast_to(em[:, None, :], (B, L, em.shape[1]))
+
+        layer = nn.scan(
+            _EncoderLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=c.num_layers,
+        )(c, name="layers")
+        (x, _, _, _), _ = layer((x, self_mask, enc_states, enc_mask3), None)
+
+        # BERT pooler: tanh(dense(CLS)) (bert_wrapper.py:60-69).  Always
+        # constructed so init creates its params regardless of call flags.
+        pooled = nn.tanh(nn.Dense(D, dtype=c.dtype, name="pooler")(x[:, 0]))
+        return pooled if pool else x

@@ -1,0 +1,328 @@
+"""Mask2Former-family relation detectors (v1 / v2 / v3 model generations).
+
+Reference orchestrators:
+  * Mask2FormerRelation   (v1) — kings_sgg/models/detectors/mask2former_relation.py
+  * Mask2FormerRelationV2 (v2) — .../mask2former_relation_v2.py (adds pair/
+    triplet text features from offline KV stores)
+  * OpenSeeDRelation      (v3) — .../openseed_relation.py (OpenSeeD
+    segmenter + LLaMA-trunk head)
+
+Shared machinery, re-designed as ONE jitted per-image program:
+  segmenter → softmax-void panoptic fusion (global thing counter, mmdet
+  style) → object selection → mask-pooled object tokens + class embedding
+  (cat/add, reference _get_input :251-317) → dense relation head →
+  inference triplet extraction (diag -9999; per-loss-type transform —
+  softmax over relations / sigmoid / **exp** for v1; × subject × object
+  scores; top-100 flattened rel-major, :466-508).
+
+The v2 text matrices are looked up host-side once per image
+(openpsg_tpu.data.text_kv) and enter the jit as dense arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openpsg_tpu.core.registry import DETECTORS
+from openpsg_tpu.data.vocab import (
+    INSTANCE_OFFSET,
+    NUM_THING_CLASSES,
+    OBJECT_CLASSES,
+    RELATION_CLASSES,
+)
+from openpsg_tpu.models.relation.head_v1 import HeadV1Config, RelationHeadV1
+from openpsg_tpu.models.relation.head_v2 import HeadV2Config, RelationHeadV2
+from openpsg_tpu.models.relation.head_v3 import (
+    HeadV3Config,
+    RelationHeadV3,
+    build_relation_token_layout,
+)
+from openpsg_tpu.models.relation.tokenizer import build_prompt_tokenizer
+from openpsg_tpu.models.segmenter.fusion import panoptic_fusion
+from openpsg_tpu.models.segmenter.mask2former import (
+    Mask2FormerConfig,
+    Mask2FormerSegmenter,
+)
+from openpsg_tpu.models.segmenter.openseed import normalize_image
+from openpsg_tpu.ops.mask_ops import mask_pool
+
+_INT_SENTINEL = np.iinfo(np.int32).max
+
+
+@dataclasses.dataclass(frozen=True)
+class M2FRelationConfig:
+    segmenter: Mask2FormerConfig = Mask2FormerConfig()
+    head_version: str = "v1"            # v1 | v2 | v3
+    head_v1: HeadV1Config = HeadV1Config()
+    head_v2: HeadV2Config = HeadV2Config()
+    head_v3: HeadV3Config = HeadV3Config()
+    max_objects: int = 30               # v1 pads/limits to 30 tokens
+    max_objects_padded: int = 32
+    merge_cls_type: str = "add"         # cat | add (reference _get_input)
+    object_mask_thr: float = 0.8        # mmdet fusion defaults
+    iou_thr: float = 0.8
+    input_hw: Optional[Tuple[int, int]] = None
+
+    @staticmethod
+    def tiny_test(head_version: str = "v1") -> "M2FRelationConfig":
+        return M2FRelationConfig(
+            segmenter=Mask2FormerConfig.tiny_test(),
+            head_version=head_version,
+            head_v1=HeadV1Config.tiny_test(),
+            head_v2=HeadV2Config.tiny_test(),
+            head_v3=HeadV3Config.tiny_test(),
+            max_objects=6, max_objects_padded=8, input_hw=(64, 64),
+        )
+
+
+@DETECTORS.register_module(name="Mask2FormerRelation")
+@DETECTORS.register_module(name="Mask2FormerRelationV2")
+@DETECTORS.register_module(name="OpenSeeDRelation")
+class PSGMask2FormerRelation:
+    """v1/v2/v3 pipeline: panoptic segmenter + dense relation scores."""
+
+    def __init__(
+        self,
+        cfg: M2FRelationConfig,
+        rng: jax.Array,
+        class_names: Optional[List[str]] = None,
+        relation_names: Optional[List[str]] = None,
+        num_things: Optional[int] = None,
+        text_kv=None,                     # openpsg_tpu.data.text_kv.TextKVStore
+    ):
+        self.cfg = cfg
+        self.class_names = class_names or OBJECT_CLASSES
+        self.relation_names = relation_names or RELATION_CLASSES
+        self.num_things = num_things if num_things is not None else NUM_THING_CLASSES
+        self.text_kv = text_kv
+
+        self.segmenter = Mask2FormerSegmenter(
+            dataclasses.replace(cfg.segmenter, num_classes=len(self.class_names))
+        )
+        if cfg.head_version == "v1":
+            self.head = RelationHeadV1(cfg.head_v1)
+        elif cfg.head_version == "v2":
+            self.head = RelationHeadV2(cfg.head_v2)
+        elif cfg.head_version == "v3":
+            self.head = RelationHeadV3(cfg.head_v3)
+            self.tokenizer = build_prompt_tokenizer()
+            ids, spans = build_relation_token_layout(
+                self.tokenizer, self.relation_names
+            )
+            self.rel_token_ids = jnp.asarray(ids)
+            self.rel_spans = jnp.asarray(spans)
+        else:
+            raise ValueError(cfg.head_version)
+
+        self.params = self._init_params(rng)
+
+    # ------------------------------------------------------------------ init
+    def _model_hw(self) -> Tuple[int, int]:
+        return tuple(self.cfg.input_hw) if self.cfg.input_hw else (1344, 1344)
+
+    def _head_apply(self, head_params, tokens, valid, extra):
+        c = self.cfg
+        if c.head_version == "v1":
+            return self.head.apply(
+                head_params, tokens[None], valid[None],
+                semantic_embeds=extra.get("semantic_embeds"),
+            )[0]
+        if c.head_version == "v2":
+            return self.head.apply(
+                head_params, tokens[None], valid[None],
+                pair_text_embeds=extra.get("pair_text"),
+                triplet_text_embeds=extra.get("triplet_text"),
+            )[0]
+        return self.head.apply(
+            head_params, tokens[None], valid[None],
+            relation_token_ids=self.rel_token_ids,
+            relation_spans=self.rel_spans,
+        )[0]
+
+    def _init_params(self, rng):
+        c = self.cfg
+        k_seg, k_head, k_cls = jax.random.split(rng, 3)
+        H, W = self._model_hw()
+        seg_params = jax.jit(self.segmenter.init)(
+            k_seg, jnp.zeros((H, W, 3), jnp.float32)
+        )
+
+        M = c.max_objects_padded
+        feat = self._token_dim()
+        tokens0 = jnp.zeros((M, feat))
+        valid0 = jnp.zeros((M,), bool)
+        extra = self._zero_extra(M)
+        head_params = jax.jit(
+            lambda k: self._head_init(k, tokens0, valid0, extra)
+        )(k_head)
+
+        cls_embed = jax.random.normal(
+            k_cls, (len(self.class_names), self.cfg.segmenter.mask_dim)
+        ) * 0.02
+        return {
+            "segmenter": seg_params,
+            "head": head_params,
+            "object_cls_embed": cls_embed,
+        }
+
+    def _token_dim(self) -> int:
+        d = self.cfg.segmenter.mask_dim
+        return 2 * d if self.cfg.merge_cls_type == "cat" else d
+
+    def _zero_extra(self, M):
+        c = self.cfg
+        extra = {}
+        if c.head_version == "v2":
+            T = c.head_v2.text_embedding_size
+            if {"pair_text2vision", "pair_vision2text"} & set(c.head_v2.experts):
+                extra["pair_text"] = jnp.zeros((1, M, M, T))
+            if "triplet_text_w_vision" in c.head_v2.experts:
+                extra["triplet_text"] = jnp.zeros((1, M, M, T))
+        return extra
+
+    def _head_init(self, k, tokens, valid, extra):
+        c = self.cfg
+        if c.head_version == "v1":
+            return self.head.init(
+                k, tokens[None], valid[None],
+                semantic_embeds=extra.get("semantic_embeds"),
+            )
+        if c.head_version == "v2":
+            return self.head.init(
+                k, tokens[None], valid[None],
+                pair_text_embeds=extra.get("pair_text"),
+                triplet_text_embeds=extra.get("triplet_text"),
+            )
+        return self.head.init(
+            k, tokens[None], valid[None],
+            relation_token_ids=self.rel_token_ids,
+            relation_spans=self.rel_spans,
+        )
+
+    # ------------------------------------------------------------- inference
+    @functools.partial(jax.jit, static_argnums=0)
+    def _infer_jit(self, params, image_u8, img_hw, extra):
+        c = self.cfg
+        M = c.max_objects_padded
+        image = normalize_image(image_u8)
+        seg_out = self.segmenter.apply(params["segmenter"], image)
+
+        H, W = image.shape[:2]
+        masks = jax.image.resize(
+            seg_out["masks"], (seg_out["masks"].shape[0], H, W), method="bilinear"
+        )
+        yy = jnp.arange(H)[:, None]
+        xx = jnp.arange(W)[None, :]
+        inside = (yy < img_hw[0]) & (xx < img_hw[1])
+
+        fusion = panoptic_fusion(
+            seg_out["cls_logits"], masks,
+            cls_mode="softmax_void", object_mask_thr=c.object_mask_thr,
+            iou_thr=c.iou_thr, instance_mode="global",
+            num_things=self.num_things, region_mask=inside,
+        )
+
+        key = jnp.where(fusion.survive, fusion.object_ids, _INT_SENTINEL)
+        if key.shape[0] < M:
+            key = jnp.concatenate(
+                [key, jnp.full((M - key.shape[0],), _INT_SENTINEL, key.dtype)]
+            )
+        order = jnp.argsort(key)
+        sel = order[:M]
+        sel_oid = jnp.take(key, sel)
+        valid = (sel_oid != _INT_SENTINEL) & (jnp.arange(M) < c.max_objects)
+        sel_oid = jnp.where(valid, sel_oid, 0)
+        labels = (sel_oid % INSTANCE_OFFSET).astype(jnp.int32)
+        obj_scores = jnp.where(valid, jnp.take(fusion.query_scores, sel), 0.0)
+
+        # mask-pooled object tokens on the stride-4 grid + class embedding
+        mf = seg_out["mask_features"]                       # [H4, W4, D]
+        H4, W4 = mf.shape[:2]
+        from openpsg_tpu.ops.mask_ops import downsample_nearest, masks_from_idmap
+
+        pan4 = downsample_nearest(fusion.pan_seg, (H4, W4))
+        obj_masks = masks_from_idmap(pan4, sel_oid) & valid[:, None, None]
+        pooled = mask_pool(mf.transpose(2, 0, 1), obj_masks)  # [M, D]
+        cls_emb = jnp.take(params["object_cls_embed"], labels, axis=0)
+        if c.merge_cls_type == "cat":
+            tokens = jnp.concatenate([pooled, cls_emb], axis=-1)
+        else:
+            tokens = pooled + cls_emb
+
+        scores = self._head_apply(params["head"], tokens, valid, extra)
+        R = scores.shape[0]
+
+        # diag -9999 + pad masking
+        eye = jnp.eye(M, dtype=bool)
+        pair_ok = valid[:, None] & valid[None, :] & ~eye
+        scores = jnp.where(pair_ok[None], scores, -9999.0)
+
+        loss_type = self._loss_type()
+        if loss_type == "v0_softmax":
+            probs = jax.nn.softmax(scores, axis=0)[: R - 1]
+            R_eff = R - 1
+        elif loss_type == "v0_sigmoid":
+            probs = jax.nn.sigmoid(scores)
+            R_eff = R
+        else:  # v1 family: exp, not sigmoid (reference :477-478)
+            probs = jnp.exp(scores)
+            R_eff = R
+        del R_eff  # probs already sliced per loss type above
+        probs = probs * obj_scores[None, :, None] * obj_scores[None, None, :]
+        probs = jnp.where(pair_ok[None], probs, 0.0)
+
+        flat = probs.reshape(-1)
+        top_scores, top_idx = jax.lax.top_k(flat, 100)
+        rel = top_idx // (M * M)
+        rem = top_idx % (M * M)
+        sub = rem // M
+        obj = rem % M
+        triplets = jnp.stack([sub, obj, rel], axis=1).astype(jnp.int32)
+
+        return {
+            "pan_seg": fusion.pan_seg,
+            "object_ids": jnp.where(valid, sel_oid, -1),
+            "object_valid": valid,
+            "object_scores": obj_scores,
+            "triplets": triplets,
+            "triplet_scores": top_scores,
+        }
+
+    def _loss_type(self) -> str:
+        if self.cfg.head_version == "v1":
+            return self.cfg.head_v1.loss_type
+        return "v1"
+
+    def infer(self, image_u8: np.ndarray, img_hw) -> Dict[str, Any]:
+        extra = self._host_extra()
+        dev = self._infer_jit(
+            self.params, jnp.asarray(image_u8), jnp.asarray(img_hw, jnp.int32),
+            extra,
+        )
+        dev = jax.device_get(dev)
+        valid = dev["object_valid"]
+        object_id_list = [int(x) for x in dev["object_ids"][valid]]
+        rel, scores = [], []
+        for (s, o, r), sc in zip(dev["triplets"], dev["triplet_scores"]):
+            if sc <= 0:
+                continue
+            rel.append([int(s), int(o), int(r)])
+            scores.append(float(sc))
+        return {
+            "pan_results": dev["pan_seg"],
+            "rel_results": {"object_id_list": object_id_list, "relation": rel},
+            "rel_scores": scores,
+        }
+
+    def _host_extra(self):
+        """v2 text features for the current vocabulary (zeros without KV)."""
+        M = self.cfg.max_objects_padded
+        if self.cfg.head_version != "v2":
+            return {}
+        return {k: v for k, v in self._zero_extra(M).items()}

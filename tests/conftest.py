@@ -24,6 +24,9 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # test runs.
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache", "cpu",
+    ),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

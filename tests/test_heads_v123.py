@@ -1,0 +1,207 @@
+"""Heads v1/v2/v3, commons, text KV, and the Mask2Former-family pipeline."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openpsg_tpu.data.text_kv import TextKVStore, build_store
+from openpsg_tpu.models.commons.interactive_fusion import InteractiveFusionModule
+from openpsg_tpu.models.commons.text_encoder import BertStyleConfig, BertStyleEncoder
+from openpsg_tpu.models.relation.head_v1 import HeadV1Config, RelationHeadV1
+from openpsg_tpu.models.relation.head_v2 import HeadV2Config, RelationHeadV2
+from openpsg_tpu.models.relation.head_v3 import (
+    HeadV3Config,
+    RelationHeadV3,
+    build_relation_token_layout,
+)
+from openpsg_tpu.models.relation.tokenizer import build_prompt_tokenizer
+
+
+class TestBertStyleEncoder:
+    def test_forward_embeds_and_pool(self):
+        cfg = BertStyleConfig.tiny_test()
+        enc = BertStyleEncoder(cfg)
+        x = jnp.ones((2, 5, cfg.hidden_size))
+        mask = jnp.ones((2, 5), bool)
+        p = jax.jit(lambda k: enc.init(k, input_embeds=x, attention_mask=mask))(
+            jax.random.PRNGKey(0)
+        )
+        out = jax.jit(
+            lambda p: enc.apply(p, input_embeds=x, attention_mask=mask)
+        )(p)
+        assert out.shape == (2, 5, cfg.hidden_size)
+        pooled = enc.apply(p, input_embeds=x, attention_mask=mask, pool=True)
+        assert pooled.shape == (2, cfg.hidden_size)
+
+    def test_cross_attention_mode(self):
+        cfg = BertStyleConfig.tiny_test(add_cross_attention=True)
+        enc = BertStyleEncoder(cfg)
+        x = jnp.ones((1, 4, cfg.hidden_size))
+        ehs = jax.random.normal(jax.random.PRNGKey(1), (1, 7, 16))
+        p = enc.init(
+            jax.random.PRNGKey(0), input_embeds=x,
+            encoder_hidden=ehs, encoder_mask=jnp.ones((1, 7), bool),
+        )
+        o1 = enc.apply(p, input_embeds=x, encoder_hidden=ehs)
+        o2 = enc.apply(p, input_embeds=x, encoder_hidden=ehs * 2.0)
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+    def test_adapters_and_prompts_change_param_count(self):
+        base = BertStyleConfig.tiny_test()
+        x = jnp.ones((1, 4, base.hidden_size))
+        n_base = sum(
+            l.size for l in jax.tree_util.tree_leaves(
+                BertStyleEncoder(base).init(jax.random.PRNGKey(0), input_embeds=x)
+            )
+        )
+        with_ad = BertStyleConfig.tiny_test(use_adapters=True)
+        n_ad = sum(
+            l.size for l in jax.tree_util.tree_leaves(
+                BertStyleEncoder(with_ad).init(jax.random.PRNGKey(0), input_embeds=x)
+            )
+        )
+        assert n_ad > n_base
+        with_pr = BertStyleConfig.tiny_test(num_learnable_prompts=3)
+        out = BertStyleEncoder(with_pr).apply(
+            BertStyleEncoder(with_pr).init(jax.random.PRNGKey(0), input_embeds=x),
+            input_embeds=x,
+        )
+        assert out.shape[1] == 4 + 3  # prompts spliced in
+
+
+class TestInteractiveFusion:
+    @pytest.mark.parametrize("mode", ["attention", "einsum", "einsum_v1", "einsum_v2"])
+    def test_modes(self, mode):
+        m = InteractiveFusionModule(dim=16, pred_type=mode)
+        nodes = jax.random.normal(jax.random.PRNGKey(0), (1, 5, 16))
+        edges = jax.random.normal(jax.random.PRNGKey(1), (1, 7, 16))
+        p = m.init(jax.random.PRNGKey(2), nodes, edges)
+        out = m.apply(p, nodes, edges)
+        assert out.shape == (1, 7, 5, 5)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestHeadV1:
+    def test_forward_and_loss(self):
+        cfg = HeadV1Config.tiny_test()
+        head = RelationHeadV1(cfg)
+        B, N = 1, 6
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, N, cfg.input_feature_size))
+        mask = jnp.asarray([[True] * 4 + [False] * 2])
+        p = jax.jit(head.init)(jax.random.PRNGKey(1), x, mask)
+        scores = jax.jit(head.apply)(p, x, mask)
+        assert scores.shape == (B, 56, N, N)
+        target = jnp.zeros((B, 56, N, N)).at[0, 3, 0, 1].set(1.0)
+        losses = head.loss(scores, target, mask)
+        assert np.isfinite(float(losses["loss_relation"]))
+        assert "relation.recall@20" in losses
+
+    def test_prompt_path(self):
+        cfg = HeadV1Config.tiny_test(use_relation_prompts=True)
+        head = RelationHeadV1(cfg)
+        x = jnp.ones((1, 4, cfg.input_feature_size))
+        mask = jnp.ones((1, 4), bool)
+        sem = jax.random.normal(jax.random.PRNGKey(0), (56, 24))
+        p = head.init(jax.random.PRNGKey(1), x, mask, semantic_embeds=sem)
+        out = head.apply(p, x, mask, semantic_embeds=sem)
+        assert out.shape == (1, 56, 4, 4)
+
+
+class TestHeadV2:
+    def test_all_experts_and_gate(self):
+        cfg = HeadV2Config.tiny_test(
+            experts=(
+                "object_vision_only", "pair_vision_only",
+                "pair_text2vision", "pair_vision2text",
+                "triplet_text_w_vision",
+            ),
+            use_moe_gate=True,
+        )
+        head = RelationHeadV2(cfg)
+        B, N = 1, 4
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, N, cfg.feature_size))
+        mask = jnp.ones((B, N), bool)
+        pt = jax.random.normal(jax.random.PRNGKey(1), (B, N, N, cfg.text_embedding_size))
+        tt = jax.random.normal(jax.random.PRNGKey(2), (B, N, N, cfg.text_embedding_size))
+        p = jax.jit(
+            lambda k: head.init(k, x, mask, pair_text_embeds=pt, triplet_text_embeds=tt)
+        )(jax.random.PRNGKey(3))
+        out = jax.jit(
+            lambda p: head.apply(p, x, mask, pair_text_embeds=pt, triplet_text_embeds=tt)
+        )(p)
+        assert out.shape == (B, 56, N, N)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestHeadV3:
+    def test_closed_vocab(self):
+        cfg = HeadV3Config.tiny_test()
+        head = RelationHeadV3(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 5, cfg.object_feature_size))
+        mask = jnp.ones((1, 5), bool)
+        p = jax.jit(head.init)(jax.random.PRNGKey(1), x, mask)
+        out = jax.jit(head.apply)(p, x, mask)
+        assert out.shape == (1, 56, 5, 5)
+
+    def test_open_vocab_dynamic_classifier(self):
+        tok = build_prompt_tokenizer()
+        from openpsg_tpu.data.vocab import RELATION_CLASSES
+
+        ids, spans = build_relation_token_layout(tok, RELATION_CLASSES)
+        assert spans.shape[0] == 56
+        np.testing.assert_allclose(spans.sum(1), 1.0, atol=1e-6)
+
+        cfg = HeadV3Config.tiny_test(ov_relation=True)
+        head = RelationHeadV3(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, cfg.object_feature_size))
+        mask = jnp.ones((1, 4), bool)
+        p = jax.jit(
+            lambda k: head.init(
+                k, x, mask, relation_token_ids=jnp.asarray(ids),
+                relation_spans=jnp.asarray(spans),
+            )
+        )(jax.random.PRNGKey(1))
+        out = head.apply(
+            p, x, mask, relation_token_ids=jnp.asarray(ids),
+            relation_spans=jnp.asarray(spans),
+        )
+        assert out.shape == (1, 56, 4, 4)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestTextKV:
+    def test_fallback_and_roundtrip(self, tmp_path):
+        store = TextKVStore(embedding_size=8, table={"a#b": np.ones(8)})
+        assert store.get("a#b").sum() == 8
+        assert store.get("missing#key").sum() == 0  # zero fallback
+
+        path = str(tmp_path / "kv.db")
+        build_store(path, {"person#sky": np.arange(8, dtype=np.float32)})
+        s2 = TextKVStore(path=path, embedding_size=8)
+        np.testing.assert_allclose(s2.get("person#sky"), np.arange(8))
+        mat = s2.pair_matrix(["person", "sky"])
+        assert mat.shape == (2, 2, 8)
+        np.testing.assert_allclose(mat[0, 1], np.arange(8))
+        assert mat[1, 0].sum() == 0
+
+
+class TestM2FPipeline:
+    @pytest.mark.parametrize("version", ["v1", "v3"])
+    def test_end_to_end(self, version):
+        from openpsg_tpu.models.detectors.mask2former_relation import (
+            M2FRelationConfig,
+            PSGMask2FormerRelation,
+        )
+
+        cfg = M2FRelationConfig.tiny_test(head_version=version)
+        model = PSGMask2FormerRelation(cfg, jax.random.PRNGKey(0))
+        img = np.random.default_rng(0).integers(0, 255, (64, 64, 3)).astype(np.float32)
+        res = model.infer(img, (64, 60))
+        assert set(res) == {"pan_results", "rel_results", "rel_scores"}
+        for s, o, r in res["rel_results"]["relation"]:
+            assert s != o                       # diagonal suppressed
+            assert 0 <= r < 56
+        assert len(res["rel_scores"]) == len(res["rel_results"]["relation"])
