@@ -79,32 +79,161 @@ def _segmenter_cfg_from_dict(tpu: Dict[str, Any]):
 
 
 def build_detector_from_config(cfg, rng: Optional[jax.Array] = None):
-    """cfg: a Config (or plain dict) with the reference's ``model`` layout."""
-    from openpsg_tpu.models.detectors.psg_v4 import PSGv4, PSGv4Config
+    """cfg: a Config (or plain dict) with the reference's ``model`` layout.
 
+    Dispatches on ``model.type`` exactly like mmdet's registry:
+      OpenSeeDRelationV2                      → PSGv4 (flagship)
+      Mask2FormerRelation / ...V2 / OpenSeeDRelation → PSGMask2FormerRelation
+    """
     model_cfg = cfg["model"] if "model" in cfg else cfg
     tpu = dict(cfg.get("tpu", {})) if hasattr(cfg, "get") else {}
     mtype = model_cfg.get("type", "OpenSeeDRelationV2")
-    if mtype not in ("OpenSeeDRelationV2",):
-        raise NotImplementedError(
-            f"detector {mtype!r} not yet built for TPU (v4 pipeline first)"
-        )
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.get("seed", 0) or 0)
 
     head_dict = dict(model_cfg.get("relation_head", {}))
     thing = list(model_cfg.get("thing_classes", []) or cfg.get("thing_classes", []))
     stuff = list(model_cfg.get("stuff_classes", []) or cfg.get("stuff_classes", []))
     relations = list(head_dict.get("relation_classes", []) or cfg.get("relation_classes", []))
-
-    pcfg = PSGv4Config(
-        segmenter=_segmenter_cfg_from_dict(tpu),
-        head=_head_cfg_from_dict(head_dict, tpu),
-        llm=_llm_cfg_from_dict(head_dict, tpu),
-    )
     class_names = (thing + stuff) or None
-    return PSGv4(
-        pcfg,
-        rng if rng is not None else jax.random.PRNGKey(cfg.get("seed", 0) or 0),
-        class_names=class_names,
-        relation_names=relations or None,
-        num_things=len(thing) if thing else None,
+    num_things = len(thing) if thing else None
+
+    if mtype == "OpenSeeDRelationV2":
+        from openpsg_tpu.models.detectors.psg_v4 import PSGv4, PSGv4Config
+
+        pcfg = PSGv4Config(
+            segmenter=_segmenter_cfg_from_dict(tpu),
+            head=_head_cfg_from_dict(head_dict, tpu),
+            llm=_llm_cfg_from_dict(head_dict, tpu),
+        )
+        return PSGv4(
+            pcfg, rng, class_names=class_names,
+            relation_names=relations or None, num_things=num_things,
+        )
+
+    if mtype in ("Mask2FormerRelation", "Mask2FormerRelationV2", "OpenSeeDRelation"):
+        return _build_m2f_family(cfg, model_cfg, head_dict, tpu, rng,
+                                 class_names, relations, num_things)
+
+    raise NotImplementedError(f"detector {mtype!r} is not a known PSG model")
+
+
+def _build_m2f_family(cfg, model_cfg, head_dict, tpu, rng, class_names,
+                      relations, num_things):
+    import jax.numpy as jnp
+
+    from openpsg_tpu.models.detectors.mask2former_relation import (
+        M2FRelationConfig,
+        PSGMask2FormerRelation,
+    )
+    from openpsg_tpu.models.relation.head_v1 import HeadV1Config
+    from openpsg_tpu.models.relation.head_v2 import HeadV2Config
+    from openpsg_tpu.models.relation.head_v3 import HeadV3Config
+    from openpsg_tpu.models.segmenter.mask2former import Mask2FormerConfig
+    from openpsg_tpu.models.commons.text_encoder import BertStyleConfig
+    from openpsg_tpu.models.llm.llama import LlamaConfig
+
+    dtype = jnp.bfloat16 if tpu.get("bf16", True) else jnp.float32
+    head_type = head_dict.get("type", "RelationTransformerHead")
+    version = {
+        "RelationTransformerHead": "v1",
+        "RelationTransformerHeadV2": "v2",
+        "RelationTransformerHeadV3": "v3",
+    }[head_type]
+
+    preset = tpu.get("segmenter_preset", "r50")
+    if preset == "tiny":
+        seg = Mask2FormerConfig.tiny_test()
+        input_hw = (64, 64)
+        max_obj, max_pad = 6, 8
+    else:
+        backbone = {"r50": "r50", "swin_t": "swin_t", "swin_b": "swin_b"}[preset]
+        seg = Mask2FormerConfig(backbone=backbone, dtype=dtype)
+        input_hw = tuple(tpu.get("input_hw", (1344, 1344)))
+        max_obj, max_pad = 30, 32
+
+    enc = BertStyleConfig(
+        num_layers=head_dict.get("num_transformer_layer", 2),
+        dtype=dtype,
+    ) if preset != "tiny" else BertStyleConfig.tiny_test()
+
+    v1 = HeadV1Config(
+        encoder=enc,
+        input_feature_size=head_dict.get("input_feature_size", seg.mask_dim),
+        output_feature_size=head_dict.get("output_feature_size", 768)
+        if preset != "tiny" else 32,
+        num_relation_classes=len(relations) or 56,
+        pred_type=head_dict.get("pred_type", "attention"),
+        loss_type=head_dict.get("loss_type", "v1"),
+        loss_weight=head_dict.get("loss_weight", 50.0),
+        loss_alpha=head_dict.get("loss_alpha", 1.0),
+        dtype=dtype,
+    ) if version == "v1" else (
+        HeadV1Config.tiny_test() if preset == "tiny" else HeadV1Config()
+    )
+
+    experts = []
+    for flag, name in (
+        ("use_object_vision_only", "object_vision_only"),
+        ("use_pair_vision_only", "pair_vision_only"),
+        ("use_pair_text2vision", "pair_text2vision"),
+        ("use_pair_vision2text", "pair_vision2text"),
+        ("use_triplet_text_w_vision", "triplet_text_w_vision"),
+    ):
+        if head_dict.get(flag, False):
+            experts.append(name)
+    v2 = HeadV2Config(
+        encoder=enc,
+        num_relation_classes=len(relations) or 56,
+        text_embedding_size=model_cfg.get("text_embedding_size", 1536),
+        experts=tuple(experts) or ("object_vision_only",),
+        use_moe_gate=head_dict.get("use_moe", False),
+        dtype=dtype,
+    ) if version == "v2" else (
+        HeadV2Config.tiny_test() if preset == "tiny" else HeadV2Config()
+    )
+
+    shave = head_dict.get("shave_language_decoder_at", 6)
+    llm_preset = tpu.get("llm_preset", "llama2_7b" if preset != "tiny" else "tiny")
+    base_llm = (
+        LlamaConfig.llama2_7b(dtype)
+        if llm_preset == "llama2_7b"
+        else LlamaConfig.tiny_test(vocab_size=512)
+    )
+    v3 = HeadV3Config(
+        llm=dataclasses.replace(
+            base_llm.truncate(min(shave, base_llm.n_layers)),
+            causal=head_dict.get("causal_mask", True),
+        ),
+        object_feature_size=head_dict.get("input_feature_size", seg.mask_dim),
+        num_relation_classes=len(relations) or 56,
+        ov_relation=head_dict.get("ov_relation", False),
+        sub_obj_merge_type=head_dict.get("sub_obj_merge_type", "concat"),
+        dtype=dtype,
+    ) if version == "v3" else (
+        HeadV3Config.tiny_test() if preset == "tiny" else HeadV3Config()
+    )
+
+    mcfg = M2FRelationConfig(
+        segmenter=seg, head_version=version,
+        head_v1=v1, head_v2=v2, head_v3=v3,
+        max_objects=max_obj, max_objects_padded=max_pad,
+        object_mask_thr=model_cfg.get("test_cfg", {}).get("object_mask_thr", 0.8)
+        if model_cfg.get("test_cfg") else 0.8,
+        input_hw=input_hw,
+    )
+
+    text_kv = None
+    db_dir = model_cfg.get("text_embed_db_dir")
+    if db_dir:
+        from openpsg_tpu.data.text_kv import TextKVStore
+
+        text_kv = TextKVStore(
+            path=None if not db_dir else f"{db_dir}/kv.db",
+            embedding_size=model_cfg.get("text_embedding_size", 1536),
+        )
+
+    return PSGMask2FormerRelation(
+        mcfg, rng, class_names=class_names,
+        relation_names=relations or None, num_things=num_things,
+        text_kv=text_kv,
     )
