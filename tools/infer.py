@@ -37,6 +37,8 @@ def parse_args():
     ap.add_argument("--img-scale", type=int, nargs=2, default=(1333, 1333))
     ap.add_argument("--limit", type=int, default=0, help="cap image count (0 = all)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace to DIR")
     return ap.parse_args()
 
 
@@ -85,34 +87,44 @@ def main():
     if preproc.bucket_hw[0] > H:
         preproc = Preprocessor(scale=(H, H))
 
+    from openpsg_tpu.utils.profiling import SectionTimer, profile_trace
+
     writer = SubmissionWriter(args.output_dir, seed=args.seed)
+    timer = SectionTimer()
     t0 = time.time()
+    prof = profile_trace(args.profile)
+    prof.__enter__()
     for i, d in enumerate(records):
         import cv2
 
-        img = load_image_rgb(os.path.join(data_dir, d["file_name"]))
-        ex = preproc(img)
-        res = model.infer(ex["image"].astype(np.float32), ex["img_shape"])
+        with timer.section("load+preprocess"):
+            img = load_image_rgb(os.path.join(data_dir, d["file_name"]))
+            ex = preproc(img)
+        with timer.section("model"):
+            res = model.infer(ex["image"].astype(np.float32), ex["img_shape"])
         # id map back to original resolution (nearest keeps ids intact)
-        pan_ori = cv2.resize(
-            res["pan_results"].astype(np.float64),
-            (img.shape[1], img.shape[0]),
-            interpolation=cv2.INTER_NEAREST,
-        ).astype(np.int64)
-        writer.add(
-            pan_ori,
-            res["rel_results"]["object_id_list"],
-            res["rel_results"]["relation"],
-            test_idx=i,
-        )
+        with timer.section("write"):
+            pan_ori = cv2.resize(
+                res["pan_results"].astype(np.float64),
+                (img.shape[1], img.shape[0]),
+                interpolation=cv2.INTER_NEAREST,
+            ).astype(np.int64)
+            writer.add(
+                pan_ori,
+                res["rel_results"]["object_id_list"],
+                res["rel_results"]["relation"],
+                test_idx=i,
+            )
         if (i + 1) % 50 == 0:
             rate = (i + 1) / (time.time() - t0)
             print(f"[{i + 1}/{len(records)}] {rate:.2f} img/s")
 
+    prof.__exit__(None, None, None)
     path = writer.finalize()
     dt = time.time() - t0
     print(f"Inference finished: {len(records)} images in {dt:.1f}s "
           f"({len(records) / max(dt, 1e-9):.2f} img/s). Results: {path}")
+    print(f"sections: {timer.report()}")
 
 
 if __name__ == "__main__":
