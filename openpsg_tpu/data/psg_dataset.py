@@ -144,18 +144,18 @@ class PSGDataset:
         rng: Optional[np.random.Generator] = None,
     ) -> Dict[str, np.ndarray]:
         """Full host pipeline for one example → static-shape arrays."""
-        import cv2
-
         rec = self.records[idx]
         rng = rng or np.random.default_rng()
         image = load_image_rgb(os.path.join(self.img_prefix, rec.file_name))
 
         pan_id = None
         if rec.pan_seg_file_name:
+            from openpsg_tpu import native
+
             pan_rgb = load_image_rgb(
                 os.path.join(self.seg_prefix, rec.pan_seg_file_name)
             )
-            pan_id = rgb2id(pan_rgb)
+            pan_id = native.rgb2id(pan_rgb)
 
         # train-time flip (configs/psg/baseline_v4_ov.py:85)
         if flip_prob > 0 and rng.uniform() < flip_prob:
@@ -183,19 +183,17 @@ class PSGDataset:
         labels = np.zeros((M,), np.int32)
         valid = np.zeros((M,), bool)
         if pan_id is not None:
-            pan_small = cv2.resize(
-                pan_id.astype(np.float64), (nw, nh),
-                interpolation=cv2.INTER_NEAREST,
-            ).astype(np.int64)
-            pan4 = np.zeros((H4, W4), np.int64)
-            resized4 = cv2.resize(
-                pan_small.astype(np.float64),
-                (max(nw // 4, 1), max(nh // 4, 1)),
-                interpolation=cv2.INTER_NEAREST,
-            ).astype(np.int64)
-            pan4[: resized4.shape[0], : resized4.shape[1]] = resized4
-            for i, seg in enumerate(rec.segments_info[:M]):
-                masks[i] = pan4 == seg["id"]
+            from openpsg_tpu import native
+
+            # fused native pass: per-segment masks directly on the stride-4
+            # grid of the *valid* region, placed into the padded bucket
+            segs = rec.segments_info[:M]
+            oh, ow = max(nh // 4, 1), max(nw // 4, 1)
+            small = native.extract_masks_downsampled(
+                pan_id, [s["id"] for s in segs], (oh, ow)
+            )
+            for i, seg in enumerate(segs):
+                masks[i, :oh, :ow] = small[i].astype(bool)
                 labels[i] = seg["category"]
                 valid[i] = True
 

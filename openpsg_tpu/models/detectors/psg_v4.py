@@ -317,6 +317,55 @@ class PSGv4:
         dev = jax.device_get(dev)  # one batched transfer, not per-array
         return self.postprocess(dev)
 
+    # ------------------------------------------------------- batched/sharded
+    def make_batch_infer(self, mesh=None):
+        """Data-parallel batched inference: vmap of the whole per-image
+        program, batch axis sharded over the mesh's ``dp`` axis (this is
+        how a v5e-8 reaches throughput targets — 8 images in flight, one
+        jitted program, XLA handles the rest; the reference is strictly
+        batch-1, openseed_relation_v2.py:93)."""
+        impl = self._infer_jit.__wrapped__
+
+        def one(params, image, hw):
+            return impl(self, params, image, hw)
+
+        batched = jax.vmap(one, in_axes=(None, 0, 0))
+        if mesh is None:
+            return jax.jit(batched)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.jit(
+            batched,
+            in_shardings=(
+                NamedSharding(mesh, P()),
+                NamedSharding(mesh, P("dp")),
+                NamedSharding(mesh, P("dp")),
+            ),
+            out_shardings=NamedSharding(mesh, P("dp")),
+        )
+
+    def infer_batch(self, images: np.ndarray, img_hws: np.ndarray, mesh=None):
+        """→ list of per-image result dicts (postprocessed on host)."""
+        if not hasattr(self, "_batch_fn_cache"):
+            self._batch_fn_cache = {}
+        key = (images.shape[0], mesh is not None)
+        if key not in self._batch_fn_cache:
+            self._batch_fn_cache[key] = self.make_batch_infer(mesh)
+        dev = self._batch_fn_cache[key](
+            self.params,
+            jnp.asarray(images),
+            jnp.asarray(img_hws, jnp.int32),
+        )
+        dev = jax.device_get(dev)
+        out = []
+        for i in range(images.shape[0]):
+            out.append(
+                self.postprocess(
+                    jax.tree_util.tree_map(lambda x: x[i], dev)
+                )
+            )
+        return out
+
     # ---------------------------------------------------------- postprocess
     def postprocess(self, dev: Dict[str, np.ndarray]) -> Dict[str, Any]:
         M = self.cfg.head.max_objects_padded

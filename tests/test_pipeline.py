@@ -185,3 +185,35 @@ class TestTrainStep:
         assert float(s(500)) == pytest.approx(1e-4, rel=1e-4)
         assert float(s(650)) == pytest.approx(1e-5, rel=1e-4)   # epoch 6 → ×0.1
         assert float(s(1050)) == pytest.approx(1e-6, rel=1e-4)  # epoch 10 → ×0.01
+
+
+class TestBatchedInference:
+    def test_batch_matches_single(self, tiny_pipeline):
+        """vmapped batch inference must equal per-image inference."""
+        p = tiny_pipeline
+        rng = np.random.default_rng(5)
+        imgs = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.float32)
+        hws = np.asarray([[64, 64], [60, 62]], np.int32)
+        batched = p.infer_batch(imgs, hws)
+        singles = [p.infer(imgs[i], tuple(hws[i])) for i in range(2)]
+        for b, s in zip(batched, singles):
+            np.testing.assert_array_equal(b["pan_results"], s["pan_results"])
+            assert b["rel_results"]["relation"] == s["rel_results"]["relation"]
+
+    def test_batch_sharded_over_mesh(self, tiny_pipeline):
+        """dp-sharded batch executes on an 8-device mesh."""
+        import jax
+        from openpsg_tpu.parallel.mesh import make_mesh
+
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 devices")
+        p = tiny_pipeline
+        mesh = make_mesh(dp=8, tp=1)
+        rng = np.random.default_rng(6)
+        imgs = rng.integers(0, 255, (8, 64, 64, 3)).astype(np.float32)
+        hws = np.tile(np.asarray([[64, 64]], np.int32), (8, 1))
+        with mesh:
+            out = p.infer_batch(imgs, hws, mesh=mesh)
+        assert len(out) == 8
+        for r in out:
+            assert "pan_results" in r

@@ -84,3 +84,68 @@ class TestLlamaConvert:
         del conv["params"]["core"]["final_norm"]
         with pytest.raises(ValueError, match="drift"):
             verify_structure(conv, init)
+
+
+def synthetic_swin_state(embed_dim=16, depths=(1, 1), num_heads=(1, 2), window=4, seed=0):
+    rng = np.random.default_rng(seed)
+    s = {}
+    s["patch_embed.proj.weight"] = rng.normal(size=(embed_dim, 3, 4, 4)).astype(np.float32)
+    s["patch_embed.proj.bias"] = rng.normal(size=(embed_dim,)).astype(np.float32)
+    s["patch_embed.norm.weight"] = np.ones(embed_dim, np.float32)
+    s["patch_embed.norm.bias"] = np.zeros(embed_dim, np.float32)
+    dim = embed_dim
+    for st, depth in enumerate(depths):
+        for b in range(depth):
+            p = f"layers.{st}.blocks.{b}."
+            s[p + "norm1.weight"] = np.ones(dim, np.float32)
+            s[p + "norm1.bias"] = np.zeros(dim, np.float32)
+            s[p + "norm2.weight"] = np.ones(dim, np.float32)
+            s[p + "norm2.bias"] = np.zeros(dim, np.float32)
+            s[p + "attn.qkv.weight"] = rng.normal(size=(3 * dim, dim)).astype(np.float32)
+            s[p + "attn.qkv.bias"] = rng.normal(size=(3 * dim,)).astype(np.float32)
+            s[p + "attn.proj.weight"] = rng.normal(size=(dim, dim)).astype(np.float32)
+            s[p + "attn.proj.bias"] = rng.normal(size=(dim,)).astype(np.float32)
+            s[p + "attn.relative_position_bias_table"] = rng.normal(
+                size=((2 * window - 1) ** 2, num_heads[st])
+            ).astype(np.float32)
+            s[p + "mlp.fc1.weight"] = rng.normal(size=(4 * dim, dim)).astype(np.float32)
+            s[p + "mlp.fc1.bias"] = rng.normal(size=(4 * dim,)).astype(np.float32)
+            s[p + "mlp.fc2.weight"] = rng.normal(size=(dim, 4 * dim)).astype(np.float32)
+            s[p + "mlp.fc2.bias"] = rng.normal(size=(dim,)).astype(np.float32)
+        if st < len(depths) - 1:
+            s[f"layers.{st}.downsample.reduction.weight"] = rng.normal(
+                size=(2 * dim, 4 * dim)
+            ).astype(np.float32)
+            s[f"layers.{st}.downsample.norm.weight"] = np.ones(4 * dim, np.float32)
+            s[f"layers.{st}.downsample.norm.bias"] = np.zeros(4 * dim, np.float32)
+            dim *= 2
+        s[f"norm{st}.weight"] = np.ones(dim if st == len(depths) - 1 else dim, np.float32)
+        s[f"norm{st}.bias"] = np.zeros_like(s[f"norm{st}.weight"])
+    return s
+
+
+class TestSwinConvert:
+    def test_structure_and_values_land(self):
+        from openpsg_tpu.models.segmenter.swin import SwinTransformer
+        from openpsg_tpu.models.segmenter.weight_convert import convert_swin
+
+        depths, heads, window, ed = (1, 1), (1, 2), 4, 16
+        m = SwinTransformer(embed_dim=ed, depths=depths, num_heads=heads, window=window)
+        x = jnp.ones((16, 16, 3))
+        init = jax.jit(m.init)(jax.random.PRNGKey(0), x)["params"]
+
+        # out_norm dims: stage0 norm has dim=16 (before merge doubling)
+        state = synthetic_swin_state(ed, depths, heads, window)
+        state["norm0.weight"] = np.ones(16, np.float32)
+        state["norm0.bias"] = np.zeros(16, np.float32)
+        conv = convert_swin(state, depths=depths)
+        from openpsg_tpu.models.llm.weight_convert import verify_structure
+
+        verify_structure({"params": conv}, {"params": init})
+        o1 = m.apply({"params": conv}, x)
+        conv2 = convert_swin(synthetic_swin_state(ed, depths, heads, window, seed=1) |
+                             {"norm0.weight": np.ones(16, np.float32),
+                              "norm0.bias": np.zeros(16, np.float32)},
+                             depths=depths)
+        o2 = m.apply({"params": conv2}, x)
+        assert not np.allclose(np.asarray(o1[0]), np.asarray(o2[0]))

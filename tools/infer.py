@@ -39,6 +39,9 @@ def parse_args():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace to DIR")
+    ap.add_argument("--batch-size", type=int, default=1,
+                    help="images per step; >1 uses the dp-sharded batched "
+                         "path (set to the mesh's dp size on multi-chip)")
     return ap.parse_args()
 
 
@@ -94,30 +97,62 @@ def main():
     t0 = time.time()
     prof = profile_trace(args.profile)
     prof.__enter__()
-    for i, d in enumerate(records):
+    mesh = None
+    if args.batch_size > 1:
+        import jax as _jax
+
+        from openpsg_tpu.parallel.mesh import make_mesh
+
+        ndev = _jax.device_count()
+        if ndev > 1 and args.batch_size % ndev == 0:
+            mesh = make_mesh(dp=ndev, tp=1)
+
+    B = max(args.batch_size, 1)
+    for start in range(0, len(records), B):
         import cv2
 
+        chunk = records[start : start + B]
         with timer.section("load+preprocess"):
-            img = load_image_rgb(os.path.join(data_dir, d["file_name"]))
-            ex = preproc(img)
+            exs = []
+            for d in chunk:
+                img = load_image_rgb(os.path.join(data_dir, d["file_name"]))
+                ex = preproc(img)
+                ex["ori"] = img.shape[:2]
+                exs.append(ex)
         with timer.section("model"):
-            res = model.infer(ex["image"].astype(np.float32), ex["img_shape"])
+            if B == 1:
+                results = [
+                    model.infer(exs[0]["image"].astype(np.float32), exs[0]["img_shape"])
+                ]
+            else:
+                pads = B - len(exs)   # pad the tail chunk to the static batch
+                imgs = np.stack(
+                    [e["image"].astype(np.float32) for e in exs]
+                    + [exs[-1]["image"].astype(np.float32)] * pads
+                )
+                hws = np.stack(
+                    [np.asarray(e["img_shape"], np.int32) for e in exs]
+                    + [np.asarray(exs[-1]["img_shape"], np.int32)] * pads
+                )
+                results = model.infer_batch(imgs, hws, mesh=mesh)[: len(exs)]
         # id map back to original resolution (nearest keeps ids intact)
         with timer.section("write"):
-            pan_ori = cv2.resize(
-                res["pan_results"].astype(np.float64),
-                (img.shape[1], img.shape[0]),
-                interpolation=cv2.INTER_NEAREST,
-            ).astype(np.int64)
-            writer.add(
-                pan_ori,
-                res["rel_results"]["object_id_list"],
-                res["rel_results"]["relation"],
-                test_idx=i,
-            )
-        if (i + 1) % 50 == 0:
-            rate = (i + 1) / (time.time() - t0)
-            print(f"[{i + 1}/{len(records)}] {rate:.2f} img/s")
+            for j, (ex, res) in enumerate(zip(exs, results)):
+                pan_ori = cv2.resize(
+                    res["pan_results"].astype(np.float64),
+                    (ex["ori"][1], ex["ori"][0]),
+                    interpolation=cv2.INTER_NEAREST,
+                ).astype(np.int64)
+                writer.add(
+                    pan_ori,
+                    res["rel_results"]["object_id_list"],
+                    res["rel_results"]["relation"],
+                    test_idx=start + j,
+                )
+        done = min(start + B, len(records))
+        if done % 50 < B:
+            rate = done / (time.time() - t0)
+            print(f"[{done}/{len(records)}] {rate:.2f} img/s")
 
     prof.__exit__(None, None, None)
     path = writer.finalize()
