@@ -132,7 +132,7 @@ class RelationHeadV4(nn.Module):
             name="patch_embed",
         )(mask_features)                                   # [hp, wp, C]
         hp, wp, _ = patches.shape
-        patches = patches.reshape(1, hp * wp, c.object_feature_size)
+        patches = patches.reshape(hp * wp, c.object_feature_size)
 
         # (b) pair OR-masks on the patch grid
         obj_patch_masks = downsample_mask_bilinear(object_masks, (hp, wp))
@@ -157,9 +157,8 @@ class RelationHeadV4(nn.Module):
         NP = pmask.shape[0]
 
         queries = jnp.broadcast_to(query[None], (NP,) + query.shape)
-        enc = jnp.broadcast_to(patches, (NP, hp * wp, c.object_feature_size))
         qf_out = RelationQFormer(c.qformer, name="qformer")(
-            queries, text_ids, text_mask, enc, pmask
+            queries, text_ids, text_mask, patches, pmask
         )                                                  # [NP, 1+R, D]
 
         out: Dict[str, jnp.ndarray] = {"qformer_out": qf_out, "pair_mask": pmask}

@@ -79,6 +79,41 @@ class _MHA(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="o")(out)
 
 
+class _SharedKVCrossAttention(nn.Module):
+    """Cross-attention where ALL batch rows attend to the SAME key/value
+    sequence, differing only in their boolean mask.
+
+    The image patches are identical for every object pair — only the pair
+    OR-mask changes — so K/V projections are computed once ([P, D]) instead
+    of per pair ([NP, P, D], the naive broadcast the reference's HF module
+    implies).  For NP=1024 pairs this removes a 1024x duplication of the
+    K/V matmuls and a ~100 MB intermediate."""
+
+    dim: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, kv_shared, mask):
+        """q_in: [B, Lq, D]; kv_shared: [P, Dk]; mask: [B, P] bool."""
+        hd = self.dim // self.num_heads
+        B, Lq, _ = q_in.shape
+        P = kv_shared.shape[0]
+        q = nn.Dense(self.dim, dtype=self.dtype, name="q")(q_in)
+        k = nn.Dense(self.dim, dtype=self.dtype, name="k")(kv_shared)
+        v = nn.Dense(self.dim, dtype=self.dtype, name="v")(kv_shared)
+        q = q.reshape(B, Lq, self.num_heads, hd)
+        k = k.reshape(P, self.num_heads, hd)
+        v = v.reshape(P, self.num_heads, hd)
+        attn = jnp.einsum(
+            "bqhd,phd->bhqp", q, k, preferred_element_type=jnp.float32
+        ) * (hd ** -0.5)
+        attn = jnp.where(mask[:, None, None, :], attn, -1e9)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqp,phd->bqhd", attn, v).reshape(B, Lq, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="o")(out)
+
+
 class RelationQFormer(nn.Module):
     cfg: QFormerConfig
 
@@ -88,12 +123,13 @@ class RelationQFormer(nn.Module):
         query_embeds: jnp.ndarray,    # [B, Q, D] (cls + relation queries)
         text_ids: jnp.ndarray,        # [B, T] int32
         text_mask: jnp.ndarray,       # [B, T] bool
-        encoder_hidden: jnp.ndarray,  # [B, P, De] image patches
+        encoder_hidden: jnp.ndarray,  # [P, De] image patches (SHARED by all pairs)
         encoder_mask: jnp.ndarray,    # [B, P] bool — the pair OR-mask
     ) -> jnp.ndarray:                 # [B, Q, D] query outputs
         c = self.cfg
         B, Qn, D = query_embeds.shape
         T = text_ids.shape[1]
+        assert encoder_hidden.ndim == 2, "patches are shared across pairs"
 
         tok = nn.Embed(c.vocab_size, D, dtype=c.dtype, name="word_embed")(text_ids)
         pos = self.param(
@@ -117,14 +153,13 @@ class RelationQFormer(nn.Module):
 
             # cross-attention: query positions only, masked to the pair region
             xq = x[:, :Qn]
-            cm = encoder_mask[:, None, :] & jnp.ones((B, Qn, 1), bool)
             # guard fully-empty pair masks (padding pairs): attend everywhere
             cm = jnp.where(
-                jnp.any(encoder_mask, axis=-1)[:, None, None], cm, True
+                jnp.any(encoder_mask, axis=-1)[:, None], encoder_mask, True
             )
-            hq = _MHA(D, c.num_heads, dtype=c.dtype, name=f"cross_attn{i}")(
-                xq, encoder_hidden.astype(c.dtype), cm
-            )
+            hq = _SharedKVCrossAttention(
+                D, c.num_heads, dtype=c.dtype, name=f"cross_attn{i}"
+            )(xq, encoder_hidden.astype(c.dtype), cm)
             xq = nn.LayerNorm(dtype=c.dtype, name=f"cross_ln{i}")(xq + hq)
 
             # split FFN: query tokens get their own weights (BLIP-2)

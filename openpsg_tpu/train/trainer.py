@@ -295,3 +295,89 @@ def build_llm_labels(
         ids[i, : len(e)] = e
         mask[i, : len(e)] = True
     return ids, mask
+
+
+@dataclasses.dataclass
+class M2FTrainer:
+    """Training step for the Mask2Former-family pipelines (v1/v2/v3).
+
+    Reference recipe: frozen backbone+panoptic head (baseline_r50.py:181),
+    trainable relation head + object class embedding; GT masks mask-pool
+    the object tokens (mask2former_relation.py:201-249) and the dense
+    [B, R, N, N] scores train against the v1 loss family."""
+
+    pipeline: Any                 # PSGMask2FormerRelation
+
+    def loss_single(self, trainable, frozen, batch_i) -> Dict[str, jnp.ndarray]:
+        import jax.numpy as jnp
+
+        from openpsg_tpu.ops.mask_ops import mask_pool
+
+        p = self.pipeline
+        image = normalize_image(batch_i.image)
+        seg_out = p.segmenter.apply(frozen["segmenter"], image)
+        mf = jax.lax.stop_gradient(seg_out["mask_features"])
+
+        pooled = mask_pool(mf.transpose(2, 0, 1), batch_i.object_masks)
+        cls_emb = jnp.take(
+            trainable["object_cls_embed"], batch_i.object_labels, axis=0
+        )
+        if p.cfg.merge_cls_type == "cat":
+            tokens = jnp.concatenate([pooled, cls_emb], axis=-1)
+        else:
+            tokens = pooled + cls_emb
+
+        scores = p._head_apply(
+            {"params": trainable["head"]}, tokens, batch_i.object_valid,
+            p._host_extra(),
+        )                                                   # [R, M, M]
+        target = batch_i.relation_target.transpose(2, 0, 1)  # [R, M, M]
+        if p.cfg.head_version == "v1":
+            return p.head.loss(
+                scores[None], target[None], batch_i.object_valid[None]
+            )
+        # v2/v3 reuse the v1 'v1' loss family (reference heads re-implement
+        # the same multilabel CCE)
+        M = scores.shape[-1]
+        pair = (
+            batch_i.object_valid[:, None] & batch_i.object_valid[None, :]
+        )
+        masked = jnp.where(pair[None], scores, losses.NEG_INF)
+        R = scores.shape[0]
+        per = losses.multilabel_categorical_crossentropy(
+            target.reshape(R, -1), masked.reshape(R, -1)
+        )
+        w = (per / (jnp.max(per) + 1e-12))
+        out = {"loss_relation": jnp.mean(per * w) * 50.0}
+        out["relation.recall@20"] = losses.recall_at_k(
+            masked[None], target[None], k=20
+        )
+        return out
+
+    def make_train_step(self, optimizer):
+        def train_step(trainable, opt_state, frozen, batch):
+            def loss_fn(tr):
+                per_image = jax.vmap(
+                    lambda b: self.loss_single(tr, frozen, b)
+                )(batch)
+                loss_dict = jax.tree_util.tree_map(jnp.mean, per_image)
+                total = loss_dict["loss_relation"]
+                return total, loss_dict
+
+            (total, loss_dict), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(trainable)
+            updates, opt_state = optimizer.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            loss_dict["loss"] = total
+            return trainable, opt_state, loss_dict
+
+        return train_step
+
+
+class M2FTrainBatch(NamedTuple):
+    image: jnp.ndarray            # [B, H, W, 3]
+    object_masks: jnp.ndarray     # [B, M, H4, W4] bool
+    object_labels: jnp.ndarray    # [B, M] i32
+    object_valid: jnp.ndarray     # [B, M] bool
+    relation_target: jnp.ndarray  # [B, M, M, R]

@@ -205,3 +205,52 @@ class TestM2FPipeline:
             assert s != o                       # diagonal suppressed
             assert 0 <= r < 56
         assert len(res["rel_scores"]) == len(res["rel_results"]["relation"])
+
+
+class TestM2FTraining:
+    def test_train_step_updates(self):
+        import jax
+        import jax.numpy as jnp
+
+        from openpsg_tpu.models.detectors.mask2former_relation import (
+            M2FRelationConfig,
+            PSGMask2FormerRelation,
+        )
+        from openpsg_tpu.train.trainer import (
+            M2FTrainBatch,
+            M2FTrainer,
+            make_lr_schedule,
+            make_optimizer,
+        )
+
+        cfg = M2FRelationConfig.tiny_test("v1")
+        p = PSGMask2FormerRelation(cfg, jax.random.PRNGKey(0))
+        M = cfg.max_objects_padded
+        B, H = 2, 64
+        H4 = H // 4
+        rng = np.random.default_rng(0)
+        target = np.zeros((B, M, M, 56), np.float32)
+        target[:, 0, 1, 4] = 1
+        batch = M2FTrainBatch(
+            image=jnp.asarray(rng.integers(0, 255, (B, H, H, 3)).astype(np.float32)),
+            object_masks=jnp.asarray(rng.uniform(size=(B, M, H4, H4)) > 0.8),
+            object_labels=jnp.asarray(rng.integers(0, 133, (B, M)), jnp.int32),
+            object_valid=jnp.asarray(np.tile((np.arange(M) < 4)[None], (B, 1))),
+            relation_target=jnp.asarray(target),
+        )
+        trainable = {
+            "head": p.params["head"]["params"],
+            "object_cls_embed": p.params["object_cls_embed"],
+        }
+        frozen = {"segmenter": p.params["segmenter"]}
+        trainer = M2FTrainer(p)
+        opt = make_optimizer(make_lr_schedule(steps_per_epoch=10))
+        opt_state = opt.init(trainable)
+        step = jax.jit(trainer.make_train_step(opt))
+        new_tr, _, metrics = step(trainable, opt_state, frozen, batch)
+        assert np.isfinite(float(metrics["loss_relation"]))
+        assert "relation.recall@20" in metrics
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), trainable, new_tr
+        )
+        assert max(jax.tree_util.tree_leaves(diff)) > 0
