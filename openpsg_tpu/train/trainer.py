@@ -87,23 +87,33 @@ def make_optimizer(schedule, max_norm: float = 0.01, weight_decay: float = 0.05)
 
 @dataclasses.dataclass
 class V4Trainer:
-    """Builds the jittable train_step for a PSGv4 pipeline instance."""
+    """Builds the jittable train_step for a PSGv4 pipeline instance.
+
+    ``trainable`` / ``frozen`` are top-level splits of ``pipeline.params``
+    (see checkpoint.split_trainable) — the reference freezes
+    ['openseed', 'relation_head.language_model'] (config :64-66), i.e.
+    trainable = {'head'}; include 'llm' in trainable to fine-tune the
+    language model too (required when training from scratch without a
+    pretrained LLM checkpoint)."""
 
     pipeline: Any                 # PSGv4
     rel_cls_loss_weight: float = 50.0
 
-    def loss_single(self, head_params, frozen, batch_i: TrainBatch) -> Dict[str, jnp.ndarray]:
+    def loss_single(self, trainable, frozen, batch_i: TrainBatch) -> Dict[str, jnp.ndarray]:
         """Losses for ONE image (no batch dim); vmapped by train_step."""
         p = self.pipeline
         c = p.cfg
         M = c.head.max_objects_padded
         R = c.head.num_relation_classes
+        params = {**frozen, **trainable}
 
         image = normalize_image(batch_i.image)
         seg_out = p.segmenter.apply(
-            frozen["segmenter"], image, frozen["class_embeds"]
+            params["segmenter"], image, params["class_embeds"]
         )
-        mask_features = jax.lax.stop_gradient(seg_out["mask_features"])
+        mask_features = seg_out["mask_features"]
+        if "segmenter" not in trainable:
+            mask_features = jax.lax.stop_gradient(mask_features)
 
         labels = batch_i.object_labels
         pair_idx = jnp.arange(M * M, dtype=jnp.int32)
@@ -114,7 +124,7 @@ class V4Trainer:
         )
 
         head_out = p.head.apply(
-            {"params": head_params},
+            params["head"],
             mask_features,
             batch_i.object_masks,
             batch_i.object_valid,
@@ -163,7 +173,7 @@ class V4Trainer:
         lab_ids = batch_i.llm_label_ids
         lab_mask = batch_i.llm_label_mask
         emb = p.llm.apply(
-            frozen["llm"],
+            params["llm"],
             jnp.concatenate([p_ids, lab_ids], axis=1),
             method=lambda m, i: m.embed(i),
         )
@@ -176,18 +186,23 @@ class V4Trainer:
             jnp.cumsum(full_mask.astype(jnp.int32), axis=1) - 1, 0
         )
         logits, _ = p.llm.apply(
-            frozen["llm"],
+            params["llm"],
             input_embeds=full_embeds,
             attention_mask=full_mask,
             positions=positions,
         )
         L = lab_ids.shape[1]
-        lab_logits = logits[:, -L:]
+        # Boundary-inclusive shift: logits at positions [-(L+1) .. -2]
+        # predict label tokens [0 .. L-1].  The reference slices logits to
+        # the label region THEN shifts (:332-341), which silently never
+        # trains the first label token (the prompt→label boundary) — fine
+        # with a pretrained LLM prior, fatal from scratch (decode emits
+        # EOS immediately).  Intended-semantics fix per SURVEY.md §7.3.
+        shift_logits = logits[:, -(L + 1):-1]
+        shift_labels = lab_ids
+        shift_mask = lab_mask.astype(jnp.float32)
         # per-pair mean CE, then mean over valid pairs (reference stacks
         # per-pair means, :338-341, 350-351)
-        shift_logits = lab_logits[:, :-1]
-        shift_labels = lab_ids[:, 1:]
-        shift_mask = lab_mask[:, 1:].astype(jnp.float32)
         logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), -1)
         nll = -jnp.take_along_axis(logp, shift_labels[..., None], -1)[..., 0]
         per_pair = jnp.sum(nll * shift_mask, -1) / jnp.maximum(
@@ -198,12 +213,10 @@ class V4Trainer:
         return out
 
     def make_train_step(self, optimizer):
-        p = self.pipeline
-
-        def train_step(head_params, opt_state, frozen, batch: TrainBatch):
-            def loss_fn(hp):
+        def train_step(trainable, opt_state, frozen, batch: TrainBatch):
+            def loss_fn(tr):
                 per_image = jax.vmap(
-                    lambda b: self.loss_single(hp, frozen, b)
+                    lambda b: self.loss_single(tr, frozen, b)
                 )(batch)
                 loss_dict = jax.tree_util.tree_map(jnp.mean, per_image)
                 total = sum(loss_dict.values())
@@ -211,12 +224,12 @@ class V4Trainer:
 
             (total, loss_dict), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(head_params)
-            updates, opt_state = optimizer.update(grads, opt_state, head_params)
-            head_params = optax.apply_updates(head_params, updates)
+            )(trainable)
+            updates, opt_state = optimizer.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
             loss_dict["loss"] = total
             loss_dict["grad_norm"] = optax.global_norm(grads)
-            return head_params, opt_state, loss_dict
+            return trainable, opt_state, loss_dict
 
         return train_step
 

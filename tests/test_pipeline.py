@@ -160,11 +160,11 @@ class TestTrainStep:
         trainer = V4Trainer(p)
         sched = make_lr_schedule(steps_per_epoch=10)
         opt = make_optimizer(sched)
-        head_params = p.params["head"]["params"]
+        trainable = {"head": p.params["head"]}
         frozen = {k: v for k, v in p.params.items() if k != "head"}
-        opt_state = opt.init(head_params)
+        opt_state = opt.init(trainable)
         step = jax.jit(trainer.make_train_step(opt))
-        new_params, new_opt, metrics = step(head_params, opt_state, frozen, batch)
+        new_params, new_opt, metrics = step(trainable, opt_state, frozen, batch)
 
         for k, v in metrics.items():
             assert np.isfinite(float(v)), k
@@ -172,7 +172,7 @@ class TestTrainStep:
         assert float(metrics["binary_rel_cls_loss"]) >= 0
         # params actually changed
         diff = jax.tree_util.tree_map(
-            lambda a, b: float(jnp.abs(a - b).max()), head_params, new_params
+            lambda a, b: float(jnp.abs(a - b).max()), trainable, new_params
         )
         assert max(jax.tree_util.tree_leaves(diff)) > 0
 

@@ -69,10 +69,10 @@ def main():
     if args.checkpoint and os.path.isdir(args.checkpoint):
         ckpt = PartCheckpointer(args.checkpoint)
         params, _, _, step = ckpt.restore(
-            step=args.epoch, like_params=model.params["head"]["params"]
+            step=args.epoch, like_params={"head": model.params["head"]}
         )
-        model.params["head"] = {"params": params}
-        print(f"restored head params from step {step}")
+        model.params.update(params)
+        print(f"restored trainable params from step {step}")
 
     with open(test_file, "r", encoding="utf-8") as f:
         dataset = json.load(f)

@@ -45,8 +45,8 @@ def main():
     model = build_detector_from_config(cfg, jax.random.PRNGKey(args.seed))
     if args.checkpoint and os.path.isdir(args.checkpoint):
         ckpt = PartCheckpointer(args.checkpoint)
-        params, _, _, _ = ckpt.restore(like_params=model.params["head"]["params"])
-        model.params["head"] = {"params": params}
+        params, _, _, _ = ckpt.restore(like_params={"head": model.params["head"]})
+        model.params.update(params)
 
     with open(args.input_json, "r", encoding="utf-8") as f:
         raw = json.load(f)

@@ -99,9 +99,18 @@ def main():
     )
 
     trainer = V4Trainer(model)
-    head_params = model.params["head"]["params"]
-    frozen = {k: v for k, v in model.params.items() if k != "head"}
-    opt_state = opt.init(head_params)
+    # map the reference freeze_layers names onto our top-level param split
+    freeze_names = set(
+        cfg.model.get("train_cfg", {}).get("freeze_layers", [])
+        if cfg.model.get("train_cfg") else []
+    )
+    freeze_keys = {"segmenter", "text", "class_embeds"}
+    if any("language_model" in f or "llama" in f for f in freeze_names) or not freeze_names:
+        freeze_keys.add("llm")
+    trainable = {k: v for k, v in model.params.items() if k not in freeze_keys}
+    frozen = {k: v for k, v in model.params.items() if k in freeze_keys}
+    logger.info(f"trainable groups: {sorted(trainable)} frozen: {sorted(frozen)}")
+    opt_state = opt.init(trainable)
     step_fn = jax.jit(trainer.make_train_step(opt), donate_argnums=(0, 1))
 
     ckpt_dir = os.path.join(work_dir, "ckpts")
@@ -110,8 +119,8 @@ def main():
     )
     start_step = 0
     if args.resume_from or (args.auto_resume and ckpt.latest_step() is not None):
-        head_params, opt_state, meta, start_step = ckpt.restore(
-            like_params=head_params, like_opt_state=opt_state
+        trainable, opt_state, meta, start_step = ckpt.restore(
+            like_params=trainable, like_opt_state=opt_state
         )
         logger.info(f"resumed from step {start_step}")
 
@@ -157,8 +166,8 @@ def main():
                 llm_label_ids=jnp.asarray(np.stack(lab_i)),
                 llm_label_mask=jnp.asarray(np.stack(lab_m)),
             )
-            head_params, opt_state, metrics = step_fn(
-                head_params, opt_state, frozen, batch
+            trainable, opt_state, metrics = step_fn(
+                trainable, opt_state, frozen, batch
             )
             global_step += 1
             if global_step % interval == 0:
@@ -172,7 +181,7 @@ def main():
                 )
             if args.max_steps and global_step >= args.max_steps:
                 break
-        ckpt.save(global_step, head_params, opt_state,
+        ckpt.save(global_step, trainable, opt_state,
                   meta={"epoch": epoch + 1, "classes": model.class_names})
         if args.max_steps and global_step >= args.max_steps:
             break
