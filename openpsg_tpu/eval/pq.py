@@ -84,10 +84,14 @@ def panoptic_quality(
         sq_cls = np.where(tp > 0, iou_sum / np.maximum(tp, 1), np.nan)
         rq_cls = np.where(denom > 0, tp / denom, np.nan)
     present = ~np.isnan(pq_cls)
+
+    def _mean(arr):
+        return float(np.nanmean(arr)) * 100 if np.isfinite(arr).any() else 0.0
+
     return {
-        "PQ": float(np.nanmean(pq_cls)) * 100 if present.any() else 0.0,
-        "SQ": float(np.nanmean(sq_cls)) * 100 if present.any() else 0.0,
-        "RQ": float(np.nanmean(rq_cls)) * 100 if present.any() else 0.0,
+        "PQ": _mean(pq_cls) if present.any() else 0.0,
+        "SQ": _mean(sq_cls),
+        "RQ": _mean(rq_cls) if present.any() else 0.0,
         "per_class_pq": pq_cls * 100,
         "n_classes_present": int(present.sum()),
     }
