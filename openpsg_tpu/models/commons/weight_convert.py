@@ -1,0 +1,111 @@
+"""HF BERT checkpoint → BertStyleEncoder params.
+
+The v1/v2 heads wrap ``bert-base-uncased`` (truncated to
+``num_transformer_layer`` layers, kings_sgg/models/commons/bert_wrapper.py).
+This maps the canonical HF BERT tensor names onto our scanned
+:class:`openpsg_tpu.models.commons.text_encoder.BertStyleEncoder`:
+
+  embeddings.word_embeddings.weight        → word_embed.embedding
+  embeddings.position_embeddings.weight    → pos_embed
+  embeddings.LayerNorm.{weight,bias}       → embed_ln.{scale,bias}
+  encoder.layer.{i}.attention.self.q/k/v   → layers.self_attn.{query,key,value}
+                                             (kernel [D, H, hd] reshaped)
+  encoder.layer.{i}.attention.output.dense → layers.self_attn.out
+  ...attention.output.LayerNorm            → layers.self_ln
+  ...intermediate.dense / output.dense     → layers.ffn_up / ffn_down
+  ...output.LayerNorm                      → layers.ffn_ln
+  pooler.dense                             → pooler
+
+Truncation = take the first ``num_layers`` stacked layers.  CLIP towers
+are covered at capability level by the same module; exact CLIP weight
+parity needs a pre-LN variant (tracked as follow-up; converter raises a
+clear error rather than silently mis-mapping).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from openpsg_tpu.models.commons.text_encoder import BertStyleConfig
+
+
+def _t(a):
+    return np.asarray(a).T
+
+
+def convert_bert(
+    state: Mapping[str, np.ndarray],
+    cfg: BertStyleConfig,
+    prefix: str = "",
+) -> Dict[str, Any]:
+    D = cfg.hidden_size
+    H = cfg.num_heads
+    hd = D // H
+    g = lambda k: np.asarray(state[prefix + k])
+
+    layers: Dict[str, Any] = {}
+
+    def stack(fn):
+        return np.stack([fn(i) for i in range(cfg.num_layers)], 0)
+
+    def lw(i, k):
+        return np.asarray(state[prefix + f"encoder.layer.{i}.{k}"])
+
+    layers["self_attn"] = {
+        "query": {
+            "kernel": stack(lambda i: _t(lw(i, "attention.self.query.weight")).reshape(D, H, hd)),
+            "bias": stack(lambda i: lw(i, "attention.self.query.bias").reshape(H, hd)),
+        },
+        "key": {
+            "kernel": stack(lambda i: _t(lw(i, "attention.self.key.weight")).reshape(D, H, hd)),
+            "bias": stack(lambda i: lw(i, "attention.self.key.bias").reshape(H, hd)),
+        },
+        "value": {
+            "kernel": stack(lambda i: _t(lw(i, "attention.self.value.weight")).reshape(D, H, hd)),
+            "bias": stack(lambda i: lw(i, "attention.self.value.bias").reshape(H, hd)),
+        },
+        "out": {
+            "kernel": stack(lambda i: _t(lw(i, "attention.output.dense.weight")).reshape(H, hd, D)),
+            "bias": stack(lambda i: lw(i, "attention.output.dense.bias")),
+        },
+    }
+    layers["self_ln"] = {
+        "scale": stack(lambda i: lw(i, "attention.output.LayerNorm.weight")),
+        "bias": stack(lambda i: lw(i, "attention.output.LayerNorm.bias")),
+    }
+    layers["ffn_up"] = {
+        "kernel": stack(lambda i: _t(lw(i, "intermediate.dense.weight"))),
+        "bias": stack(lambda i: lw(i, "intermediate.dense.bias")),
+    }
+    layers["ffn_down"] = {
+        "kernel": stack(lambda i: _t(lw(i, "output.dense.weight"))),
+        "bias": stack(lambda i: lw(i, "output.dense.bias")),
+    }
+    layers["ffn_ln"] = {
+        "scale": stack(lambda i: lw(i, "output.LayerNorm.weight")),
+        "bias": stack(lambda i: lw(i, "output.LayerNorm.bias")),
+    }
+
+    return {
+        "word_embed": {"embedding": g("embeddings.word_embeddings.weight")},
+        "pos_embed": g("embeddings.position_embeddings.weight")[: cfg.max_len],
+        "embed_ln": {
+            "scale": g("embeddings.LayerNorm.weight"),
+            "bias": g("embeddings.LayerNorm.bias"),
+        },
+        "layers": layers,
+        "pooler": {
+            "kernel": _t(g("pooler.dense.weight")),
+            "bias": g("pooler.dense.bias"),
+        },
+    }
+
+
+def convert_clip_text(*args, **kwargs):
+    raise NotImplementedError(
+        "CLIP towers are pre-LN; BertStyleEncoder is post-LN. Exact CLIP "
+        "weight parity needs the pre-LN variant (follow-up); capability "
+        "parity is provided by the module itself."
+    )

@@ -149,3 +149,56 @@ class TestSwinConvert:
                              depths=depths)
         o2 = m.apply({"params": conv2}, x)
         assert not np.allclose(np.asarray(o1[0]), np.asarray(o2[0]))
+
+
+def synthetic_bert_state(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    D, I, V, L = cfg.hidden_size, cfg.intermediate, cfg.vocab_size, cfg.max_len
+    s = {
+        "embeddings.word_embeddings.weight": rng.normal(size=(V, D)).astype(np.float32),
+        "embeddings.position_embeddings.weight": rng.normal(size=(512, D)).astype(np.float32),
+        "embeddings.LayerNorm.weight": np.ones(D, np.float32),
+        "embeddings.LayerNorm.bias": np.zeros(D, np.float32),
+        "pooler.dense.weight": rng.normal(size=(D, D)).astype(np.float32),
+        "pooler.dense.bias": np.zeros(D, np.float32),
+    }
+    for i in range(cfg.num_layers):
+        p = f"encoder.layer.{i}."
+        for n in ("query", "key", "value"):
+            s[p + f"attention.self.{n}.weight"] = rng.normal(size=(D, D)).astype(np.float32)
+            s[p + f"attention.self.{n}.bias"] = np.zeros(D, np.float32)
+        s[p + "attention.output.dense.weight"] = rng.normal(size=(D, D)).astype(np.float32)
+        s[p + "attention.output.dense.bias"] = np.zeros(D, np.float32)
+        s[p + "attention.output.LayerNorm.weight"] = np.ones(D, np.float32)
+        s[p + "attention.output.LayerNorm.bias"] = np.zeros(D, np.float32)
+        s[p + "intermediate.dense.weight"] = rng.normal(size=(I, D)).astype(np.float32)
+        s[p + "intermediate.dense.bias"] = np.zeros(I, np.float32)
+        s[p + "output.dense.weight"] = rng.normal(size=(D, I)).astype(np.float32)
+        s[p + "output.dense.bias"] = np.zeros(D, np.float32)
+        s[p + "output.LayerNorm.weight"] = np.ones(D, np.float32)
+        s[p + "output.LayerNorm.bias"] = np.zeros(D, np.float32)
+    return s
+
+
+class TestBertConvert:
+    def test_structure_and_truncation(self):
+        from openpsg_tpu.models.commons.text_encoder import (
+            BertStyleConfig,
+            BertStyleEncoder,
+        )
+        from openpsg_tpu.models.commons.weight_convert import convert_bert
+        from openpsg_tpu.models.llm.weight_convert import verify_structure
+
+        cfg = BertStyleConfig.tiny_test()
+        enc = BertStyleEncoder(cfg)
+        ids = jnp.zeros((1, 5), jnp.int32)
+        init = jax.jit(lambda k: enc.init(k, token_ids=ids))(jax.random.PRNGKey(0))
+        conv = {"params": convert_bert(synthetic_bert_state(cfg), cfg)}
+        verify_structure(conv, init)
+        o1 = enc.apply(conv, token_ids=ids)
+        o2 = enc.apply(
+            {"params": convert_bert(synthetic_bert_state(cfg, seed=1), cfg)},
+            token_ids=ids,
+        )
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+        assert np.isfinite(np.asarray(o1)).all()
