@@ -41,51 +41,59 @@ def _bilinear_gather_level(
     reference CUDA op: pixel centers at (i + 0.5) / size, zero padding
     outside the map.
 
-    Layout note (measured on v5e): one flat row-gather PER (batch, head)
-    from a [H*W, head_dim] table is ~5× faster than a head-batched
-    ``take_along_axis`` — XLA lowers the former to a plain row gather.
-    Out-of-range corners contribute zero via their interpolation weight
-    (indices are clamped), which keeps the gather mask-free.
+    Layout notes (measured on v5e):
+      * XLA's gather is RATE-bound per row (random vs local indices time
+        identically), so the win is fewer, wider gathers: the four
+        bilinear corners of a sample are rows {r, r+1, r+w, r+w+1} of the
+        flattened map — we build a "quad" table whose row r concatenates
+        those four neighbours on the feature axis (three shifted copies),
+        making each sample ONE gather of a 4·head_dim row instead of four;
+      * gathers issue per (batch, head) from a flat [H*W, 4·head_dim]
+        table (~5× faster than head-batched take_along_axis);
+      * out-of-range corners contribute zero via their interpolation
+        weight — clamped/wrapped quad rows are weight-zeroed, so the
+        gather itself is mask-free.
     """
     B, _, n_heads, head_dim = value.shape
     Lq, K = loc.shape[1], loc.shape[3]
     x = loc[..., 0] * w - 0.5
     y = loc[..., 1] * h - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    dx = (x - x0)[..., None]                                   # [B,Lq,nH,K,1]
-    dy = (y - y0)[..., None]
-    x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
 
-    # corner indices [B, Lq, nH, K, 4] and weights (zeroed when off-map)
-    corners_x = jnp.stack([x0i, x0i + 1, x0i, x0i + 1], axis=-1)
-    corners_y = jnp.stack([y0i, y0i, y0i + 1, y0i + 1], axis=-1)
-    cw = jnp.concatenate(
-        [
-            (1 - dx) * (1 - dy),
-            dx * (1 - dy),
-            (1 - dx) * dy,
-            dx * dy,
-        ],
-        axis=-1,
+    # Quad base clamped so the whole 2x2 patch is in-map.  Corner weights
+    # are TENT functions max(0, 1-|coord - corner|), which is exactly
+    # grid_sample's zero-padding bilinear: off-support corners get weight
+    # 0 automatically (including samples just outside the border), so no
+    # validity masks and no wrap handling are needed.
+    bx = jnp.clip(jnp.floor(x), 0, max(w - 2, 0)).astype(jnp.int32)
+    by = jnp.clip(jnp.floor(y), 0, max(h - 2, 0)).astype(jnp.int32)
+    fx0 = jnp.maximum(0.0, 1.0 - jnp.abs(x - bx))              # col bx
+    fx1 = jnp.maximum(0.0, 1.0 - jnp.abs(x - (bx + 1)))        # col bx+1
+    fy0 = jnp.maximum(0.0, 1.0 - jnp.abs(y - by))
+    fy1 = jnp.maximum(0.0, 1.0 - jnp.abs(y - (by + 1)))
+    cw = jnp.stack(
+        [fx0 * fy0, fx1 * fy0, fx0 * fy1, fx1 * fy1], axis=-1
     )                                                          # [B,Lq,nH,K,4]
-    valid = (
-        (corners_x >= 0) & (corners_x <= w - 1)
-        & (corners_y >= 0) & (corners_y <= h - 1)
-    )
-    cw = jnp.where(valid, cw, 0.0)
-    flat = (
-        jnp.clip(corners_y, 0, h - 1) * w + jnp.clip(corners_x, 0, w - 1)
-    )                                                          # [B,Lq,nH,K,4]
+    base = by * w + bx                                         # [B,Lq,nH,K]
 
-    # per-(batch, head) flat row gathers
     value_bh = value.transpose(0, 2, 1, 3)                     # [B,nH,HW,hd]
-    idx_bh = flat.transpose(0, 2, 1, 3, 4).reshape(B, n_heads, Lq * K * 4)
+    idx_bh = base.transpose(0, 2, 1, 3).reshape(B, n_heads, Lq * K)
     per_b = []
     for b in range(B):
         per_h = []
         for hh in range(n_heads):
-            g = jnp.take(value_bh[b, hh], idx_bh[b, hh], axis=0)
+            v = value_bh[b, hh]                                # [HW, hd]
+            # quad table: row r = [v[r], v[r+1], v[r+w], v[r+w+1]];
+            # base ∈ [0, (h-1)w + w-2] keeps every quad row in-map
+            quad = jnp.concatenate(
+                [
+                    v,
+                    jnp.roll(v, -1, axis=0),
+                    jnp.roll(v, -w, axis=0),
+                    jnp.roll(v, -(w + 1), axis=0),
+                ],
+                axis=1,
+            )                                                  # [HW, 4*hd]
+            g = jnp.take(quad, idx_bh[b, hh], axis=0)
             g = g.reshape(Lq, K, 4, head_dim)
             # corner-weighted sum in the value dtype (fp32 inputs stay
             # fp32; bf16 inputs avoid a 2x-traffic upcast — the K-level
