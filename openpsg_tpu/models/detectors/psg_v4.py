@@ -377,6 +377,8 @@ class PSGv4:
         rel_scores: List[float] = []
         rel_set = set()
         for k, si in enumerate(dev["top_pair_idx"]):
+            if dev["top_pair_scores"][k] <= 0.0:
+                continue  # padding pair (fewer valid pairs than top-K)
             text = self.tokenizer.decode(dev["gen_tokens"][k])
             sub, obj = int(si) // M, int(si) % M
             for piece in text.split("  "):
