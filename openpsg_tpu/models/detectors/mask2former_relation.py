@@ -102,6 +102,22 @@ class PSGMask2FormerRelation:
         self.num_things = num_things if num_things is not None else NUM_THING_CLASSES
         self.text_kv = text_kv
 
+        # v2 text features: the reference looks up dbm KVs per predicted
+        # pair INSIDE forward (mask2former_relation_v2.py:345-354, a host
+        # round-trip per image).  TPU design: the full [num_classes²] pair
+        # matrix is materialized ONCE at init (~17k lookups, ≈100 MB for
+        # ada-002 width) and pairs gather from it by class label inside
+        # the jit — no host crossings, open set unchanged (missing keys
+        # are zero rows, the reference's fallback).
+        self.pair_text_matrix = None
+        if text_kv is not None and cfg.head_version == "v2" and (
+            {"pair_text2vision", "pair_vision2text"}
+            & set(cfg.head_v2.experts)
+        ):
+            self.pair_text_matrix = jnp.asarray(
+                text_kv.pair_matrix(self.class_names)
+            )  # [K, K, T]
+
         self.segmenter = Mask2FormerSegmenter(
             dataclasses.replace(cfg.segmenter, num_classes=len(self.class_names))
         )
@@ -207,7 +223,7 @@ class PSGMask2FormerRelation:
 
     # ------------------------------------------------------------- inference
     @functools.partial(jax.jit, static_argnums=0)
-    def _infer_jit(self, params, image_u8, img_hw, extra):
+    def _infer_jit(self, params, image_u8, img_hw):
         c = self.cfg
         M = c.max_objects_padded
         image = normalize_image(image_u8)
@@ -255,6 +271,12 @@ class PSGMask2FormerRelation:
         else:
             tokens = pooled + cls_emb
 
+        extra = self._zero_extra(M)
+        if self.pair_text_matrix is not None:
+            # gather precomputed pair-text embeddings by predicted classes
+            extra["pair_text"] = self.pair_text_matrix[
+                labels[:, None], labels[None, :]
+            ][None]                                          # [1, M, M, T]
         scores = self._head_apply(params["head"], tokens, valid, extra)
         R = scores.shape[0]
 
@@ -300,10 +322,8 @@ class PSGMask2FormerRelation:
         return "v1"
 
     def infer(self, image_u8: np.ndarray, img_hw) -> Dict[str, Any]:
-        extra = self._host_extra()
         dev = self._infer_jit(
-            self.params, jnp.asarray(image_u8), jnp.asarray(img_hw, jnp.int32),
-            extra,
+            self.params, jnp.asarray(image_u8), jnp.asarray(img_hw, jnp.int32)
         )
         dev = jax.device_get(dev)
         valid = dev["object_valid"]

@@ -101,7 +101,10 @@ class RelationHeadV2(nn.Module):
             ).reshape(B, N * N, 2 * D)
             pair = nn.Dense(D, dtype=c.dtype, name="pvo_proj")(pair)
             pm = attention_mask[:, :, None] & attention_mask[:, None, :]
-            enc_cfg = dataclasses.replace(c.encoder, hidden_size=D)
+            enc_cfg = dataclasses.replace(
+                c.encoder, hidden_size=D,
+                max_len=max(c.encoder.max_len, N * N),
+            )
             h = BertStyleEncoder(enc_cfg, name="pvo_encoder")(
                 input_embeds=pair, attention_mask=pm.reshape(B, N * N)
             )
@@ -119,6 +122,7 @@ class RelationHeadV2(nn.Module):
             enc_cfg = dataclasses.replace(
                 c.encoder, hidden_size=D, add_cross_attention=True,
                 encoder_hidden_size=D,
+                max_len=max(c.encoder.max_len, N * N),
             )
             if "pair_text2vision" in c.experts:
                 h = BertStyleEncoder(enc_cfg, name="pt2v_encoder")(

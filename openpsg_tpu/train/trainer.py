@@ -340,9 +340,15 @@ class M2FTrainer:
         else:
             tokens = pooled + cls_emb
 
+        extra = p._host_extra()
+        if getattr(p, "pair_text_matrix", None) is not None:
+            lab = batch_i.object_labels
+            extra["pair_text"] = p.pair_text_matrix[
+                lab[:, None], lab[None, :]
+            ][None]
         scores = p._head_apply(
             {"params": trainable["head"]}, tokens, batch_i.object_valid,
-            p._host_extra(),
+            extra,
         )                                                   # [R, M, M]
         target = batch_i.relation_target.transpose(2, 0, 1)  # [R, M, M]
         if p.cfg.head_version == "v1":

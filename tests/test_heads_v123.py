@@ -254,3 +254,50 @@ class TestM2FTraining:
             lambda a, b: float(jnp.abs(a - b).max()), trainable, new_tr
         )
         assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+class TestV2TextIntegration:
+    def test_pair_text_gathered_by_label(self):
+        """v2 pipeline with a KV store: pair-text features must flow from
+        the precomputed class-pair matrix into the head (different stores
+        -> different scores)."""
+        import dataclasses as dc
+
+        import jax
+        import jax.numpy as jnp
+
+        from openpsg_tpu.data.text_kv import TextKVStore
+        from openpsg_tpu.data.vocab import OBJECT_CLASSES
+        from openpsg_tpu.models.detectors.mask2former_relation import (
+            M2FRelationConfig,
+            PSGMask2FormerRelation,
+        )
+
+        base = M2FRelationConfig.tiny_test("v2")
+        cfg = dc.replace(
+            base,
+            head_v2=dc.replace(
+                base.head_v2,
+                experts=("object_vision_only", "pair_text2vision"),
+                text_embedding_size=8,
+            ),
+        )
+        img = np.random.default_rng(0).integers(0, 255, (64, 64, 3)).astype(np.float32)
+
+        def build(table):
+            kv = TextKVStore(embedding_size=8, table=table)
+            return PSGMask2FormerRelation(
+                cfg, jax.random.PRNGKey(0), text_kv=kv
+            )
+
+        m1 = build({f"{a}#{b}": np.ones(8) for a in OBJECT_CLASSES[:5]
+                    for b in OBJECT_CLASSES[:5]})
+        assert m1.pair_text_matrix is not None
+        assert m1.pair_text_matrix.shape == (133, 133, 8)
+        r1 = m1.infer(img, (64, 64))
+        m2 = build({})  # all-zero fallback
+        r2 = m2.infer(img, (64, 64))
+        # pipelines share init rng; only the text matrix differs
+        assert (np.asarray(m1.pair_text_matrix).sum() > 0)
+        assert (np.asarray(m2.pair_text_matrix).sum() == 0)
+        assert set(r1) == set(r2) == {"pan_results", "rel_results", "rel_scores"}
