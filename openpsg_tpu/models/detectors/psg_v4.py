@@ -272,9 +272,14 @@ class PSGv4:
         }
 
         K = c.head.top_pairs
-        top_idx, top_scores = select_topk_pairs(
-            head_out["binary_logits"], pair_valid, K
-        )
+        if "binary_logits" in head_out:
+            pair_score_logits = head_out["binary_logits"]
+        else:
+            # multiclass-only configs: rank pairs by their best predicate
+            # (the reference as written NameErrors here — SURVEY.md §7.3
+            # quirk #1; this is the intended-semantics fallback)
+            pair_score_logits = jnp.max(head_out["multiclass_logits"], axis=-1)
+        top_idx, top_scores = select_topk_pairs(pair_score_logits, pair_valid, K)
         out["top_pair_idx"] = top_idx
         out["top_pair_scores"] = top_scores
 

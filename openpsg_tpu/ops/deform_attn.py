@@ -34,7 +34,8 @@ def _bilinear_gather_level(
     h: int,
     w: int,
     loc: jnp.ndarray,          # [B, Lq, n_heads, K, 2] in [0, 1] (x, y)
-) -> jnp.ndarray:              # [B, Lq, n_heads, K, head_dim]
+    attn_w: jnp.ndarray,       # [B, Lq, n_heads, K] softmaxed point weights
+) -> jnp.ndarray:              # [B, Lq, n_heads, head_dim] (K-reduced, f32)
     """Bilinearly sample one feature level at normalized locations.
 
     Follows ``grid_sample(align_corners=False)`` semantics as used by the
@@ -70,9 +71,12 @@ def _bilinear_gather_level(
     fx1 = jnp.maximum(0.0, 1.0 - jnp.abs(x - (bx + 1)))        # col bx+1
     fy0 = jnp.maximum(0.0, 1.0 - jnp.abs(y - by))
     fy1 = jnp.maximum(0.0, 1.0 - jnp.abs(y - (by + 1)))
+    # fold the per-point attention weights into the corner weights: the
+    # K-and-corner reduction then happens in ONE contraction, never
+    # materializing a [.., K, hd] intermediate
     cw = jnp.stack(
         [fx0 * fy0, fx1 * fy0, fx0 * fy1, fx1 * fy1], axis=-1
-    )                                                          # [B,Lq,nH,K,4]
+    ) * attn_w[..., None]                                      # [B,Lq,nH,K,4]
     base = by * w + bx                                         # [B,Lq,nH,K]
 
     value_bh = value.transpose(0, 2, 1, 3)                     # [B,nH,HW,hd]
@@ -94,14 +98,17 @@ def _bilinear_gather_level(
                 axis=1,
             )                                                  # [HW, 4*hd]
             g = jnp.take(quad, idx_bh[b, hh], axis=0)
-            g = g.reshape(Lq, K, 4, head_dim)
-            # corner-weighted sum in the value dtype (fp32 inputs stay
-            # fp32; bf16 inputs avoid a 2x-traffic upcast — the K-level
-            # accumulation downstream is fp32 regardless)
-            wts = cw[b, :, hh].astype(g.dtype)                 # [Lq,K,4]
-            per_h.append(jnp.sum(g * wts[..., None], axis=2))  # [Lq,K,hd]
-        per_b.append(jnp.stack(per_h, axis=1))                 # [Lq,nH,K,hd]
-    return jnp.stack(per_b, axis=0)                            # [B,Lq,nH,K,hd]
+            g = g.reshape(Lq, K * 4, head_dim)
+            # single contraction over (K, corners); fp32 accumulate
+            wts = cw[b, :, hh].reshape(Lq, K * 4)              # [Lq, K*4]
+            per_h.append(
+                jnp.einsum(
+                    "lkd,lk->ld", g.astype(jnp.float32),
+                    wts.astype(jnp.float32),
+                )
+            )                                                  # [Lq, hd] f32
+        per_b.append(jnp.stack(per_h, axis=1))                 # [Lq,nH,hd]
+    return jnp.stack(per_b, axis=0)                            # [B,Lq,nH,hd]
 
 
 def ms_deform_attn(
@@ -128,11 +135,11 @@ def ms_deform_attn(
     start = 0
     for lvl, (h, w) in enumerate(spatial_shapes):
         v_lvl = jax.lax.slice_in_dim(value, start, start + h * w, axis=1)
-        sampled = _bilinear_gather_level(
-            v_lvl, h, w, sampling_locations[:, :, :, lvl]
-        )  # [B, Lq, nH, K, hd]
-        wts = attention_weights[:, :, :, lvl][..., None]       # [B,Lq,nH,K,1]
-        out = out + jnp.sum(sampled.astype(out.dtype) * wts.astype(out.dtype), axis=3)
+        out = out + _bilinear_gather_level(
+            v_lvl, h, w,
+            sampling_locations[:, :, :, lvl],
+            attention_weights[:, :, :, lvl],
+        ).astype(out.dtype)                                    # [B,Lq,nH,hd]
         start += h * w
 
     return out.reshape(B, -1, n_heads * head_dim).astype(value.dtype)

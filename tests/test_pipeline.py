@@ -217,3 +217,18 @@ class TestBatchedInference:
         assert len(out) == 8
         for r in out:
             assert "pan_results" in r
+
+
+class TestRelClsVariants:
+    @pytest.mark.parametrize("mode", ["binary", "multiclass"])
+    def test_single_branch_configs_run(self, mode):
+        """binary-only and multiclass-only rel_cls_type must both work
+        (the reference NameErrors on binary-only at inference — SURVEY
+        §7.3 quirk #1; we implement intended semantics)."""
+        import dataclasses as dc
+
+        base = PSGv4Config.tiny_test()
+        cfg = dc.replace(base, head=dc.replace(base.head, rel_cls_type=mode))
+        p = PSGv4(cfg, jax.random.PRNGKey(0))
+        res = p.infer(_fake_image(), (64, 64))
+        assert set(res) == {"pan_results", "rel_results", "rel_scores"}
