@@ -347,8 +347,7 @@ class M2FTrainer:
                 lab[:, None], lab[None, :]
             ][None]
         scores = p._head_apply(
-            {"params": trainable["head"]}, tokens, batch_i.object_valid,
-            extra,
+            trainable["head"], tokens, batch_i.object_valid, extra,
         )                                                   # [R, M, M]
         target = batch_i.relation_target.transpose(2, 0, 1)  # [R, M, M]
         if p.cfg.head_version == "v1":

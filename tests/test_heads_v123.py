@@ -239,7 +239,7 @@ class TestM2FTraining:
             relation_target=jnp.asarray(target),
         )
         trainable = {
-            "head": p.params["head"]["params"],
+            "head": p.params["head"],
             "object_cls_embed": p.params["object_cls_embed"],
         }
         frozen = {"segmenter": p.params["segmenter"]}

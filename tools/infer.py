@@ -8,8 +8,9 @@ or explicitly:              python tools/infer.py --config C [--checkpoint D]
 Flow (reference :65-188): filter PSG json to test ids with ≥1 relation,
 run the model per image with test scale (1333, 1333), write panseg PNGs +
 relation.json.  TPU notes: the whole per-image model is one jitted call
-(compiled once — static bucket); preprocessing and PNG IO overlap with
-device compute via simple double-buffering.
+(compiled once — static square bucket; rectangular (1333, 800) scales are
+capped to the square bucket, matching the reference's infer-time override
+at :40); ``--batch-size N`` runs the dp-sharded batched path.
 """
 
 from __future__ import annotations

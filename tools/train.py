@@ -47,6 +47,8 @@ def main():
     from openpsg_tpu.data.psg_dataset import PSGDataset
     from openpsg_tpu.train.checkpoint import PartCheckpointer
     from openpsg_tpu.train.trainer import (
+        M2FTrainBatch,
+        M2FTrainer,
         TrainBatch,
         V4Trainer,
         build_llm_labels,
@@ -98,15 +100,25 @@ def main():
         weight_decay=cfg.optimizer.get("weight_decay", 0.05),
     )
 
-    trainer = V4Trainer(model)
+    from openpsg_tpu.models.detectors.psg_v4 import PSGv4
+
+    is_v4 = isinstance(model, PSGv4)
+    trainer = V4Trainer(model) if is_v4 else M2FTrainer(model)
     # map the reference freeze_layers names onto our top-level param split
     freeze_names = set(
         cfg.model.get("train_cfg", {}).get("freeze_layers", [])
         if cfg.model.get("train_cfg") else []
     )
     freeze_keys = {"segmenter", "text", "class_embeds"}
-    if any("language_model" in f or "llama" in f for f in freeze_names) or not freeze_names:
+    if is_v4 and (
+        any("language_model" in f or "llama" in f for f in freeze_names)
+        or not freeze_names
+    ):
         freeze_keys.add("llm")
+    if not is_v4:
+        # Mask2Former family: head + object class embedding train
+        trainable_keys = {"head", "object_cls_embed"}
+        freeze_keys = set(model.params) - trainable_keys
     trainable = {k: v for k, v in model.params.items() if k not in freeze_keys}
     frozen = {k: v for k, v in model.params.items() if k in freeze_keys}
     logger.info(f"trainable groups: {sorted(trainable)} frozen: {sorted(frozen)}")
@@ -126,9 +138,13 @@ def main():
 
     H, W = model._model_hw()
     preproc = Preprocessor(scale=(H, H))
-    M = model.cfg.head.max_objects_padded
-    S = model.cfg.head.sampled_qformer_batch_size
-    T = model.cfg.head.max_llm_forward_num
+    if is_v4:
+        M = model.cfg.head.max_objects_padded
+        S = model.cfg.head.sampled_qformer_batch_size
+        T = model.cfg.head.max_llm_forward_num
+    else:
+        M = model.cfg.max_objects_padded
+        S = T = 0
     L_LAB = 16
     nprng = np.random.default_rng(args.seed + (jax.process_index() if args.diff_seed else 0))
 
@@ -140,32 +156,41 @@ def main():
             arrays = {k: np.stack([e[k] for e in examples]) for k in
                       ("image", "object_masks", "object_labels", "object_valid",
                        "relation_target")}
-            qf_i, qf_w, llm_i, llm_v, lab_i, lab_m = [], [], [], [], [], []
-            for e in examples:
-                v = e["object_valid"]
-                pv = np.repeat(v, M) & np.tile(v, M)
-                qi, qw, li, lv = sample_training_pairs(
-                    nprng, e["relation_target"], pv, sample_size=S, llm_pairs=T
+            if is_v4:
+                qf_i, qf_w, llm_i, llm_v, lab_i, lab_m = [], [], [], [], [], []
+                for e in examples:
+                    v = e["object_valid"]
+                    pv = np.repeat(v, M) & np.tile(v, M)
+                    qi, qw, li, lv = sample_training_pairs(
+                        nprng, e["relation_target"], pv, sample_size=S, llm_pairs=T
+                    )
+                    ids, msk = build_llm_labels(
+                        model.tokenizer, model.relation_names,
+                        e["relation_target"], li, L_LAB,
+                    )
+                    qf_i.append(qi); qf_w.append(qw); llm_i.append(li)
+                    llm_v.append(lv); lab_i.append(ids); lab_m.append(msk)
+                batch = TrainBatch(
+                    image=jnp.asarray(arrays["image"]),
+                    object_masks=jnp.asarray(arrays["object_masks"]),
+                    object_labels=jnp.asarray(arrays["object_labels"], jnp.int32),
+                    object_valid=jnp.asarray(arrays["object_valid"]),
+                    relation_target=jnp.asarray(arrays["relation_target"]),
+                    qf_sel_idx=jnp.asarray(np.stack(qf_i)),
+                    qf_sel_weight=jnp.asarray(np.stack(qf_w)),
+                    llm_sel_idx=jnp.asarray(np.stack(llm_i)),
+                    llm_valid=jnp.asarray(np.stack(llm_v)),
+                    llm_label_ids=jnp.asarray(np.stack(lab_i)),
+                    llm_label_mask=jnp.asarray(np.stack(lab_m)),
                 )
-                ids, msk = build_llm_labels(
-                    model.tokenizer, model.relation_names,
-                    e["relation_target"], li, L_LAB,
+            else:
+                batch = M2FTrainBatch(
+                    image=jnp.asarray(arrays["image"]),
+                    object_masks=jnp.asarray(arrays["object_masks"]),
+                    object_labels=jnp.asarray(arrays["object_labels"], jnp.int32),
+                    object_valid=jnp.asarray(arrays["object_valid"]),
+                    relation_target=jnp.asarray(arrays["relation_target"]),
                 )
-                qf_i.append(qi); qf_w.append(qw); llm_i.append(li)
-                llm_v.append(lv); lab_i.append(ids); lab_m.append(msk)
-            batch = TrainBatch(
-                image=jnp.asarray(arrays["image"]),
-                object_masks=jnp.asarray(arrays["object_masks"]),
-                object_labels=jnp.asarray(arrays["object_labels"], jnp.int32),
-                object_valid=jnp.asarray(arrays["object_valid"]),
-                relation_target=jnp.asarray(arrays["relation_target"]),
-                qf_sel_idx=jnp.asarray(np.stack(qf_i)),
-                qf_sel_weight=jnp.asarray(np.stack(qf_w)),
-                llm_sel_idx=jnp.asarray(np.stack(llm_i)),
-                llm_valid=jnp.asarray(np.stack(llm_v)),
-                llm_label_ids=jnp.asarray(np.stack(lab_i)),
-                llm_label_mask=jnp.asarray(np.stack(lab_m)),
-            )
             trainable, opt_state, metrics = step_fn(
                 trainable, opt_state, frozen, batch
             )
