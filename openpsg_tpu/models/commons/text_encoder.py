@@ -44,6 +44,8 @@ class BertStyleConfig:
     use_adapters: bool = False
     adapter_reduction: int = 4        # bottleneck /4 (clip_with_adapter.py:16-27)
     num_learnable_prompts: int = 0
+    pre_ln: bool = False              # CLIP towers are pre-LN; BERT post-LN
+    quick_gelu: bool = False          # CLIP's x*sigmoid(1.702x) activation
     dtype: Any = jnp.float32
 
     @staticmethod
@@ -76,6 +78,34 @@ class _EncoderLayer(nn.Module):
         x, self_mask, enc_states, enc_mask = carry
         c = self.cfg
         D = c.hidden_size
+
+        if c.pre_ln:
+            # CLIP ordering: x += attn(LN(x)); x += mlp(LN(x))
+            h = nn.LayerNorm(dtype=c.dtype, name="attn_pre_ln")(x)
+            h = nn.MultiHeadDotProductAttention(
+                num_heads=c.num_heads, dtype=c.dtype, name="self_attn"
+            )(h, inputs_k=h, inputs_v=h, mask=self_mask[:, None])
+            if c.use_adapters:
+                h = h + _Adapter(D, c.adapter_reduction, c.dtype, name="attn_adapter")(h)
+            x = x + h
+            if c.add_cross_attention:
+                h = nn.LayerNorm(dtype=c.dtype, name="cross_pre_ln")(x)
+                h = nn.MultiHeadDotProductAttention(
+                    num_heads=c.num_heads, dtype=c.dtype, name="cross_attn"
+                )(h, inputs_k=enc_states, inputs_v=enc_states,
+                  mask=enc_mask[:, None])
+                x = x + h
+            h = nn.LayerNorm(dtype=c.dtype, name="ffn_pre_ln")(x)
+            f = nn.Dense(c.intermediate, dtype=c.dtype, name="ffn_up")(h)
+            if c.quick_gelu:
+                f = f * jax.nn.sigmoid(1.702 * f)
+            else:
+                f = nn.gelu(f, approximate=False)
+            f = nn.Dense(D, dtype=c.dtype, name="ffn_down")(f)
+            if c.use_adapters:
+                f = f + _Adapter(D, c.adapter_reduction, c.dtype, name="ffn_adapter")(h)
+            x = x + f
+            return (x, self_mask, enc_states, enc_mask), None
 
         h = nn.MultiHeadDotProductAttention(
             num_heads=c.num_heads, dtype=c.dtype, name="self_attn"
@@ -146,7 +176,8 @@ class BertStyleEncoder(nn.Module):
             )
             L = L + c.num_learnable_prompts
 
-        x = nn.LayerNorm(dtype=c.dtype, name="embed_ln")(x)
+        if not c.pre_ln:  # CLIP has no embedding LayerNorm
+            x = nn.LayerNorm(dtype=c.dtype, name="embed_ln")(x)
 
         self_mask = attention_mask[:, None, :] & attention_mask[:, :, None]
         if encoder_hidden is None:
@@ -172,6 +203,8 @@ class BertStyleEncoder(nn.Module):
             length=c.num_layers,
         )(c, name="layers")
         (x, _, _, _), _ = layer((x, self_mask, enc_states, enc_mask3), None)
+        if c.pre_ln:
+            x = nn.LayerNorm(dtype=c.dtype, name="final_ln")(x)
 
         # BERT pooler: tanh(dense(CLS)) (bert_wrapper.py:60-69).  Always
         # constructed so init creates its params regardless of call flags.

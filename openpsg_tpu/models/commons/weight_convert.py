@@ -16,10 +16,9 @@ This maps the canonical HF BERT tensor names onto our scanned
   ...output.LayerNorm                      → layers.ffn_ln
   pooler.dense                             → pooler
 
-Truncation = take the first ``num_layers`` stacked layers.  CLIP towers
-are covered at capability level by the same module; exact CLIP weight
-parity needs a pre-LN variant (tracked as follow-up; converter raises a
-clear error rather than silently mis-mapping).
+Truncation = take the first ``num_layers`` stacked layers.
+``convert_clip_text`` maps HF CLIPTextModel onto the pre-LN variant
+(``BertStyleConfig(pre_ln=True, quick_gelu=True)``).
 """
 
 from __future__ import annotations
@@ -103,9 +102,57 @@ def convert_bert(
     }
 
 
-def convert_clip_text(*args, **kwargs):
-    raise NotImplementedError(
-        "CLIP towers are pre-LN; BertStyleEncoder is post-LN. Exact CLIP "
-        "weight parity needs the pre-LN variant (follow-up); capability "
-        "parity is provided by the module itself."
-    )
+def convert_clip_text(
+    state: Mapping[str, np.ndarray],
+    cfg: BertStyleConfig,
+    prefix: str = "text_model.",
+) -> Dict[str, Any]:
+    """HF CLIPTextModel → BertStyleEncoder(pre_ln=True, quick_gelu=True).
+
+    Layout: token/position embeddings (no embedding LN), per-layer
+    layer_norm1 (pre-attn) / layer_norm2 (pre-mlp), q/k/v/out projections,
+    mlp fc1/fc2, final_layer_norm."""
+    assert cfg.pre_ln, "CLIP weights require pre_ln=True"
+    D, H = cfg.hidden_size, cfg.num_heads
+    hd = D // H
+    g = lambda k: np.asarray(state[prefix + k])
+
+    def lw(i, k):
+        return np.asarray(state[prefix + f"encoder.layers.{i}.{k}"])
+
+    def stack(fn):
+        return np.stack([fn(i) for i in range(cfg.num_layers)], 0)
+
+    layers = {
+        "attn_pre_ln": {
+            "scale": stack(lambda i: lw(i, "layer_norm1.weight")),
+            "bias": stack(lambda i: lw(i, "layer_norm1.bias")),
+        },
+        "self_attn": {
+            "query": {"kernel": stack(lambda i: _t(lw(i, "self_attn.q_proj.weight")).reshape(D, H, hd)),
+                      "bias": stack(lambda i: lw(i, "self_attn.q_proj.bias").reshape(H, hd))},
+            "key": {"kernel": stack(lambda i: _t(lw(i, "self_attn.k_proj.weight")).reshape(D, H, hd)),
+                    "bias": stack(lambda i: lw(i, "self_attn.k_proj.bias").reshape(H, hd))},
+            "value": {"kernel": stack(lambda i: _t(lw(i, "self_attn.v_proj.weight")).reshape(D, H, hd)),
+                      "bias": stack(lambda i: lw(i, "self_attn.v_proj.bias").reshape(H, hd))},
+            "out": {"kernel": stack(lambda i: _t(lw(i, "self_attn.out_proj.weight")).reshape(H, hd, D)),
+                    "bias": stack(lambda i: lw(i, "self_attn.out_proj.bias"))},
+        },
+        "ffn_pre_ln": {
+            "scale": stack(lambda i: lw(i, "layer_norm2.weight")),
+            "bias": stack(lambda i: lw(i, "layer_norm2.bias")),
+        },
+        "ffn_up": {"kernel": stack(lambda i: _t(lw(i, "mlp.fc1.weight"))),
+                   "bias": stack(lambda i: lw(i, "mlp.fc1.bias"))},
+        "ffn_down": {"kernel": stack(lambda i: _t(lw(i, "mlp.fc2.weight"))),
+                     "bias": stack(lambda i: lw(i, "mlp.fc2.bias"))},
+    }
+    return {
+        "word_embed": {"embedding": g("embeddings.token_embedding.weight")},
+        "pos_embed": g("embeddings.position_embedding.weight")[: cfg.max_len],
+        "layers": layers,
+        "final_ln": {
+            "scale": g("final_layer_norm.weight"),
+            "bias": g("final_layer_norm.bias"),
+        },
+    }

@@ -55,7 +55,11 @@ def _mask_bce(pred_logits, target):
 
 @dataclasses.dataclass
 class SegmenterTrainer:
-    """For Mask2FormerSegmenter-style outputs (cls_logits with void col)."""
+    """cls_mode='softmax_void' for Mask2Former-style outputs (void column);
+    'sigmoid' for OpenSeeD/MaskDINO-style open-vocab logits (no void —
+    unmatched queries train toward all-zero labels).  ``apply_fn``
+    overrides the forward (e.g. to close over class embeddings for the
+    open-vocab segmenter)."""
 
     segmenter: Any              # flax module: image -> {cls_logits, masks}
     num_classes: int
@@ -63,14 +67,24 @@ class SegmenterTrainer:
     mask_weight: float = 5.0
     dice_weight: float = 5.0
     void_coef: float = 0.1      # eos coefficient for unmatched queries
+    cls_mode: str = "softmax_void"
+    apply_fn: Any = None
+
+    def _forward(self, params, image):
+        if self.apply_fn is not None:
+            return self.apply_fn(params, normalize_image(image))
+        return self.segmenter.apply(params, normalize_image(image))
 
     # ------------------------------------------------------------- cost
     def cost_matrices(self, params, batch: SegTrainBatch) -> jnp.ndarray:
         """[B, Q, M] assignment costs (jitted by the caller)."""
 
         def one(image, gt_masks, gt_labels, gt_valid):
-            out = self.segmenter.apply(params, normalize_image(image))
-            logp = jax.nn.log_softmax(out["cls_logits"], -1)     # [Q, K+1]
+            out = self._forward(params, image)
+            if self.cls_mode == "softmax_void":
+                logp = jax.nn.log_softmax(out["cls_logits"], -1)  # [Q, K+1]
+            else:
+                logp = jax.nn.log_sigmoid(out["cls_logits"])      # [Q, K]
             cost_cls = -jnp.take(logp, gt_labels, axis=1)        # [Q, M]
             pm = out["masks"].reshape(out["masks"].shape[0], -1) # [Q, P]
             gm = gt_masks.reshape(gt_masks.shape[0], -1).astype(jnp.float32)
@@ -110,16 +124,33 @@ class SegmenterTrainer:
     # ------------------------------------------------------------- loss
     def loss(self, params, batch: SegTrainBatch, match: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         def one(image, gt_masks, gt_labels, gt_valid, m):
-            out = self.segmenter.apply(params, normalize_image(image))
+            out = self._forward(params, image)
             Q = out["cls_logits"].shape[0]
             matched = m >= 0
-            tgt_cls = jnp.where(
-                matched, jnp.take(gt_labels, jnp.maximum(m, 0)), self.num_classes
-            )
-            logp = jax.nn.log_softmax(out["cls_logits"], -1)
-            nll = -jnp.take_along_axis(logp, tgt_cls[:, None], 1)[:, 0]
-            w = jnp.where(matched, 1.0, self.void_coef)
-            loss_cls = jnp.sum(nll * w) / jnp.sum(w)
+            if self.cls_mode == "softmax_void":
+                tgt_cls = jnp.where(
+                    matched, jnp.take(gt_labels, jnp.maximum(m, 0)), self.num_classes
+                )
+                logp = jax.nn.log_softmax(out["cls_logits"], -1)
+                nll = -jnp.take_along_axis(logp, tgt_cls[:, None], 1)[:, 0]
+                w = jnp.where(matched, 1.0, self.void_coef)
+                loss_cls = jnp.sum(nll * w) / jnp.sum(w)
+            else:
+                # sigmoid multi-label: matched → one-hot(gt), unmatched → 0.
+                # The positive entry is 1-of-K and would get ~1/K of the
+                # gradient; weight it up (focal-style alpha balance) so the
+                # matched class actually crosses the fusion keep threshold.
+                K = out["cls_logits"].shape[-1]
+                onehot = jax.nn.one_hot(
+                    jnp.take(gt_labels, jnp.maximum(m, 0)), K
+                ) * matched[:, None]
+                lg = out["cls_logits"]
+                per = jnp.maximum(lg, 0) - lg * onehot + jnp.log1p(
+                    jnp.exp(-jnp.abs(lg))
+                )
+                elem_w = jnp.where(onehot > 0, float(K) / 2.0, 1.0)
+                w = jnp.where(matched, 1.0, self.void_coef)[:, None]
+                loss_cls = jnp.sum(per * elem_w * w) / jnp.sum(w) / K * 20.0
 
             pm = out["masks"].reshape(Q, -1)
             gm = jnp.take(

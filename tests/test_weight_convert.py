@@ -202,3 +202,49 @@ class TestBertConvert:
         )
         assert not np.allclose(np.asarray(o1), np.asarray(o2))
         assert np.isfinite(np.asarray(o1)).all()
+
+
+def synthetic_clip_state(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    D, I, V = cfg.hidden_size, cfg.intermediate, cfg.vocab_size
+    s = {
+        "text_model.embeddings.token_embedding.weight": rng.normal(size=(V, D)).astype(np.float32),
+        "text_model.embeddings.position_embedding.weight": rng.normal(size=(77, D)).astype(np.float32),
+        "text_model.final_layer_norm.weight": np.ones(D, np.float32),
+        "text_model.final_layer_norm.bias": np.zeros(D, np.float32),
+    }
+    for i in range(cfg.num_layers):
+        p = f"text_model.encoder.layers.{i}."
+        for n in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            s[p + f"self_attn.{n}.weight"] = rng.normal(size=(D, D)).astype(np.float32)
+            s[p + f"self_attn.{n}.bias"] = np.zeros(D, np.float32)
+        for n in ("layer_norm1", "layer_norm2"):
+            s[p + f"{n}.weight"] = np.ones(D, np.float32)
+            s[p + f"{n}.bias"] = np.zeros(D, np.float32)
+        s[p + "mlp.fc1.weight"] = rng.normal(size=(I, D)).astype(np.float32)
+        s[p + "mlp.fc1.bias"] = np.zeros(I, np.float32)
+        s[p + "mlp.fc2.weight"] = rng.normal(size=(D, I)).astype(np.float32)
+        s[p + "mlp.fc2.bias"] = np.zeros(D, np.float32)
+    return s
+
+
+class TestClipConvert:
+    def test_pre_ln_structure(self):
+        from openpsg_tpu.models.commons.text_encoder import (
+            BertStyleConfig,
+            BertStyleEncoder,
+        )
+        from openpsg_tpu.models.commons.weight_convert import convert_clip_text
+        from openpsg_tpu.models.llm.weight_convert import verify_structure
+
+        cfg = BertStyleConfig.tiny_test(pre_ln=True, quick_gelu=True)
+        enc = BertStyleEncoder(cfg)
+        ids = jnp.zeros((1, 5), jnp.int32)
+        init = jax.jit(lambda k: enc.init(k, token_ids=ids))(jax.random.PRNGKey(0))
+        conv = {"params": convert_clip_text(synthetic_clip_state(cfg), cfg)}
+        # CLIP has no pooler; drop ours from the comparison target
+        init_wo = {"params": {k: v for k, v in init["params"].items() if k != "pooler"}}
+        conv["params"]["pooler"] = init["params"]["pooler"]  # keep random pooler
+        verify_structure(conv, init)
+        out = enc.apply(conv, token_ids=ids)
+        assert np.isfinite(np.asarray(out)).all()
