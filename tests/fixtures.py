@@ -25,8 +25,20 @@ def make_fixture(root: str, n_images: int = 4, hw=(96, 64), seed: int = 0):
 
     data = []
     H, W = hw
+    # color-coded regions (+noise) so a from-scratch segmenter can learn
+    # appearance → class and GENERALIZE to held-out images (pure-noise
+    # images are memorizable but not learnable)
+    region_colors = np.asarray(
+        [[200, 60, 60], [60, 200, 60], [60, 60, 200]], np.int64
+    )
     for i in range(n_images):
-        img = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+        img = np.zeros((H, W, 3), np.int64)
+        img[: H // 2, : W // 2] = region_colors[0]
+        img[: H // 2, W // 2:] = region_colors[1]
+        img[H // 2:, :] = region_colors[2]
+        img = np.clip(
+            img + rng.integers(-30, 30, (H, W, 3)), 0, 255
+        ).astype(np.uint8)
         cv2.imwrite(os.path.join(img_dir, f"{i}.jpg"), img[..., ::-1])
 
         # three segments: person (thing 0), dog (thing 16), sky (stuff)

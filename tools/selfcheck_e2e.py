@@ -133,6 +133,9 @@ def main(root="/tmp/psg_selfcheck", seg_steps=600, rel_steps=400):
         if i % 100 == 0 or i == rel_steps - 1:
             print(f"  step {i}: loss={float(m['loss']):.3f} llm={float(m['rel_llm_loss']):.4f}")
     pipeline.params.update(jax.device_get(trainable))
+    import pickle
+    with open(os.path.join(root, "trained_params.pkl"), "wb") as f:
+        pickle.dump(jax.device_get(pipeline.params), f)
 
     # ---------------- phase C: inference + grading ----------------
     print("[C] held-out inference + grading")
@@ -157,9 +160,17 @@ def main(root="/tmp/psg_selfcheck", seg_steps=600, rel_steps=400):
             "gt_masks": gt_masks_l,
             "gt_triplets": [list(t) for t in d["relations"]],
         })
-        print(f"  {d['file_name']}: {len(pred_masks)} objects, "
+        classes = [oid % 1000 for oid in res["rel_results"]["object_id_list"]]
+        iou = np.zeros((len(pred_masks), len(gt_masks_l)))
+        for a, pm_ in enumerate(pred_masks):
+            for b, gm_ in enumerate(gt_masks_l):
+                inter = np.logical_and(pm_, gm_).sum()
+                union = np.logical_or(pm_, gm_).sum()
+                iou[a, b] = inter / union if union else 0
+        print(f"  {d['file_name']}: {len(pred_masks)} objects cls={classes}, "
               f"{len(res['rel_results']['relation'])} triplets "
               f"{res['rel_results']['relation'][:4]}")
+        print(f"    iou(pred x gt)=\n{np.round(iou, 2)}")
     scores = sgg_recall(images_eval, ks=(20,))
     print(f"  R@20={scores['R@20']:.1f} mR@20={scores['mR@20']:.1f}")
     ok = scores["R@20"] > 0
