@@ -32,6 +32,10 @@ def parse_args():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--diff-seed", action="store_true")
     ap.add_argument("--max-steps", type=int, default=0, help="debug cap")
+    ap.add_argument("--validate", action="store_true",
+                    help="run panoptic PQ on the val split each epoch "
+                         "(the reference's evaluation=dict(metric=['PQ']))")
+    ap.add_argument("--val-limit", type=int, default=50)
     ap.add_argument("--cfg-options", nargs="*", default=[])
     return ap.parse_args()
 
@@ -208,10 +212,64 @@ def main():
                 break
         ckpt.save(global_step, trainable, opt_state,
                   meta={"epoch": epoch + 1, "classes": model.class_names})
+        if args.validate:
+            model.params.update(jax.device_get(trainable))
+            pq = _run_pq_validation(cfg, model, preproc, args.val_limit)
+            logger.info(f"Epoch [{epoch + 1}] val " +
+                        " ".join(f"{k}: {v:.2f}" for k, v in pq.items()))
         if args.max_steps and global_step >= args.max_steps:
             break
     ckpt.close()
     logger.info("training done")
+
+
+def _run_pq_validation(cfg, model, preproc, limit):
+    """PQ over up to ``limit`` val images (evaluation=dict(metric=['PQ'])
+    parity — the reference delegates to mmdet's panoptic eval)."""
+    import numpy as np
+
+    from openpsg_tpu.data.preprocess import load_image_rgb
+    from openpsg_tpu.data.psg_dataset import PSGDataset
+    from openpsg_tpu.data.vocab import INSTANCE_OFFSET
+    from openpsg_tpu.eval.pq import VOID, panoptic_quality
+    from openpsg_tpu import native
+
+    val_cfg = cfg.data.val if "val" in cfg.data else cfg.data.test
+    ds = PSGDataset(
+        ann_file=val_cfg.ann_file, img_prefix=val_cfg.img_prefix,
+        seg_prefix=val_cfg.seg_prefix, split="val",
+    )
+    import cv2
+
+    def pairs():
+        for rec in ds.records[:limit]:
+            if not rec.pan_seg_file_name:
+                continue
+            img = load_image_rgb(
+                __import__("os").path.join(ds.img_prefix, rec.file_name)
+            )
+            ex = preproc(img)
+            res = model.infer(ex["image"].astype(np.float32), ex["img_shape"])
+            pred = cv2.resize(
+                res["pan_results"].astype(np.float64),
+                (img.shape[1], img.shape[0]),
+                interpolation=cv2.INTER_NEAREST,
+            ).astype(np.int64)
+            gt_png = load_image_rgb(
+                __import__("os").path.join(ds.seg_prefix, rec.pan_seg_file_name)
+            )
+            gt_ids = native.rgb2id(gt_png)
+            gt = np.full(gt_ids.shape, VOID, np.int64)
+            counters = {}
+            for seg in rec.segments_info:
+                c = int(seg["category"])
+                k = counters.get(c, 0)
+                counters[c] = k + 1
+                gt[gt_ids == seg["id"]] = c + INSTANCE_OFFSET * k
+            yield pred, gt
+
+    res = panoptic_quality(pairs())
+    return {k: float(v) for k, v in res.items() if not k.startswith("per_class")}
 
 
 if __name__ == "__main__":
