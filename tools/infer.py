@@ -109,17 +109,34 @@ def main():
             mesh = make_mesh(dp=ndev, tp=1)
 
     B = max(args.batch_size, 1)
-    for start in range(0, len(records), B):
+
+    # preprocessing prefetch: prepare chunk i+1 on a worker thread while
+    # the device runs chunk i (host prep otherwise serializes with compute)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _prep_chunk(chunk):
+        exs = []
+        for d in chunk:
+            img = load_image_rgb(os.path.join(data_dir, d["file_name"]))
+            ex = preproc(img)
+            ex["ori"] = img.shape[:2]
+            exs.append(ex)
+        return exs
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    chunks = [records[s : s + B] for s in range(0, len(records), B)]
+    pending = pool.submit(_prep_chunk, chunks[0]) if chunks else None
+
+    for ci, chunk in enumerate(chunks):
         import cv2
 
-        chunk = records[start : start + B]
+        start = ci * B
         with timer.section("load+preprocess"):
-            exs = []
-            for d in chunk:
-                img = load_image_rgb(os.path.join(data_dir, d["file_name"]))
-                ex = preproc(img)
-                ex["ori"] = img.shape[:2]
-                exs.append(ex)
+            exs = pending.result()
+            pending = (
+                pool.submit(_prep_chunk, chunks[ci + 1])
+                if ci + 1 < len(chunks) else None
+            )
         with timer.section("model"):
             if B == 1:
                 results = [
