@@ -43,6 +43,7 @@ def main():
     size = int(os.environ.get("BENCH_IMAGE", 1344))   # the (1333,1333) test scale
     llm_layers = int(os.environ.get("BENCH_LLM_LAYERS", 2))
     iters = int(os.environ.get("BENCH_ITERS", 4))
+    fusion_stride = int(os.environ.get("BENCH_FUSION_STRIDE", 1))  # 1 = parity
 
     cfg = PSGv4Config(
         segmenter=SegmenterConfig(dtype=jnp.bfloat16),
@@ -55,6 +56,7 @@ def main():
             ffn_hidden=11008, dtype=jnp.bfloat16,
         ),
         input_hw=(size, size),
+        fusion_stride=fusion_stride,
     )
     pipeline = PSGv4(cfg, jax.random.PRNGKey(0))
 

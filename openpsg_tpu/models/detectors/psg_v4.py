@@ -71,6 +71,11 @@ class PSGv4Config:
     iou_thr: float = 0.8
     freeze_layers: Tuple[str, ...] = ("segmenter", "llm")  # ref config :64-66
     input_hw: Optional[Tuple[int, int]] = None  # static model bucket override
+    # 1 = reference parity (fuse at full image res). 4 = fuse on the
+    # stride-4 feature grid (≈4x less fusion traffic; borderline mask
+    # pixels may differ from the reference; the emitted id map is
+    # upsampled nearest so the output surface is unchanged).
+    fusion_stride: int = 1
 
     @staticmethod
     def tiny_test(llm_vocab: int = 512) -> "PSGv4Config":
@@ -212,14 +217,16 @@ class PSGv4:
         )
 
         H, W = image.shape[:2]
+        s = max(int(c.fusion_stride), 1)
+        Hf, Wf = H // s, W // s
         masks = jax.image.resize(
-            seg_out["masks"], (seg_out["masks"].shape[0], H, W), method="bilinear"
+            seg_out["masks"], (seg_out["masks"].shape[0], Hf, Wf), method="bilinear"
         )
         # pixels outside the valid region can't belong to any segment
         # (reference strips padding before OpenSeeD, :101-103)
-        yy = jnp.arange(H)[:, None]
-        xx = jnp.arange(W)[None, :]
-        inside = (yy < img_hw[0]) & (xx < img_hw[1])
+        yy = jnp.arange(Hf)[:, None]
+        xx = jnp.arange(Wf)[None, :]
+        inside = (yy * s < img_hw[0]) & (xx * s < img_hw[1])
 
         fusion = panoptic_fusion(
             seg_out["cls_logits"], masks,
@@ -246,7 +253,10 @@ class PSGv4:
 
         # --- object masks on the stride-4 grid ---
         H4, W4 = H // 4, W // 4
-        pan4 = downsample_nearest(fusion.pan_seg, (H4, W4))
+        if (Hf, Wf) == (H4, W4):
+            pan4 = fusion.pan_seg
+        else:
+            pan4 = downsample_nearest(fusion.pan_seg, (H4, W4))
         object_masks = (pan4[None] == sel_oid[:, None, None]) & valid[:, None, None]
 
         # --- pair instructions, assembled on device ---
@@ -263,8 +273,12 @@ class PSGv4:
         )
         pair_valid = jnp.take(valid, pair_idx // M) & jnp.take(valid, pair_idx % M)
 
+        pan_full = (
+            fusion.pan_seg if s == 1
+            else downsample_nearest(fusion.pan_seg, (H, W))  # nearest upsample
+        )
         out: Dict[str, jnp.ndarray] = {
-            "pan_seg": fusion.pan_seg,
+            "pan_seg": pan_full,
             "object_ids": jnp.where(valid, sel_oid, -1),
             "object_valid": valid,
             "object_scores": obj_scores,

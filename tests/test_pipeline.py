@@ -232,3 +232,24 @@ class TestRelClsVariants:
         p = PSGv4(cfg, jax.random.PRNGKey(0))
         res = p.infer(_fake_image(), (64, 64))
         assert set(res) == {"pan_results", "rel_results", "rel_scores"}
+
+
+class TestFusionStride:
+    def test_stride4_surface_and_rough_agreement(self):
+        """fusion_stride=4 keeps the output surface; segments roughly
+        agree with the stride-1 parity path."""
+        import dataclasses as dc
+
+        cfg1 = PSGv4Config.tiny_test()
+        cfg4 = dc.replace(cfg1, fusion_stride=4)
+        p1 = PSGv4(cfg1, jax.random.PRNGKey(0))
+        p4 = PSGv4(cfg4, jax.random.PRNGKey(0))
+        img = _fake_image()
+        r1 = p1.infer(img, (64, 64))
+        r4 = p4.infer(img, (64, 64))
+        assert r4["pan_results"].shape == r1["pan_results"].shape
+        # same surviving object set (coarse fusion changes borderline
+        # pixels, not which segments exist, on well-separated masks)
+        assert set(r4["rel_results"]["object_id_list"]) == set(
+            r1["rel_results"]["object_id_list"]
+        )
