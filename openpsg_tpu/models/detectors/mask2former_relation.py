@@ -346,3 +346,54 @@ class PSGMask2FormerRelation:
         if self.cfg.head_version != "v2":
             return {}
         return {k: v for k, v in self._zero_extra(M).items()}
+
+    # ------------------------------------------------------- batched/sharded
+    def make_batch_infer(self, mesh=None):
+        """Data-parallel batched inference (see PSGv4.make_batch_infer)."""
+        impl = self._infer_jit.__wrapped__
+
+        def one(params, image, hw):
+            return impl(self, params, image, hw)
+
+        batched = jax.vmap(one, in_axes=(None, 0, 0))
+        if mesh is None:
+            return jax.jit(batched)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.jit(
+            batched,
+            in_shardings=(
+                NamedSharding(mesh, P()),
+                NamedSharding(mesh, P("dp")),
+                NamedSharding(mesh, P("dp")),
+            ),
+            out_shardings=NamedSharding(mesh, P("dp")),
+        )
+
+    def infer_batch(self, images: np.ndarray, img_hws: np.ndarray, mesh=None):
+        if not hasattr(self, "_batch_fn_cache"):
+            self._batch_fn_cache = {}
+        key = (images.shape[0], mesh is not None)
+        if key not in self._batch_fn_cache:
+            self._batch_fn_cache[key] = self.make_batch_infer(mesh)
+        dev = self._batch_fn_cache[key](
+            self.params, jnp.asarray(images), jnp.asarray(img_hws, jnp.int32)
+        )
+        dev = jax.device_get(dev)
+        out = []
+        for i in range(images.shape[0]):
+            single = jax.tree_util.tree_map(lambda x: x[i], dev)
+            valid = single["object_valid"]
+            object_id_list = [int(x) for x in single["object_ids"][valid]]
+            rel, scores = [], []
+            for (s, o, r), sc in zip(single["triplets"], single["triplet_scores"]):
+                if sc <= 0:
+                    continue
+                rel.append([int(s), int(o), int(r)])
+                scores.append(float(sc))
+            out.append({
+                "pan_results": single["pan_seg"],
+                "rel_results": {"object_id_list": object_id_list, "relation": rel},
+                "rel_scores": scores,
+            })
+        return out

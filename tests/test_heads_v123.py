@@ -301,3 +301,25 @@ class TestV2TextIntegration:
         assert (np.asarray(m1.pair_text_matrix).sum() > 0)
         assert (np.asarray(m2.pair_text_matrix).sum() == 0)
         assert set(r1) == set(r2) == {"pan_results", "rel_results", "rel_scores"}
+
+
+class TestM2FBatchedInference:
+    def test_batch_matches_single(self):
+        import jax
+
+        from openpsg_tpu.models.detectors.mask2former_relation import (
+            M2FRelationConfig,
+            PSGMask2FormerRelation,
+        )
+
+        m = PSGMask2FormerRelation(
+            M2FRelationConfig.tiny_test("v1"), jax.random.PRNGKey(0)
+        )
+        rng = np.random.default_rng(2)
+        imgs = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.float32)
+        hws = np.asarray([[64, 64], [60, 60]], np.int32)
+        batched = m.infer_batch(imgs, hws)
+        singles = [m.infer(imgs[i], tuple(hws[i])) for i in range(2)]
+        for b, s in zip(batched, singles):
+            np.testing.assert_array_equal(b["pan_results"], s["pan_results"])
+            assert b["rel_results"]["relation"] == s["rel_results"]["relation"]
