@@ -155,3 +155,33 @@ class TestHeadForward:
             np.asarray(full["binary_logits"])[np.asarray(sel)],
             atol=1e-5,
         )
+
+
+class TestHFTokenizerAdapter:
+    def test_wordpiece_roundtrip(self, tmp_path):
+        """Adapter over a real transformers tokenizer built from a tiny
+        constructed vocab file."""
+        from openpsg_tpu.models.relation.hf_tokenizer import HFTokenizer
+
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "is", "there", "a",
+                 "relation", "between", "person", "sky", "and", "?", "on"]
+        vf = tmp_path / "vocab.txt"
+        vf.write_text("\n".join(vocab))
+        from transformers import BertTokenizerFast
+
+        tok = HFTokenizer(BertTokenizerFast(vocab_file=str(vf), do_lower_case=True))
+        assert tok.vocab_size >= len(vocab)  # fast tokenizers may add [MASK]
+        assert tok.pad_id == 0
+
+        ids, mask = tok.encode_batch(
+            ["is there a relation between person and sky ?"], 16
+        )
+        assert ids.shape == (1, 16)
+        assert mask[0].sum() == 9
+        decoded = tok.decode(ids[0][mask[0]]).replace(" ?", "?").replace("?", " ?")
+        assert decoded == "is there a relation between person and sky ?"
+
+        # left padding parity with the reference's llm prompts
+        ids_l, mask_l = tok.encode_batch(["on"], 4, padding_side="left")
+        assert not mask_l[0, 0] and mask_l[0, -1]
+        assert ids_l[0, -1] == vocab.index("on")
