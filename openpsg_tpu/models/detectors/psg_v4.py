@@ -41,6 +41,7 @@ from openpsg_tpu.models.relation.head_v4 import (
     assemble_pair_instructions,
     build_instruction_table,
     multiclass_topk_triplets,
+    right_align,
     select_topk_pairs,
 )
 from openpsg_tpu.models.relation.tokenizer import build_prompt_tokenizer
@@ -311,6 +312,9 @@ class PSGv4:
             jnp.take(sub_lab, top_idx),
             jnp.take(obj_lab, top_idx),
         )
+        # last prefix slot must be a REAL token (generation queries there;
+        # pretrained LLMs never query from pad positions)
+        p_ids, p_mask = right_align(p_ids, p_mask)
         p_emb = self.llm.apply(
             params["llm"], p_ids, method=lambda m, i: m.embed(i)
         )

@@ -83,6 +83,25 @@ def build_instruction_table(tokenizer: WordTokenizer, class_names, template: str
     return parts
 
 
+def right_align(ids: jnp.ndarray, mask: jnp.ndarray):
+    """Shift each row so its LAST real token sits in the last column
+    (pads wrap to the front; token order preserved).
+
+    Needed for LLM prompts: generation reads logits at the final slot, and
+    a pretrained LLM has never queried from a pad position — the reference
+    guarantees this via left-padded tokenization (:262); our device-side
+    assembly right-pads, so we re-align with one gather."""
+    NP, L = ids.shape
+    last_real = L - 1 - jnp.argmax(mask[:, ::-1], axis=1)      # [NP]
+    shift = (L - 1 - last_real)[:, None]                        # right shift
+    cols = jax.lax.broadcasted_iota(jnp.int32, (NP, L), 1)
+    src = (cols - shift) % L
+    return (
+        jnp.take_along_axis(ids, src, axis=1),
+        jnp.take_along_axis(mask, src, axis=1),
+    )
+
+
 def assemble_pair_instructions(parts, sub_labels: jnp.ndarray, obj_labels: jnp.ndarray):
     """Device-side: [NP] class labels → ([NP, max_len] ids, [NP, max_len] mask).
 

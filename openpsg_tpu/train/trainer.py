@@ -33,7 +33,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from openpsg_tpu.models.relation.head_v4 import assemble_pair_instructions
+from openpsg_tpu.models.relation.head_v4 import (
+    assemble_pair_instructions,
+    right_align,
+)
 from openpsg_tpu.train import losses
 from openpsg_tpu.models.segmenter.openseed import normalize_image
 
@@ -170,6 +173,9 @@ class V4Trainer:
             jnp.take(sub_lab, batch_i.llm_sel_idx),
             jnp.take(obj_lab, batch_i.llm_sel_idx),
         )
+        # align the prompt's last real token to the prompt/label boundary
+        # (same convention as inference; see right_align docstring)
+        p_ids, p_mask = right_align(p_ids, p_mask)
         lab_ids = batch_i.llm_label_ids
         lab_mask = batch_i.llm_label_mask
         emb = p.llm.apply(

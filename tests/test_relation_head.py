@@ -185,3 +185,18 @@ class TestHFTokenizerAdapter:
         ids_l, mask_l = tok.encode_batch(["on"], 4, padding_side="left")
         assert not mask_l[0, 0] and mask_l[0, -1]
         assert ids_l[0, -1] == vocab.index("on")
+
+
+class TestRightAlign:
+    def test_alignment(self):
+        from openpsg_tpu.models.relation.head_v4 import right_align
+
+        ids = jnp.asarray([[5, 0, 6, 0, 0], [1, 2, 3, 4, 5]], jnp.int32)
+        mask = ids != 0
+        a_ids, a_mask = right_align(ids, mask)
+        a_ids, a_mask = np.asarray(a_ids), np.asarray(a_mask)
+        # row 0: trailing pads wrapped to front; interior hole preserved
+        assert list(a_ids[0]) == [0, 0, 5, 0, 6]
+        assert a_mask[0, -1] and not a_mask[0, 0]
+        # full row unchanged
+        assert list(a_ids[1]) == [1, 2, 3, 4, 5]
