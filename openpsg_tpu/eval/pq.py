@@ -54,16 +54,20 @@ def panoptic_quality(
             p = int(np.int32(k & 0xFFFFFFFF))
             inter[(g, p)] = int(c)
 
+        # per-pred intersection with the GT void region (panopticapi: void
+        # overlap is excluded from the match union, and unmatched preds
+        # mostly covered by void are not counted as FP)
+        pred_void = {
+            p: c for (g, p), c in inter.items() if g == VOID and p != VOID
+        }
+
         matched_gt, matched_pred = set(), set()
         for (g, p), c in inter.items():
             if g == VOID or p == VOID:
                 continue
             if g % INSTANCE_OFFSET != p % INSTANCE_OFFSET:
                 continue  # classes must match
-            union = gt_seg[g] + pred_seg[p] - c
-            # void overlap is excluded from union per the official metric;
-            # approximated here as plain union (void pixels are rare and
-            # never co-labelled in our emitters)
+            union = gt_seg[g] + pred_seg[p] - c - pred_void.get(p, 0)
             iou = c / union
             if iou > 0.5:
                 cls = g % INSTANCE_OFFSET
@@ -76,6 +80,8 @@ def panoptic_quality(
                 fn[g % INSTANCE_OFFSET] += 1
         for p in pred_seg:
             if p not in matched_pred:
+                if pred_void.get(p, 0) / pred_seg[p] > 0.5:
+                    continue  # mostly void-covered: ignored, not an FP
                 fp[p % INSTANCE_OFFSET] += 1
 
     denom = tp + fp / 2.0 + fn / 2.0

@@ -41,7 +41,14 @@ def sgg_recall(
         pred_triplets [[s, o, r], ...] ranked best-first (0-indexed rel)
         gt_masks    [Ng, H, W] bool
         gt_triplets [[s, o, r], ...]
+        pred_labels [Np] int (optional) — object category per pred mask
+        gt_labels   [Ng] int (optional)
     → {"R@20": ..., "mR@20": ..., ...}
+
+    The standard PSG protocol requires the predicted subject/object
+    *categories* to match GT in addition to mask IoU > 0.5; label checks
+    are enforced whenever both label lists are provided (grading without
+    them inflates recall — wrong-class masks with good overlap count).
     """
     per_k_hits = {k: [] for k in ks}
     per_k_cls_hits = {k: np.zeros(num_predicates) for k in ks}
@@ -53,12 +60,17 @@ def sgg_recall(
             continue
         pred = [tuple(t) for t in im["pred_triplets"]]
         pm, gm = im["pred_masks"], im["gt_masks"]
+        pl, gl = im.get("pred_labels"), im.get("gt_labels")
 
-        # precompute IoU between every pred and gt object
+        # precompute IoU between every pred and gt object; entity match =
+        # IoU > thr AND (when labels are given) same category
         iou = np.zeros((len(pm), len(gm)))
         for i in range(len(pm)):
             for j in range(len(gm)):
                 iou[i, j] = _mask_iou(pm[i], gm[j])
+        ent = iou > iou_thr
+        if pl is not None and gl is not None:
+            ent &= np.asarray(pl)[:, None] == np.asarray(gl)[None, :]
 
         for k in ks:
             matched = set()
@@ -68,7 +80,7 @@ def sgg_recall(
                 for gi, (gs, go, gr) in enumerate(gt):
                     if gi in matched or pr != gr:
                         continue
-                    if iou[ps, gs] > iou_thr and iou[po, go] > iou_thr:
+                    if ent[ps, gs] and ent[po, go]:
                         matched.add(gi)
                         break
             per_k_hits[k].append(len(matched) / len(gt))

@@ -88,6 +88,41 @@ class PSGv4Config:
         )
 
 
+def select_objects(
+    survive: jnp.ndarray,      # [Q] bool
+    object_ids: jnp.ndarray,   # [Q] i32 mmdet-scheme panoptic ids
+    max_objects_padded: int,
+    max_object_num: int,
+):
+    """Pick ≤max_object_num surviving queries, ascending oid, one per oid.
+
+    Fusion merges same-class stuff queries into ONE segment, so two
+    survivors can carry the same oid — only the first is kept (the
+    reference derives its object list via ``unique()``; duplicate slots
+    would emit identical segments_info entries, leave one of them with an
+    empty reconstructed mask after PNG repainting, and waste the 30-object
+    cap and the top-20 pair budget).
+
+    → (sel [M] indices into queries, sel_oid [M], valid [M])"""
+    M = max_objects_padded
+    key = jnp.where(survive, object_ids, _INT_SENTINEL)
+    if key.shape[0] < M:  # fewer queries than object slots: pad
+        key = jnp.concatenate(
+            [key, jnp.full((M - key.shape[0],), _INT_SENTINEL, key.dtype)]
+        )
+    qi = jnp.arange(key.shape[0])
+    dup = jnp.any(
+        (key[None, :] == key[:, None]) & (qi[None, :] < qi[:, None]), axis=1
+    )
+    key = jnp.where(dup, _INT_SENTINEL, key)
+    order = jnp.argsort(key)
+    sel = order[:M]
+    sel_oid = jnp.take(key, sel)
+    valid = (sel_oid != _INT_SENTINEL) & (jnp.arange(M) < max_object_num)
+    sel_oid = jnp.where(valid, sel_oid, 0)
+    return sel, sel_oid, valid
+
+
 @DETECTORS.register_module(name="OpenSeeDRelationV2")
 class PSGv4:
     """Builds params, tokenizer tables and the jitted inference program."""
@@ -237,18 +272,9 @@ class PSGv4:
         )
 
         # --- object selection: ascending oid (reference unique()), cap 30 ---
-        key = jnp.where(fusion.survive, fusion.object_ids, _INT_SENTINEL)
-        if key.shape[0] < M:  # fewer queries than object slots: pad
-            key = jnp.concatenate(
-                [key, jnp.full((M - key.shape[0],), _INT_SENTINEL, key.dtype)]
-            )
-        order = jnp.argsort(key)
-        sel = order[:M]
-        sel_oid = jnp.take(key, sel)
-        valid = (sel_oid != _INT_SENTINEL) & (
-            jnp.arange(M) < c.head.max_object_num
+        sel, sel_oid, valid = select_objects(
+            fusion.survive, fusion.object_ids, M, c.head.max_object_num
         )
-        sel_oid = jnp.where(valid, sel_oid, 0)
         labels = (sel_oid % INSTANCE_OFFSET).astype(jnp.int32)
         obj_scores = jnp.take(fusion.query_scores, sel)
 

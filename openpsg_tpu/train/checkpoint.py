@@ -50,6 +50,21 @@ class PartCheckpointer:
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
 
+    def step_for_epoch(self, epoch: int) -> Optional[int]:
+        """Map a 1-indexed epoch to the orbax step it was saved under.
+
+        tools/train.py keys checkpoints by global_step but records
+        ``meta['epoch']`` — this restores the reference's
+        ``epoch_N.pth`` addressing (``python tools/infer.py <tag> <epoch>``,
+        reference tools/infer.py:264-269) without renaming on disk."""
+        for step in sorted(self.manager.all_steps()):
+            out = self.manager.restore(
+                step, args=ocp.args.Composite(meta=ocp.args.JsonRestore())
+            )
+            if out["meta"].get("epoch") == epoch:
+                return step
+        return None
+
     def restore(
         self,
         step: Optional[int] = None,
@@ -76,6 +91,27 @@ class PartCheckpointer:
 
     def close(self):
         self.manager.close()
+
+
+def freeze_keys_from_config(cfg, params: Dict[str, Any], is_v4: bool):
+    """Map the reference's ``train_cfg.freeze_layers`` names (prefix-match
+    contract, openseed_relation_v2.py:71-79) onto our top-level param keys.
+
+    Shared by tools/train.py (what to optimize/save) and tools/infer.py
+    (which groups a part-checkpoint contains)."""
+    model_cfg = cfg.model if hasattr(cfg, "model") else cfg.get("model", {})
+    train_cfg = model_cfg.get("train_cfg") or {}
+    freeze_names = set(train_cfg.get("freeze_layers", []))
+    if not is_v4:
+        # Mask2Former family: head + object class embedding train
+        return set(params) - {"head", "object_cls_embed"}
+    freeze_keys = {"segmenter", "text", "class_embeds"}
+    if (
+        any("language_model" in f or "llama" in f for f in freeze_names)
+        or not freeze_names
+    ):
+        freeze_keys.add("llm")
+    return freeze_keys
 
 
 def split_trainable(params: Dict[str, Any], freeze_keys: Tuple[str, ...]):

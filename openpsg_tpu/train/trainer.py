@@ -162,8 +162,14 @@ class V4Trainer:
         # LLM pair wasn't qformer-sampled (reference :178-186, 294)
         T = batch_i.llm_sel_idx.shape[0]
         match = (
-            batch_i.llm_sel_idx[:, None] == batch_i.qf_sel_idx[None, :]
+            (batch_i.llm_sel_idx[:, None] == batch_i.qf_sel_idx[None, :])
+            & (batch_i.qf_sel_weight[None, :] > 0)  # padding slots alias idx 0
         ).astype(head_out["llm_visual_tokens"].dtype)            # [T, S]
+        # normalize: sampling-with-replacement can list a pair several times;
+        # duplicates carry identical Q-Former features, so averaging == the
+        # reference's buffer-overwrite semantics (a plain sum would double
+        # the feature magnitude per duplicate)
+        match = match / jnp.maximum(match.sum(-1, keepdims=True), 1.0)
         vis = jnp.einsum(
             "ts,srd->trd", match, head_out["llm_visual_tokens"]
         )                                                         # [T, Rq, D]

@@ -34,6 +34,19 @@ class TestPartCheckpointer:
         assert s2 == 2 and meta2["epoch"] == 2
         ckpt.close()
 
+    def test_step_for_epoch(self, tmp_path):
+        # tools/train.py keys checkpoints by global_step but the infer CLI
+        # addresses them by EPOCH (reference epoch_N.pth surface)
+        ckpt = PartCheckpointer(str(tmp_path / "ck"), max_keep=3)
+        params = {"head": {"w": jnp.arange(4.0)}}
+        opt_state = optax.adam(1e-3).init(params)
+        for epoch, step in ((1, 100), (2, 200), (3, 300)):
+            ckpt.save(step, params, opt_state, meta={"epoch": epoch})
+        assert ckpt.step_for_epoch(2) == 200
+        assert ckpt.step_for_epoch(3) == 300
+        assert ckpt.step_for_epoch(9) is None
+        ckpt.close()
+
     def test_empty_dir_raises(self, tmp_path):
         ckpt = PartCheckpointer(str(tmp_path / "empty"))
         assert ckpt.latest_step() is None

@@ -40,6 +40,33 @@ class TestPQ:
         res = panoptic_quality([(pred, gt)])
         assert res["PQ"] == 0.0
 
+    def test_void_overlap_excluded_from_union(self):
+        # gt: class-5 covers rows 0-8, rest is void; pred class-5 covers all
+        # 16 rows.  Raw IoU = 8/16 = 0.5 (no match) but the official metric
+        # removes the 8 void rows from the union → IoU = 1.0.
+        gt = _map(16, 16, [(5, 0, 8, 0, 16)])
+        pred = _map(16, 16, [(5, 0, 16, 0, 16)])
+        res = panoptic_quality([(pred, gt)])
+        assert res["PQ"] == 100.0
+
+    def test_mostly_void_pred_not_fp(self):
+        # unmatched pred segment with >50% void overlap is ignored, not FP
+        gt = _map(16, 16, [(5, 0, 8, 0, 16)])          # rows 8-16 void
+        pred = _map(16, 16, [(5, 0, 8, 0, 16), (9, 7, 16, 0, 16)])
+        # pred seg 9 overwrites row 7: rows 7-16 (9 rows), 8 void → 89% void
+        # pred seg 5 keeps rows 0-7: IoU vs gt = 7/8 = 0.875 → matched
+        res = panoptic_quality([(pred, gt)])
+        np.testing.assert_allclose(res["PQ"], 87.5)  # void FP discarded
+
+    def test_half_void_pred_still_fp(self):
+        # unmatched pred seg exactly 50% void-covered: NOT discarded (>0.5
+        # is strict), so it counts as a false positive
+        gt = _map(16, 16, [(5, 0, 8, 0, 16)])          # rows 8-16 void
+        pred = _map(16, 16, [(5, 0, 5, 0, 16), (9, 5, 11, 0, 16)])
+        # pred seg 9: rows 5-11 (6 rows), 3 of them void → exactly 0.5
+        res = panoptic_quality([(pred, gt)])
+        assert 0.0 < res["PQ"] < 100.0
+
 
 class TestSGGRecall:
     def _image(self):
@@ -70,6 +97,22 @@ class TestSGGRecall:
         res = sgg_recall([im], ks=(20, 50))
         assert res["R@20"] == 0.0
         assert res["R@50"] == 100.0
+
+    def test_wrong_object_class_no_match(self):
+        # same masks, but the predicted subject carries the wrong category:
+        # the PSG protocol requires label equality, not just IoU > 0.5
+        im = self._image()
+        im["pred_labels"] = [11, 22]
+        im["gt_labels"] = [10, 22]
+        res = sgg_recall([im], ks=(20,))
+        assert res["R@20"] == 0.0
+
+    def test_labels_matching_recovers_recall(self):
+        im = self._image()
+        im["pred_labels"] = [10, 22]
+        im["gt_labels"] = [10, 22]
+        res = sgg_recall([im], ks=(20,))
+        assert res["R@20"] == 100.0
 
     def test_mean_recall_per_class(self):
         im1 = self._image()                       # predicate 3 matched

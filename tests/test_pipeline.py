@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from openpsg_tpu.models.detectors.psg_v4 import PSGv4, PSGv4Config
+from openpsg_tpu.models.detectors.psg_v4 import PSGv4, PSGv4Config, select_objects
 from openpsg_tpu.train.trainer import (
     TrainBatch,
     V4Trainer,
@@ -32,6 +32,26 @@ def tiny_pipeline():
 def _fake_image(H=64, W=64):
     rng = np.random.default_rng(0)
     return rng.integers(0, 255, (H, W, 3)).astype(np.float32)
+
+
+class TestSelectObjects:
+    def test_duplicate_oids_deduped(self):
+        # fusion merges same-class stuff queries: queries 1 and 3 both carry
+        # oid 7 — only the first survives selection
+        survive = jnp.asarray([True, True, False, True, True])
+        oids = jnp.asarray([2005, 7, 7, 7, 1005])
+        sel, sel_oid, valid = select_objects(survive, oids, 8, 8)
+        got = sorted(np.asarray(sel_oid)[np.asarray(valid)].tolist())
+        assert got == [7, 1005, 2005]
+        assert int(valid.sum()) == 3
+
+    def test_cap_and_padding(self):
+        survive = jnp.ones((6,), bool)
+        oids = jnp.arange(6, dtype=jnp.int32) + 10
+        sel, sel_oid, valid = select_objects(survive, oids, 8, max_object_num=4)
+        assert int(valid.sum()) == 4          # capped at max_object_num
+        got = np.asarray(sel_oid)[np.asarray(valid)].tolist()
+        assert got == [10, 11, 12, 13]        # ascending oid order
 
 
 class TestInference:

@@ -6,7 +6,8 @@ reference README points at (README.md:34-40): reads
 ``submission/panseg/*.png`` + ``submission/relation.json`` produced by
 tools/infer.py, reconstructs per-image predicted masks/triplets, and
 scores them against the GT panoptic PNGs + relations with the standard
-PSG protocol (mask IoU > 0.5, predicate exact match).
+PSG protocol (mask IoU > 0.5, subject/object category match, predicate
+exact match).
 """
 
 from __future__ import annotations
@@ -31,8 +32,10 @@ def load_submission_image(sub_dir, rec):
     png = cv2.imread(os.path.join(sub_dir, "panseg", rec["pan_seg_file_name"]))
     ids = rgb2id(png[..., ::-1])
     masks = [ids == seg["id"] for seg in rec["segments_info"]]
+    # submission category_id is 1-indexed (SubmissionWriter) → back to 0-idx
+    labels = [seg["category_id"] - 1 for seg in rec["segments_info"]]
     triplets = [[s, o, r - 1] for s, o, r in rec["relations"]]  # back to 0-idx
-    return masks, triplets
+    return masks, labels, triplets
 
 
 def main():
@@ -61,10 +64,11 @@ def main():
 
     images = []
     for rec, gt_rec in zip(submission, gt_records):
-        pred_masks, pred_triplets = load_submission_image(sub_dir, rec)
+        pred_masks, pred_labels, pred_triplets = load_submission_image(sub_dir, rec)
         gt_png = cv2.imread(os.path.join(args.data_dir, gt_rec["pan_seg_file_name"]))
         gt_ids = rgb2id(gt_png[..., ::-1])
         gt_masks = [gt_ids == seg["id"] for seg in gt_rec["segments_info"]]
+        gt_labels = [seg["category_id"] for seg in gt_rec["segments_info"]]
         # resize pred masks to GT resolution if they differ
         if pred_masks and pred_masks[0].shape != gt_ids.shape:
             pred_masks = [
@@ -76,8 +80,10 @@ def main():
             ]
         images.append({
             "pred_masks": pred_masks,
+            "pred_labels": pred_labels,
             "pred_triplets": pred_triplets,
             "gt_masks": gt_masks,
+            "gt_labels": gt_labels,
             "gt_triplets": [list(t) for t in gt_rec["relations"]],
         })
 

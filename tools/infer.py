@@ -68,12 +68,26 @@ def main():
 
     model = build_detector_from_config(cfg, jax.random.PRNGKey(args.seed))
     if args.checkpoint and os.path.isdir(args.checkpoint):
+        from openpsg_tpu.models.detectors.psg_v4 import PSGv4
+        from openpsg_tpu.train.checkpoint import freeze_keys_from_config
+
         ckpt = PartCheckpointer(args.checkpoint)
-        params, _, _, step = ckpt.restore(
-            step=args.epoch, like_params={"head": model.params["head"]}
-        )
+        # checkpoints are keyed by global_step; the CLI takes an EPOCH
+        # (reference epoch_N.pth surface) — map via the saved meta
+        step = None
+        if args.epoch is not None:
+            step = ckpt.step_for_epoch(args.epoch)
+            if step is None:
+                raise FileNotFoundError(
+                    f"no checkpoint for epoch {args.epoch} in {args.checkpoint}"
+                )
+        # part-checkpoints hold exactly the groups the config trains
+        freeze = freeze_keys_from_config(cfg, model.params, isinstance(model, PSGv4))
+        like = {k: v for k, v in model.params.items() if k not in freeze}
+        params, _, meta, step = ckpt.restore(step=step, like_params=like)
         model.params.update(params)
-        print(f"restored trainable params from step {step}")
+        print(f"restored trainable params from step {step} "
+              f"(epoch {meta.get('epoch')})")
 
     with open(test_file, "r", encoding="utf-8") as f:
         dataset = json.load(f)

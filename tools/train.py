@@ -109,20 +109,9 @@ def main():
     is_v4 = isinstance(model, PSGv4)
     trainer = V4Trainer(model) if is_v4 else M2FTrainer(model)
     # map the reference freeze_layers names onto our top-level param split
-    freeze_names = set(
-        cfg.model.get("train_cfg", {}).get("freeze_layers", [])
-        if cfg.model.get("train_cfg") else []
-    )
-    freeze_keys = {"segmenter", "text", "class_embeds"}
-    if is_v4 and (
-        any("language_model" in f or "llama" in f for f in freeze_names)
-        or not freeze_names
-    ):
-        freeze_keys.add("llm")
-    if not is_v4:
-        # Mask2Former family: head + object class embedding train
-        trainable_keys = {"head", "object_cls_embed"}
-        freeze_keys = set(model.params) - trainable_keys
+    from openpsg_tpu.train.checkpoint import freeze_keys_from_config
+
+    freeze_keys = freeze_keys_from_config(cfg, model.params, is_v4)
     trainable = {k: v for k, v in model.params.items() if k not in freeze_keys}
     frozen = {k: v for k, v in model.params.items() if k in freeze_keys}
     logger.info(f"trainable groups: {sorted(trainable)} frozen: {sorted(frozen)}")
