@@ -25,10 +25,12 @@ num_relation_classes = len(relation_classes)  # 56
 
 model = dict(
     type='OpenSeeDRelationV2',
-    # checkpoint paths are optional on TPU: weights convert via
-    # openpsg_tpu.models.segmenter.weight_convert when provided
+    # checkpoint paths are optional on TPU: run tools/convert_openseed.py on
+    # the published model_state_dict_swint_51.2ap.pt to produce
+    # segmenter.msgpack + class_embeds.npy, then point these at them
     openseed_config_path='',
     openseed_pretrained_path='',
+    precomputed_class_embeds='',
     thing_classes=thing_classes,
     stuff_classes=stuff_classes,
     relation_head=dict(

@@ -105,10 +105,43 @@ def build_detector_from_config(cfg, rng: Optional[jax.Array] = None):
             head=_head_cfg_from_dict(head_dict, tpu),
             llm=_llm_cfg_from_dict(head_dict, tpu),
         )
-        return PSGv4(
+        # real tokenizers (reference: SentencePiece for the LLM, wordpiece
+        # for the Q-Former, relation_transformer_head_v4.py:85-86, 99-105).
+        # Accept explicit *_tokenizer_path fields or model-name fields that
+        # resolve to local directories; default closed-vocab word tokenizer.
+        import os
+
+        def _hf_tok(*keys):
+            from openpsg_tpu.models.relation.hf_tokenizer import HFTokenizer
+
+            for k in keys:
+                p = head_dict.get(k)
+                if p and os.path.exists(str(p)):
+                    return HFTokenizer.from_pretrained(str(p))
+            return None
+
+        model = PSGv4(
             pcfg, rng, class_names=class_names,
             relation_names=relations or None, num_things=num_things,
+            precomputed_class_embeds=model_cfg.get("precomputed_class_embeds")
+            or None,
+            tokenizer=_hf_tok("tokenizer_path", "llm_model_name"),
+            qformer_tokenizer=_hf_tok(
+                "qformer_tokenizer_path", "qformer_model_name"
+            ),
         )
+        # converted OpenSeeD trunk (reference: from_pretrained at init,
+        # openseed_relation_v2.py:37-41)
+        seg_path = model_cfg.get("openseed_pretrained_path")
+        if seg_path:
+            import os
+
+            if os.path.exists(seg_path):
+                model.load_segmenter_weights(seg_path)
+            else:
+                print(f"[builder] openseed_pretrained_path {seg_path!r} "
+                      "not found — using random segmenter init")
+        return model
 
     if mtype in ("Mask2FormerRelation", "Mask2FormerRelationV2", "OpenSeeDRelation"):
         return _build_m2f_family(cfg, model_cfg, head_dict, tpu, rng,
@@ -156,13 +189,20 @@ def _build_m2f_family(cfg, model_cfg, head_dict, tpu, rng, class_names,
         dtype=dtype,
     ) if preset != "tiny" else BertStyleConfig.tiny_test()
 
+    use_prompts = bool(head_dict.get("use_relation_prompts", False))
+    pred_type = head_dict.get("pred_type", "attention")
     v1 = HeadV1Config(
         encoder=enc,
         input_feature_size=head_dict.get("input_feature_size", seg.mask_dim),
         output_feature_size=head_dict.get("output_feature_size", 768)
         if preset != "tiny" else 32,
         num_relation_classes=len(relations) or 56,
-        pred_type=head_dict.get("pred_type", "attention"),
+        pred_type=pred_type if not use_prompts else "attention",
+        use_relation_prompts=use_prompts,
+        # on the prompt path the reference's pred_type selects the
+        # InteractiveFusionModule scoring mode (einsum/einsum_v1/...)
+        fusion_pred_type=pred_type if use_prompts else "einsum",
+        semantic_type=head_dict.get("semantic_type", "relation_classes"),
         loss_type=head_dict.get("loss_type", "v1"),
         loss_weight=head_dict.get("loss_weight", 50.0),
         loss_alpha=head_dict.get("loss_alpha", 1.0),

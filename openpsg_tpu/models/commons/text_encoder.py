@@ -46,6 +46,8 @@ class BertStyleConfig:
     num_learnable_prompts: int = 0
     pre_ln: bool = False              # CLIP towers are pre-LN; BERT post-LN
     quick_gelu: bool = False          # CLIP's x*sigmoid(1.702x) activation
+    causal: bool = False              # CLIP text attention is causal
+    ln_eps: float = 1e-12             # HF BERT epsilon; CLIP towers use 1e-5
     dtype: Any = jnp.float32
 
     @staticmethod
@@ -81,7 +83,7 @@ class _EncoderLayer(nn.Module):
 
         if c.pre_ln:
             # CLIP ordering: x += attn(LN(x)); x += mlp(LN(x))
-            h = nn.LayerNorm(dtype=c.dtype, name="attn_pre_ln")(x)
+            h = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="attn_pre_ln")(x)
             h = nn.MultiHeadDotProductAttention(
                 num_heads=c.num_heads, dtype=c.dtype, name="self_attn"
             )(h, inputs_k=h, inputs_v=h, mask=self_mask[:, None])
@@ -89,13 +91,13 @@ class _EncoderLayer(nn.Module):
                 h = h + _Adapter(D, c.adapter_reduction, c.dtype, name="attn_adapter")(h)
             x = x + h
             if c.add_cross_attention:
-                h = nn.LayerNorm(dtype=c.dtype, name="cross_pre_ln")(x)
+                h = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="cross_pre_ln")(x)
                 h = nn.MultiHeadDotProductAttention(
                     num_heads=c.num_heads, dtype=c.dtype, name="cross_attn"
                 )(h, inputs_k=enc_states, inputs_v=enc_states,
                   mask=enc_mask[:, None])
                 x = x + h
-            h = nn.LayerNorm(dtype=c.dtype, name="ffn_pre_ln")(x)
+            h = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="ffn_pre_ln")(x)
             f = nn.Dense(c.intermediate, dtype=c.dtype, name="ffn_up")(h)
             if c.quick_gelu:
                 f = f * jax.nn.sigmoid(1.702 * f)
@@ -112,14 +114,14 @@ class _EncoderLayer(nn.Module):
         )(x, inputs_k=x, inputs_v=x, mask=self_mask[:, None])
         if c.use_adapters:
             h = h + _Adapter(D, c.adapter_reduction, c.dtype, name="attn_adapter")(h)
-        x = nn.LayerNorm(dtype=c.dtype, name="self_ln")(x + h)
+        x = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="self_ln")(x + h)
 
         if c.add_cross_attention:
             h = nn.MultiHeadDotProductAttention(
                 num_heads=c.num_heads, dtype=c.dtype, name="cross_attn"
             )(x, inputs_k=enc_states, inputs_v=enc_states,
               mask=enc_mask[:, None])
-            x = nn.LayerNorm(dtype=c.dtype, name="cross_ln")(x + h)
+            x = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="cross_ln")(x + h)
 
         f = nn.Dense(c.intermediate, dtype=c.dtype, name="ffn_up")(x)
         f = nn.gelu(f, approximate=False)
@@ -127,7 +129,7 @@ class _EncoderLayer(nn.Module):
         if c.use_adapters:
             # parallel adapter on the FFN input (bert_with_adapter.py:15-65)
             f = f + _Adapter(D, c.adapter_reduction, c.dtype, name="ffn_adapter")(x)
-        x = nn.LayerNorm(dtype=c.dtype, name="ffn_ln")(x + f)
+        x = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="ffn_ln")(x + f)
         return (x, self_mask, enc_states, enc_mask), None
 
 
@@ -177,9 +179,11 @@ class BertStyleEncoder(nn.Module):
             L = L + c.num_learnable_prompts
 
         if not c.pre_ln:  # CLIP has no embedding LayerNorm
-            x = nn.LayerNorm(dtype=c.dtype, name="embed_ln")(x)
+            x = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="embed_ln")(x)
 
         self_mask = attention_mask[:, None, :] & attention_mask[:, :, None]
+        if c.causal:
+            self_mask = self_mask & jnp.tril(jnp.ones((L, L), bool))[None]
         if encoder_hidden is None:
             enc_states = jnp.zeros((B, 1, D), c.dtype)
             enc_mask3 = jnp.ones((B, L, 1), bool)
@@ -204,7 +208,7 @@ class BertStyleEncoder(nn.Module):
         )(c, name="layers")
         (x, _, _, _), _ = layer((x, self_mask, enc_states, enc_mask3), None)
         if c.pre_ln:
-            x = nn.LayerNorm(dtype=c.dtype, name="final_ln")(x)
+            x = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="final_ln")(x)
 
         # BERT pooler: tanh(dense(CLS)) (bert_wrapper.py:60-69).  Always
         # constructed so init creates its params regardless of call flags.

@@ -77,6 +77,14 @@ class PSGv4Config:
     # pixels may differ from the reference; the emitted id map is
     # upsampled nearest so the output surface is unchanged).
     fusion_stride: int = 1
+    # fuse only the top-C queries by class score (0 = all).  EXACT w.r.t.
+    # full fusion whenever every threshold-passing query is among the top
+    # C: non-passing queries can never win a pixel (fusion assigns them
+    # weight -1), and candidate order is preserved so instance counters
+    # match.  With object_mask_thr=0.25 the pass count is far below 64 in
+    # practice; this caps the five full-res [C, H, W] fusion tensors that
+    # would otherwise scale with the 300-query decoder.
+    fusion_candidates: int = 64
 
     @staticmethod
     def tiny_test(llm_vocab: int = 512) -> "PSGv4Config":
@@ -135,7 +143,18 @@ class PSGv4:
         relation_names: Optional[List[str]] = None,
         num_things: Optional[int] = None,
         precomputed_class_embeds: Optional[str] = None,
+        tokenizer=None,
+        qformer_tokenizer=None,
     ):
+        """``tokenizer`` / ``qformer_tokenizer``: anything implementing the
+        WordTokenizer interface (vocab_size, pad/bos/eos ids, encode,
+        decode) — e.g. :class:`openpsg_tpu.models.relation.hf_tokenizer.
+        HFTokenizer` over a real Llama SentencePiece / BERT wordpiece
+        tokenizer (the reference's pair, relation_transformer_head_v4.py:
+        85-86, 99-105).  Default: the closed-vocab word tokenizer for both
+        roles.  Instruction widths and vocab sizes adapt to the tokenizer;
+        the LLM ``tokenizer`` drives prompts, labels, and decode matching.
+        """
         self.cfg = cfg
         self.class_names = class_names or OBJECT_CLASSES
         self.relation_names = relation_names or RELATION_CLASSES
@@ -146,30 +165,33 @@ class PSGv4:
                 NUM_THING_CLASSES if class_names is None else len(self.class_names)
             )
 
-        # --- tokenizer + tables (host, once) ---
-        self.tokenizer = build_prompt_tokenizer(
+        # --- tokenizers + tables (host, once) ---
+        self.tokenizer = tokenizer or build_prompt_tokenizer(
             list(self.class_names) + list(self.relation_names)
         )
-        V = self.tokenizer.vocab_size
-        head_cfg = dataclasses.replace(
-            cfg.head,
-            llm_feature_size=cfg.llm.dim,  # projection targets the LLM width
-            qformer=dataclasses.replace(
-                cfg.head.qformer, vocab_size=max(cfg.head.qformer.vocab_size, V),
-                max_text_len=MAX_INSTR_LEN,
-            ),
-        )
-        llm_cfg = dataclasses.replace(
-            cfg.llm, vocab_size=max(cfg.llm.vocab_size, V)
-        )
-        self.cfg = dataclasses.replace(cfg, head=head_cfg, llm=llm_cfg)
+        self.qf_tokenizer = qformer_tokenizer or self.tokenizer
 
         self.qf_parts = build_instruction_table(
-            self.tokenizer, self.class_names, QFORMER_INSTRUCTION, MAX_INSTR_LEN
+            self.qf_tokenizer, self.class_names, QFORMER_INSTRUCTION, MAX_INSTR_LEN
         )
         self.llm_parts = build_instruction_table(
             self.tokenizer, self.class_names, LLM_INSTRUCTION, MAX_PROMPT_LEN
         )
+        head_cfg = dataclasses.replace(
+            cfg.head,
+            llm_feature_size=cfg.llm.dim,  # projection targets the LLM width
+            qformer=dataclasses.replace(
+                cfg.head.qformer,
+                vocab_size=max(cfg.head.qformer.vocab_size,
+                               self.qf_tokenizer.vocab_size),
+                max_text_len=self.qf_parts["max_len"],
+            ),
+        )
+        llm_cfg = dataclasses.replace(
+            cfg.llm, vocab_size=max(cfg.llm.vocab_size, self.tokenizer.vocab_size)
+        )
+        self.cfg = dataclasses.replace(cfg, head=head_cfg, llm=llm_cfg)
+
         # predicate token sequences for label building / decoding
         self.relation_token_ids = [
             self.tokenizer.encode(r) for r in self.relation_names
@@ -179,7 +201,9 @@ class PSGv4:
         self.segmenter = OpenSeedSegmenter(self.cfg.segmenter)
         self.head = RelationHeadV4(self.cfg.head)
         self.llm = LlamaWithEmbeddings(self.cfg.llm)
-        self.text_encoder = TextEncoder(dim=self.cfg.segmenter.dim)
+        # class embeddings live in the language-projection space (OpenSeeD
+        # DIM_PROJ), not the decoder hidden width
+        self.text_encoder = TextEncoder(dim=self.cfg.segmenter.proj_dim)
 
         self.params = self._init_params(rng, precomputed_class_embeds)
 
@@ -201,6 +225,7 @@ class PSGv4:
 
         M = c.head.max_objects_padded
         H4 = H // 4
+        Ti = self.qf_parts["max_len"]
         head_params = jax.jit(
             functools.partial(self.head.init)
         )(
@@ -208,11 +233,11 @@ class PSGv4:
             jnp.zeros((H4, H4, c.segmenter.mask_dim)),
             jnp.zeros((M, H4, H4), bool),
             jnp.zeros((M,), bool),
-            jnp.zeros((M * M, MAX_INSTR_LEN), jnp.int32),
-            jnp.zeros((M * M, MAX_INSTR_LEN), bool),
+            jnp.zeros((M * M, Ti), jnp.int32),
+            jnp.zeros((M * M, Ti), bool),
         )
 
-        Lp = c.head.qformer.num_relation_queries + MAX_PROMPT_LEN
+        Lp = c.head.qformer.num_relation_queries + self.llm_parts["max_len"]
         llm_params = jax.jit(
             lambda k: self.llm.init(
                 k,
@@ -229,6 +254,39 @@ class PSGv4:
             "text": txt_params,
             "class_embeds": class_embeds,
         }
+
+    def load_segmenter_weights(self, path: str) -> None:
+        """Load a converted OpenSeeD trunk (reference loads the published
+        ``model_state_dict_swint_51.2ap.pt``, openseed_relation_v2.py:37-41).
+
+        Accepts the ``segmenter.msgpack`` written by
+        tools/convert_openseed.py, or a raw ``.pt`` state dict which is
+        converted on the fly."""
+        if path.endswith(".pt"):
+            import torch
+
+            from openpsg_tpu.models.segmenter.weight_convert import convert_openseed
+
+            state = torch.load(path, map_location="cpu", weights_only=False)
+            if isinstance(state, dict) and "model" in state and not any(
+                k.startswith(("backbone.", "sem_seg_head.")) for k in state
+            ):
+                state = state["model"]
+            state = {k: np.asarray(v) for k, v in state.items()}
+            params, _ = convert_openseed(state, self.cfg.segmenter)
+            tree = {"params": params}
+            # structure check against the initialized tree
+            jax.tree_util.tree_map(
+                lambda a, b: None, tree, jax.tree_util.tree_map(np.asarray, self.params["segmenter"])
+            )
+        else:
+            from flax import serialization
+
+            with open(path, "rb") as f:
+                tree = serialization.from_bytes(self.params["segmenter"], f.read())
+        self.params["segmenter"] = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x), tree
+        )
 
     def _model_hw(self) -> Tuple[int, int]:
         """Static model input size; tiny configs use 64, full uses 1344
@@ -255,8 +313,26 @@ class PSGv4:
         H, W = image.shape[:2]
         s = max(int(c.fusion_stride), 1)
         Hf, Wf = H // s, W // s
+
+        # candidate pre-selection: only the top-C queries by class score
+        # enter full-resolution fusion (exactness condition documented on
+        # the config field); ascending sort preserves query order so the
+        # per-class instance counters match unrestricted fusion
+        cls_logits = seg_out["cls_logits"]
+        masks_small = seg_out["masks"]
+        Qall = cls_logits.shape[0]
+        C = int(c.fusion_candidates)
+        if C and C < Qall:
+            sel_score = jnp.max(
+                jax.nn.sigmoid(cls_logits.astype(jnp.float32)), axis=-1
+            )
+            _, cand = jax.lax.top_k(sel_score, C)
+            cand = jnp.sort(cand)
+            cls_logits = jnp.take(cls_logits, cand, axis=0)
+            masks_small = jnp.take(masks_small, cand, axis=0)
+
         masks = jax.image.resize(
-            seg_out["masks"], (seg_out["masks"].shape[0], Hf, Wf), method="bilinear"
+            masks_small, (masks_small.shape[0], Hf, Wf), method="bilinear"
         )
         # pixels outside the valid region can't belong to any segment
         # (reference strips padding before OpenSeeD, :101-103)
@@ -265,7 +341,7 @@ class PSGv4:
         inside = (yy * s < img_hw[0]) & (xx * s < img_hw[1])
 
         fusion = panoptic_fusion(
-            seg_out["cls_logits"], masks,
+            cls_logits, masks,
             cls_mode="sigmoid", object_mask_thr=c.object_mask_thr,
             iou_thr=c.iou_thr, instance_mode="per_class",
             num_things=self.num_things, region_mask=inside,
@@ -351,6 +427,7 @@ class PSGv4:
         toks, tok_scores = greedy_decode(
             self.llm, params["llm"], prefix, pmask,
             c.max_new_tokens, eos_id=self.tokenizer.eos_id,
+            pad_id=self.tokenizer.pad_id,
         )
         out["gen_tokens"] = toks
         out["gen_scores"] = tok_scores
@@ -385,8 +462,11 @@ class PSGv4:
 
         return jax.jit(
             batched,
+            # params: None = inherit the argument's own sharding, so a
+            # tp-sharded LLM (parallel.sharding.shard_params) stays sharded
+            # instead of being forced back to replication
             in_shardings=(
-                NamedSharding(mesh, P()),
+                None,
                 NamedSharding(mesh, P("dp")),
                 NamedSharding(mesh, P("dp")),
             ),
@@ -421,31 +501,40 @@ class PSGv4:
         valid = dev["object_valid"]
         object_id_list = [int(x) for x in dev["object_ids"][valid]]
 
-        # LLM triplets: decode tokens → predicate names (reference :313-326)
+        # LLM triplets: decode tokens → predicate names.  Generated rows are
+        # EOS-terminated with pad_id after (greedy_decode); the reference
+        # splits its decoded string on '</s>' and matches each segment
+        # against the predicate vocabulary (:313-326).  Matching is keyed
+        # off token ids — not string spacing — so any tokenizer works.
+        pad_id = self.tokenizer.pad_id
+        eos_id = self.tokenizer.eos_id
         rel_pred: List[List[int]] = []
         rel_scores: List[float] = []
         rel_set = set()
-        for k, si in enumerate(dev["top_pair_idx"]):
-            if dev["top_pair_scores"][k] <= 0.0:
-                continue  # padding pair (fewer valid pairs than top-K)
-            text = self.tokenizer.decode(dev["gen_tokens"][k])
-            sub, obj = int(si) // M, int(si) % M
-            for piece in text.split("  "):
-                name = piece.strip()
-                if name in self.relation_names:
-                    trip = (sub, obj, self.relation_names.index(name))
-                    if trip not in rel_set:
-                        rel_set.add(trip)
-                        rel_pred.append(list(trip))
-                        rel_scores.append(1.0)  # reference scores LLM hits 1 (:326)
-            # single-name fallback: whole decoded string is one predicate
-            name = text.strip()
+
+        def add(sub, obj, name):
             if name in self.relation_names:
                 trip = (sub, obj, self.relation_names.index(name))
                 if trip not in rel_set:
                     rel_set.add(trip)
                     rel_pred.append(list(trip))
-                    rel_scores.append(1.0)
+                    rel_scores.append(1.0)  # reference scores LLM hits 1 (:326)
+
+        for k, si in enumerate(dev["top_pair_idx"]):
+            if dev["top_pair_scores"][k] <= 0.0:
+                continue  # padding pair (fewer valid pairs than top-K)
+            sub, obj = int(si) // M, int(si) % M
+            segment: List[int] = []
+            for t in dev["gen_tokens"][k]:
+                t = int(t)
+                if t in (eos_id, pad_id):
+                    if segment:
+                        add(sub, obj, self.tokenizer.decode(segment).strip())
+                        segment = []
+                    continue
+                segment.append(t)
+            if segment:
+                add(sub, obj, self.tokenizer.decode(segment).strip())
 
         # multiclass top-100 appended after LLM predictions (reference :355)
         if "mc_triplets" in dev:

@@ -2,10 +2,18 @@
 
 Two-stage: encoder memory proposes the top-Q query locations/boxes; the
 decoder refines them over ``num_layers`` rounds of self-attention +
-deformable cross-attention.  Classification is a dot product with language
-class embeddings (open-vocab, as in OpenSeeD — the reference precomputes
-them once at init, openseed_relation_v2.py:59-60); masks are a dot product
-between decoded query embeddings and the stride-4 mask features.
+deformable cross-attention.  Classification is language-space: queries are
+projected through a shared ``class_embed`` matrix [C, proj_dim] and scored
+by cosine similarity against class-name text embeddings × exp(logit_scale)
+(OpenSeeD precomputes the text matrix once at init,
+openseed_relation_v2.py:59-60); masks are a dot product between decoded
+query embeddings and the stride-4 mask features.
+
+Weight-layout parity with the published OpenSeeD checkpoint
+(``sem_seg_head.predictor.*``; see segmenter/weight_convert.py for the
+key map): shared class_embed, single logit_scale, 2-layer ref_point_head
+over the 4-D box sine embedding, per-layer 3-layer bbox MLPs, shared
+mask_embed MLP + decoder_norm, enc_output(+norm) two-stage projection.
 
 TPU notes: Q is static; top-k keeps static shapes; the per-layer stack
 (self-attn → deformable cross-attn → FFN → box refinement) runs under
@@ -26,8 +34,8 @@ from openpsg_tpu.models.segmenter.deform_layers import (
     FFN,
     MLP,
     MSDeformAttnLayer,
+    box_sine_embed,
     inverse_sigmoid,
-    sine_pos_embed,
 )
 
 
@@ -46,7 +54,11 @@ class SelfAttention(nn.Module):
 
 
 class DecoderLayer(nn.Module):
-    """One refinement round; scanned over layers (carry = queries+boxes)."""
+    """One refinement round; scanned over layers (carry = queries+boxes).
+
+    The ref_point_head is a single module in the torch checkpoint; under
+    nn.scan it is stacked per layer and the converter tiles the shared
+    weights across the layer axis."""
 
     dim: int = 256
     num_heads: int = 8
@@ -59,8 +71,11 @@ class DecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, carry, _):
         queries, boxes, memory = carry
-        qpos = nn.Dense(self.dim, dtype=self.dtype, name="ref_point_head")(
-            sine_pos_embed(boxes[:, :2], self.dim).astype(self.dtype)
+        # query position from the full 4-D box (MaskDINO
+        # gen_sineembed_for_position → 2-layer MLP ref_point_head)
+        qpos = MLP(self.dim, self.dim, layers=2, dtype=self.dtype,
+                   name="ref_point_head")(
+            box_sine_embed(boxes, self.dim).astype(self.dtype)
         )
         queries = SelfAttention(
             self.dim, self.num_heads, dtype=self.dtype, name="self_attn"
@@ -78,40 +93,58 @@ class DecoderLayer(nn.Module):
 
 class QueryDecoder(nn.Module):
     dim: int = 256
-    num_queries: int = 100
+    num_queries: int = 300
     num_layers: int = 9
     num_heads: int = 8
     num_points: int = 4
     ffn_hidden: int = 2048
     mask_dim: int = 256
+    proj_dim: int = 512     # language-space width (OpenSeeD DIM_PROJ)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
         self,
-        memory: jnp.ndarray,        # [Lv, C] encoder output (strides 8/16/32)
-        spatial_shapes,             # static [(h, w)] * 3
+        memory: jnp.ndarray,        # [Lv, C] encoder output (level-major)
+        spatial_shapes,             # static [(h, w)] per level
         mask_features: jnp.ndarray, # [H4, W4, mask_dim]
-        class_embeds: jnp.ndarray,  # [num_classes, C] language embeddings (unit-norm)
+        class_embeds: jnp.ndarray,  # [num_classes, proj_dim] language embeddings (unit-norm)
     ):
         """Returns dict with cls_logits [Q, num_classes], masks [Q, H4, W4],
         boxes [Q, 4] (cxcywh, normalized), query_embed [Q, C]."""
         C = self.dim
 
+        # shared language projection + temperature (OpenSeeD: predictor
+        # class_embed parameter + lang_encoder.logit_scale)
+        class_embed = self.param(
+            "class_embed", nn.initializers.lecun_normal(),
+            (C, class_embeds.shape[-1]),
+        )
+        logit_scale = self.param(
+            "logit_scale", nn.initializers.constant(2.659), ()  # ln(1/0.07)
+        )
+
+        def class_logits(x):
+            proj = x.astype(jnp.float32) @ class_embed.astype(jnp.float32)
+            proj = proj / (jnp.linalg.norm(proj, axis=-1, keepdims=True) + 1e-6)
+            return (proj @ class_embeds.astype(jnp.float32).T) * jnp.exp(logit_scale)
+
         # ---- two-stage proposals from encoder memory ----
         enc_out = nn.LayerNorm(dtype=self.dtype, name="enc_norm")(
             nn.Dense(C, dtype=self.dtype, name="enc_proj")(memory)
         )
-        enc_cls = self._class_logits(enc_out, class_embeds, name="enc")
-        enc_score = jnp.max(enc_cls.astype(jnp.float32), axis=-1)     # [Lv]
+        enc_cls = class_logits(enc_out)
+        enc_score = jnp.max(enc_cls, axis=-1)                          # [Lv]
         _, top_idx = jax.lax.top_k(enc_score, self.num_queries)       # static Q
 
         from openpsg_tpu.models.segmenter.deform_layers import make_reference_points
 
         centers = jnp.asarray(make_reference_points(spatial_shapes))  # [Lv, 2]
+        # anchor size 0.05 per level octave (deformable-DETR proposal
+        # generation, reused by MaskDINO)
         base_wh = jnp.concatenate(
             [
-                jnp.full((h * w, 2), 0.1, jnp.float32) * (2.0 ** lvl)
+                jnp.full((h * w, 2), 0.05, jnp.float32) * (2.0 ** lvl)
                 for lvl, (h, w) in enumerate(spatial_shapes)
             ]
         )
@@ -138,7 +171,7 @@ class QueryDecoder(nn.Module):
         (queries, boxes, _), _ = layer((queries, boxes, memory), None)
 
         decoded = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")(queries)
-        cls_logits = self._class_logits(decoded, class_embeds, name="final")
+        cls_logits = class_logits(decoded)
         mask_embed = MLP(C, self.mask_dim, layers=3, dtype=self.dtype, name="mask_head")(decoded)
         masks = jnp.einsum(
             "qc,hwc->qhw", mask_embed, mask_features,
@@ -150,14 +183,3 @@ class QueryDecoder(nn.Module):
             "boxes": boxes,
             "query_embed": decoded,
         }
-
-    def _class_logits(self, x, class_embeds, name: str):
-        """Open-vocab classification: cosine(query, class text embed) * τ."""
-        proj = nn.Dense(class_embeds.shape[-1], dtype=self.dtype, name=f"{name}_cls_proj")(x)
-        proj = proj / (jnp.linalg.norm(proj.astype(jnp.float32), axis=-1, keepdims=True) + 1e-6)
-        logit_scale = self.param(
-            f"{name}_logit_scale", nn.initializers.constant(2.659), ()
-        )
-        return (
-            proj.astype(jnp.float32) @ class_embeds.astype(jnp.float32).T
-        ) * jnp.exp(logit_scale)

@@ -155,17 +155,40 @@ class MLP(nn.Module):
         return nn.Dense(self.out, dtype=self.dtype, name=f"fc{self.layers - 1}")(x)
 
 
+def _sine_1d(v: jnp.ndarray, half: int, temperature: float) -> jnp.ndarray:
+    """One normalized coordinate [..., 1] → [..., half] with d2's
+    PositionEmbeddingSine layout: interleaved (sin, cos) pairs over a
+    shared frequency ladder (detectron2 position_encoding.py) — weight
+    converters rely on this exact element order."""
+    dim_t = temperature ** (2.0 * (np.arange(half) // 2) / half)
+    ang = v * (2.0 * np.pi) / dim_t                     # [..., half]
+    sin = jnp.sin(ang[..., 0::2])
+    cos = jnp.cos(ang[..., 1::2])
+    return jnp.stack([sin, cos], axis=-1).reshape(*ang.shape[:-1], half)
+
+
 def sine_pos_embed(coords: jnp.ndarray, dim: int = 256, temperature: float = 10000.0) -> jnp.ndarray:
-    """Sinusoidal embedding of normalized coords [..., 2] → [..., dim]."""
+    """Sinusoidal embedding of normalized (x, y) coords [..., 2] → [..., dim].
+
+    Matches d2/DETR ``PositionEmbeddingSine``: output = [y-features,
+    x-features], each dim/2 wide, interleaved sin/cos."""
     half = dim // 2
-    scale = 2.0 * np.pi
-    dim_t = temperature ** (2 * (np.arange(half // 2)) / half)
-    x = coords[..., 0:1] * scale / dim_t
-    y = coords[..., 1:2] * scale / dim_t
-    pe = jnp.concatenate(
-        [jnp.sin(x), jnp.cos(x), jnp.sin(y), jnp.cos(y)], axis=-1
-    )
-    return pe
+    y = _sine_1d(coords[..., 1:2], half, temperature)
+    x = _sine_1d(coords[..., 0:1], half, temperature)
+    return jnp.concatenate([y, x], axis=-1)
+
+
+def box_sine_embed(boxes: jnp.ndarray, dim: int = 256, temperature: float = 10000.0) -> jnp.ndarray:
+    """DAB/MaskDINO ``gen_sineembed_for_position``: normalized (cx, cy, w, h)
+    boxes [..., 4] → [..., 2*dim] ordered [y, x, w, h] blocks of dim/2."""
+    half = dim // 2
+    parts = [
+        _sine_1d(boxes[..., 1:2], half, temperature),  # cy
+        _sine_1d(boxes[..., 0:1], half, temperature),  # cx
+        _sine_1d(boxes[..., 2:3], half, temperature),  # w
+        _sine_1d(boxes[..., 3:4], half, temperature),  # h
+    ]
+    return jnp.concatenate(parts, axis=-1)
 
 
 def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:

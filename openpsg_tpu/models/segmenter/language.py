@@ -78,6 +78,65 @@ class TextEncoder(nn.Module):
         return (pooled.astype(jnp.float32) / (norm + 1e-6)).astype(jnp.float32)
 
 
+def clip_text_tower_config(width: int = 512, layers: int = 12, heads: int = 8,
+                           vocab: int = 49408):
+    """BertStyleConfig for the OpenSeeD/CLIP language tower (pre-LN,
+    quickGELU, causal — the OpenAI CLIP text architecture X-Decoder
+    reuses).  Defaults are CLIP ViT-B's text tower."""
+    from openpsg_tpu.models.commons.text_encoder import BertStyleConfig
+
+    return BertStyleConfig(
+        hidden_size=width, num_layers=layers, num_heads=heads,
+        intermediate=4 * width, vocab_size=vocab, max_len=77,
+        pre_ln=True, quick_gelu=True, causal=True, ln_eps=1e-5,
+    )
+
+
+def clip_class_embeddings(
+    tower_cfg,
+    tower_params,
+    lang_proj: np.ndarray,
+    tokenizer,
+    names: List[str],
+    templates: List[str] = ("{}",),
+) -> np.ndarray:
+    """Class names → unit-norm [N, proj_dim] language embeddings, the
+    in-repo equivalent of OpenSeeD's
+    ``lang_encoder.get_text_embeddings(thing+stuff)``
+    (openseed_relation_v2.py:59-60): CLIP-BPE tokenize, run the (converted)
+    CLIP text tower, pool the EOT position, project through ``lang_proj``,
+    normalize; multiple prompt templates are averaged then renormalized.
+
+    The result is what ``precomputed_path`` / ``PSGv4(precomputed_class_
+    embeds=...)`` consume — save with ``np.save``.
+    """
+    from openpsg_tpu.models.commons.text_encoder import BertStyleEncoder
+
+    enc = BertStyleEncoder(tower_cfg)
+    if "pooler" not in tower_params:
+        # converted CLIP weights have no BERT pooler; the module always
+        # constructs one (unused on this path) — fill with zeros
+        D = tower_cfg.hidden_size
+        tower_params = dict(tower_params)
+        tower_params["pooler"] = {
+            "kernel": jnp.zeros((D, D), jnp.float32),
+            "bias": jnp.zeros((D,), jnp.float32),
+        }
+    fwd = jax.jit(lambda p, i: enc.apply({"params": p}, token_ids=i))
+    embs = []
+    for tmpl in templates:
+        ids = np.asarray(tokenizer([tmpl.format(n) for n in names]))
+        x = fwd(tower_params, jnp.asarray(ids))          # [N, 77, D]
+        eot = jnp.argmax(jnp.asarray(ids), axis=-1)      # EOT = max id (CLIP)
+        pooled = x[jnp.arange(x.shape[0]), eot]
+        emb = pooled.astype(jnp.float32) @ jnp.asarray(lang_proj, jnp.float32)
+        emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-6)
+        embs.append(emb)
+    out = jnp.mean(jnp.stack(embs), 0)
+    out = out / (jnp.linalg.norm(out, axis=-1, keepdims=True) + 1e-6)
+    return np.asarray(out)
+
+
 def get_text_embeddings(
     encoder: TextEncoder,
     params,

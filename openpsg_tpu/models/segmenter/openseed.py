@@ -38,17 +38,26 @@ PIXEL_STD = (58.395, 57.12, 57.375)
 
 @dataclasses.dataclass(frozen=True)
 class SegmenterConfig:
+    """Defaults match the published OpenSeeD Swin-T checkpoint geometry
+    (``model_state_dict_swint_51.2ap.pt``: MaskDINO with 300 queries, 6
+    encoder / 9 decoder layers, 4 total feature levels, 512-d language
+    projection — openseed_relation_v2.py:37-41, SURVEY.md §2.10)."""
+
     embed_dim: int = 96
     depths: Tuple[int, ...] = (2, 2, 6, 2)
     num_heads: Tuple[int, ...] = (3, 6, 12, 24)
     window: int = 7
     dim: int = 256
     mask_dim: int = 256
-    num_queries: int = 100
+    num_queries: int = 300
     enc_layers: int = 6
     dec_layers: int = 9
     num_points: int = 4
     ffn_hidden: int = 2048
+    # total deformable-encoder levels: 3 backbone strides (8/16/32) plus
+    # extra stride-2 downsamples (MaskDINO TOTAL_NUM_FEATURE_LEVELS=4)
+    total_levels: int = 4
+    proj_dim: int = 512        # language-space projection width (DIM_PROJ)
     dtype: Any = jnp.float32
 
     @staticmethod
@@ -57,7 +66,7 @@ class SegmenterConfig:
         return SegmenterConfig(
             embed_dim=16, depths=(1, 1, 1, 1), num_heads=(1, 2, 2, 2),
             window=4, dim=32, mask_dim=32, num_queries=20, enc_layers=1,
-            dec_layers=2, ffn_hidden=64,
+            dec_layers=2, ffn_hidden=64, total_levels=3, proj_dim=32,
         )
 
 
@@ -81,13 +90,15 @@ class OpenSeedSegmenter(nn.Module):
         )(image)
         memory, spatial_shapes, mask_features = PixelDecoder(
             dim=c.dim, num_layers=c.enc_layers, num_points=c.num_points,
-            ffn_hidden=c.ffn_hidden, mask_dim=c.mask_dim, dtype=c.dtype,
+            ffn_hidden=c.ffn_hidden, mask_dim=c.mask_dim,
+            total_levels=c.total_levels, dtype=c.dtype,
             name="pixel_decoder",
         )(feats)
         out = QueryDecoder(
             dim=c.dim, num_queries=c.num_queries, num_layers=c.dec_layers,
             num_points=c.num_points, ffn_hidden=c.ffn_hidden,
-            mask_dim=c.mask_dim, dtype=c.dtype, name="decoder",
+            mask_dim=c.mask_dim, proj_dim=c.proj_dim, dtype=c.dtype,
+            name="decoder",
         )(memory, spatial_shapes, mask_features, class_embeds)
         out["mask_features"] = mask_features
         return out

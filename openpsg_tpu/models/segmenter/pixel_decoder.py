@@ -52,6 +52,10 @@ class PixelDecoder(nn.Module):
     num_points: int = 4
     ffn_hidden: int = 2048
     mask_dim: int = 256
+    # total encoder levels: 3 backbone strides (8/16/32) + extra stride-2
+    # downsamples of the last (MaskDINO TOTAL_NUM_FEATURE_LEVELS=4 adds a
+    # stride-64 level via a 3x3/s2 conv on res5)
+    total_levels: int = 3
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -59,31 +63,46 @@ class PixelDecoder(nn.Module):
         """features: NHWC maps at strides (4, 8, 16, 32), single image.
 
         Returns:
-          memory: [Lv, dim] encoder output over strides 8/16/32 (flattened,
-                  level-major, matching ``spatial_shapes`` order)
-          spatial_shapes: static [(h, w)] for the 3 encoder levels
+          memory: [Lv, dim] encoder output (flattened, level-major,
+                  high-res first, matching ``spatial_shapes`` order)
+          spatial_shapes: static [(h, w)] per encoder level
           mask_features: [H/4, W/4, mask_dim]
         """
         c2, c3, c4, c5 = features  # strides 4, 8, 16, 32
-        # high-to-low resolution order as in Deformable DETR: (8, 16, 32)
+        # high-to-low resolution order internally: (8, 16, 32[, 64...]);
+        # the weight converter permutes checkpoint level order onto this.
         levels = [c3, c4, c5]
-        spatial_shapes = tuple((f.shape[0], f.shape[1]) for f in levels)
-
         tokens = []
-        pos = []
         for i, f in enumerate(levels):
-            t = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name=f"input_proj{i}")(f)
+            t = nn.Conv(self.dim, (1, 1), use_bias=True, dtype=self.dtype,
+                        name=f"input_proj{i}")(f)
             t = nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"input_norm{i}")(t)
-            tokens.append(t.reshape(-1, self.dim))
-            level_embed = self.param(
-                f"level_embed{i}", nn.initializers.normal(1.0), (self.dim,)
-            )
+            tokens.append(t)
+        prev = c5
+        for i in range(len(levels), self.total_levels):
+            # extra low-res level: 3x3 stride-2 conv (first from raw res5,
+            # subsequent ones from the previous extra level)
+            t = nn.Conv(self.dim, (3, 3), strides=(2, 2), use_bias=True,
+                        dtype=self.dtype, name=f"input_proj{i}")(prev)
+            t = nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"input_norm{i}")(t)
+            tokens.append(t)
+            prev = t
+        spatial_shapes = tuple((f.shape[0], f.shape[1]) for f in tokens)
+
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0),
+            (self.total_levels, self.dim),
+        )
+        pos = []
+        for i, t in enumerate(tokens):
             p = sine_pos_embed(
                 jnp.asarray(make_reference_points([spatial_shapes[i]])), self.dim
             )
-            pos.append(p.astype(self.dtype) + level_embed[None, :].astype(self.dtype))
+            pos.append(
+                p.astype(self.dtype) + level_embed[i][None, :].astype(self.dtype)
+            )
 
-        src = jnp.concatenate(tokens, 0)                  # [Lv, C]
+        src = jnp.concatenate([t.reshape(-1, self.dim) for t in tokens], 0)
         pos_embed = jnp.concatenate(pos, 0)
         ref = jnp.asarray(make_reference_points(spatial_shapes))
 
@@ -93,22 +112,25 @@ class PixelDecoder(nn.Module):
             split_rngs={"params": True},
             length=self.num_layers,
         )(
-            self.dim, self.num_heads, len(levels), self.num_points,
+            self.dim, self.num_heads, self.total_levels, self.num_points,
             self.ffn_hidden, tuple(spatial_shapes), dtype=self.dtype,
             name="layers",
         )
         (src, _, _), _ = scanned((src, ref, pos_embed), None)
 
-        # FPN top-down to stride 4 for mask features
+        # FPN top-down to stride 4 for mask features (res2 lateral joins the
+        # stride-8 encoder output; d2 Conv2d-with-norm convention: no bias)
         h8, w8 = spatial_shapes[0]
         enc8 = src[: h8 * w8].reshape(h8, w8, self.dim)
-        lat4 = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="lateral4")(c2)
+        lat4 = nn.Conv(self.dim, (1, 1), use_bias=False, dtype=self.dtype,
+                       name="lateral4")(c2)
         lat4 = nn.GroupNorm(num_groups=32, dtype=self.dtype, name="lateral4_norm")(lat4)
         up = jax.image.resize(
             enc8, (c2.shape[0], c2.shape[1], self.dim), method="bilinear"
         ).astype(self.dtype)
         fused = lat4 + up
-        fused = nn.Conv(self.dim, (3, 3), dtype=self.dtype, name="output4")(fused)
+        fused = nn.Conv(self.dim, (3, 3), use_bias=False, dtype=self.dtype,
+                        name="output4")(fused)
         fused = nn.GroupNorm(num_groups=32, dtype=self.dtype, name="output4_norm")(fused)
         fused = nn.relu(fused)
         mask_features = nn.Conv(

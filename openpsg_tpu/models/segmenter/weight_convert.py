@@ -1,13 +1,14 @@
 """Torch segmenter checkpoints → our flax param trees.
 
-Covers the Swin backbone (standard microsoft/Swin layout, used by both
-OpenSeeD's Swin-T and mmdet's Swin-B) and documents the mapping surface
-for the OpenSeeD/MaskDINO trunk.  The published OpenSeeD checkpoint
-(``model_state_dict_swint_51.2ap.pt``, configs/psg/baseline_v4_ov.py:55)
-is not present in this environment; the converter is validated
-structurally against synthetic state dicts with the canonical tensor
-names (tests/test_weight_convert.py) so real checkpoints slot in without
-layout drift.
+Covers the full OpenSeeD trunk: Swin backbone (standard microsoft/Swin
+layout, used by both OpenSeeD's Swin-T and mmdet's Swin-B), the MaskDINO
+deformable-encoder pixel decoder, the MaskDINO two-stage query decoder,
+and the X-Decoder-style CLIP language encoder.  The published OpenSeeD
+checkpoint (``model_state_dict_swint_51.2ap.pt``,
+configs/psg/baseline_v4_ov.py:55) is not present in this environment; the
+converters are validated structurally against synthetic state dicts with
+the canonical tensor names (tests/test_weight_convert.py) so real
+checkpoints slot in without layout drift.
 
 Swin name map (torch → ours):
   patch_embed.proj.{weight,bias}        → patch_embed kernel [k,k,in,out] (OIHW→HWIO) / bias
@@ -18,12 +19,27 @@ Swin name map (torch → ours):
   ...mlp.fc1/fc2                        → ...mlp_fc1 / mlp_fc2
   layers.{s}.downsample.reduction/norm  → merge{s}.reduction / norm
   norm{s} (out norms)                   → out_norm{s}
+
+OpenSeeD trunk name map — see ``convert_openseed`` for the full schema.
+Two layout facts could not be re-verified offline (the OpenSeeD repo is a
+placeholder submodule in the reference, SURVEY.md §2.10) and are exposed
+as converter knobs with documented defaults:
+
+  * ``ckpt_level_strides`` — which image stride each checkpoint encoder
+    level index corresponds to.  Default ``(32, 16, 8, 64)``: detectron2's
+    MSDeformAttnPixelDecoder iterates transformer features reversed
+    (res5→res3), and MaskDINO appends the extra stride-64 level last.
+  * ``ckpt_input_proj_strides`` — stride per ``input_proj`` list index.
+    Default ``(32, 16, 8, 64)`` (same construction order).
+
+If a real checkpoint loads with systematically wrong per-level behavior,
+flip these tuples — no code changes needed.
 """
 
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Mapping
+from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -97,3 +113,374 @@ def detect_swin_prefix(state: Mapping[str, np.ndarray]) -> str:
         if m:
             return m.group(1)
     raise KeyError("no swin patch_embed found in state dict")
+
+
+# --------------------------------------------------------------------------
+# Full OpenSeeD trunk (MaskDINO pixel decoder + query decoder + language
+# encoder).  Checkpoint key schema (sem_seg_head.* as saved by the
+# published model_state_dict_swint_51.2ap.pt; reconstructed from the
+# MaskDINO / X-Decoder lineage — see module docstring for the two
+# order knobs):
+#
+#   pixel_decoder.input_proj.{i}.0.{weight,bias}     conv (1x1 backbone /
+#                                                    3x3-s2 extra levels)
+#   pixel_decoder.input_proj.{i}.1.{weight,bias}     GroupNorm(32)
+#   pixel_decoder.transformer.level_embed            [L, C]
+#   pixel_decoder.transformer.encoder.layers.{l}.self_attn.
+#       {sampling_offsets,attention_weights,value_proj,output_proj}.{weight,bias}
+#   pixel_decoder.transformer.encoder.layers.{l}.{norm1,linear1,linear2,norm2}.*
+#   pixel_decoder.adapter_1.{weight,norm.weight,norm.bias}   res2 lateral 1x1
+#   pixel_decoder.layer_1.{weight,norm.weight,norm.bias}     stride-4 3x3 output
+#   pixel_decoder.mask_features.{weight,bias}                1x1 → mask_dim
+#
+#   predictor.class_embed                            [C, proj_dim]
+#   predictor.enc_output.{weight,bias} + enc_output_norm.*
+#   predictor.mask_embed.layers.{0,1,2}.*            shared mask MLP
+#   predictor.decoder_norm.*
+#   predictor.label_enc.weight                       (denoise-train only → dropped)
+#   predictor.decoder.layers.{l}.cross_attn.*        (deformable, as encoder)
+#   predictor.decoder.layers.{l}.norm1.*             post-cross LN
+#   predictor.decoder.layers.{l}.self_attn.{in_proj_weight,in_proj_bias,
+#       out_proj.weight,out_proj.bias} + norm2.*
+#   predictor.decoder.layers.{l}.{linear1,linear2,norm3}.*
+#   predictor.decoder.ref_point_head.layers.{0,1}.*  (single module; tiled
+#                                                    across our scan axis)
+#   predictor.decoder.bbox_embed.{l}.layers.{0,1,2}.* per-layer box MLP;
+#       entry [dec_layers] (when present) is the two-stage proposal head;
+#       top-level predictor.bbox_embed.{l}.* aliases are consumed too
+#   predictor.lang_encoder.logit_scale, .lang_proj   language head
+#   predictor.lang_encoder.lang_encoder.*            CLIP text transformer
+# --------------------------------------------------------------------------
+
+
+class _Consumed:
+    """Strict key accounting: every checkpoint tensor must be mapped or on
+    the documented drop list; leftovers raise so layout drift is loud."""
+
+    def __init__(self, state: Mapping[str, np.ndarray]):
+        self.state = state
+        self.used = set()
+
+    def __call__(self, key: str) -> np.ndarray:
+        self.used.add(key)
+        return np.asarray(self.state[key])
+
+    def opt(self, key: str) -> Optional[np.ndarray]:
+        if key in self.state:
+            return self(key)
+        return None
+
+    def has(self, key: str) -> bool:
+        return key in self.state
+
+    def leftovers(self, drop_patterns: Sequence[str]) -> list:
+        out = []
+        for k in self.state:
+            if k in self.used:
+                continue
+            if any(re.search(p, k) for p in drop_patterns):
+                continue
+            out.append(k)
+        return sorted(out)
+
+
+def _gn(g, base: str) -> Dict[str, np.ndarray]:
+    return {"scale": g(base + ".weight"), "bias": g(base + ".bias")}
+
+
+def _dense(g, base: str) -> Dict[str, np.ndarray]:
+    out = {"kernel": _t(g(base + ".weight"))}
+    if g.has(base + ".bias"):
+        out["bias"] = g(base + ".bias")
+    return out
+
+
+def _mlp(g, base: str, n: int, fmt: str = "{}.layers.{}") -> Dict[str, Any]:
+    return {
+        f"fc{j}": _dense(g, fmt.format(base, j)) for j in range(n)
+    }
+
+
+def _perm_levels(kernel_or_bias: np.ndarray, nH: int, L: int, K: int,
+                 tail: int, perm: Sequence[int]) -> np.ndarray:
+    """Permute the level axis of a sampling_offsets / attention_weights
+    projection.  Output axis layout is [nH, L, K, tail] flattened."""
+    a = kernel_or_bias
+    lead = a.shape[:-1]
+    a = a.reshape(*lead, nH, L, K, tail)
+    a = np.take(a, np.asarray(perm), axis=len(lead) + 1)
+    return a.reshape(*lead, nH * L * K * tail)
+
+
+def _msda(g, base: str, nH: int, L: int, K: int, perm: Sequence[int]) -> Dict[str, Any]:
+    """torch MSDeformAttn → our MSDeformAttnLayer params (level-permuted)."""
+    off = _dense(g, base + ".sampling_offsets")
+    att = _dense(g, base + ".attention_weights")
+    return {
+        "sampling_offsets": {
+            "kernel": _perm_levels(off["kernel"], nH, L, K, 2, perm),
+            "bias": _perm_levels(off["bias"], nH, L, K, 2, perm),
+        },
+        "attention_weights": {
+            "kernel": _perm_levels(att["kernel"], nH, L, K, 1, perm),
+            "bias": _perm_levels(att["bias"], nH, L, K, 1, perm),
+        },
+        "value_proj": _dense(g, base + ".value_proj"),
+        "output_proj": _dense(g, base + ".output_proj"),
+    }
+
+
+def _mha_from_inproj(w: np.ndarray, b: np.ndarray, ow: np.ndarray,
+                     ob: np.ndarray, num_heads: int) -> Dict[str, Any]:
+    """torch nn.MultiheadAttention in_proj/out_proj → flax MHA params."""
+    D = w.shape[1]
+    hd = D // num_heads
+    qw, kw, vw = w[:D], w[D : 2 * D], w[2 * D :]
+    qb, kb, vb = b[:D], b[D : 2 * D], b[2 * D :]
+    mk = lambda wi, bi: {
+        "kernel": _t(wi).reshape(D, num_heads, hd),
+        "bias": bi.reshape(num_heads, hd),
+    }
+    return {
+        "query": mk(qw, qb),
+        "key": mk(kw, kb),
+        "value": mk(vw, vb),
+        "out": {"kernel": _t(ow).reshape(num_heads, hd, D), "bias": ob},
+    }
+
+
+def _stack_tree(trees: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+    """[per-layer param dicts] → one dict with a stacked leading axis
+    (nn.scan layout)."""
+    out: Dict[str, Any] = {}
+    for k in trees[0]:
+        if isinstance(trees[0][k], dict):
+            out[k] = _stack_tree([t[k] for t in trees])
+        else:
+            out[k] = np.stack([t[k] for t in trees], 0)
+    return out
+
+
+# training-only tensors that have no inference equivalent in our model
+OPENSEED_DROP_PATTERNS = (
+    r"\.label_enc\.",          # denoising-training label embedding
+    r"criterion\.",            # loss buffers (empty_weight etc.)
+    r"pixel_mean$", r"pixel_std$",
+)
+
+
+def convert_openseed(
+    state: Mapping[str, np.ndarray],
+    cfg=None,
+    prefix: str = "",
+    ckpt_level_strides: Tuple[int, ...] = (32, 16, 8, 64),
+    ckpt_input_proj_strides: Tuple[int, ...] = (32, 16, 8, 64),
+    strict: bool = True,
+):
+    """Full OpenSeeD checkpoint → ``OpenSeedSegmenter`` params (+ language
+    encoder params via :func:`convert_openseed_lang`).
+
+    Returns ``(params, lang)`` where params has {backbone, pixel_decoder,
+    decoder} matching the flax module tree and lang is the converted
+    language-encoder bundle (tower/lang_proj/logit_scale).  With
+    ``strict=True`` raises if any checkpoint key is neither mapped nor on
+    ``OPENSEED_DROP_PATTERNS``.
+    """
+    from openpsg_tpu.models.segmenter.openseed import SegmenterConfig
+
+    cfg = cfg or SegmenterConfig()
+    g = _Consumed({k[len(prefix):]: v for k, v in state.items()
+                   if k.startswith(prefix)})
+    nH, K = 8, cfg.num_points
+    L = cfg.total_levels
+
+    # internal level order is high-res→low-res: strides 8, 16, 32, 64, ...
+    internal_strides = [8, 16, 32] + [64 * (2 ** i) for i in range(L - 3)]
+    internal_strides = internal_strides[:L]
+    perm = [ckpt_level_strides.index(s) for s in internal_strides]
+
+    # ---- backbone ----
+    swin_prefix = detect_swin_prefix(g.state)
+    backbone = convert_swin(g.state, prefix=swin_prefix, depths=cfg.depths)
+    for k in list(g.state):
+        if k.startswith(swin_prefix):
+            g.used.add(k)
+
+    pd = "sem_seg_head.pixel_decoder."
+    # ---- input projections (per internal level, via the stride map) ----
+    pixel_decoder: Dict[str, Any] = {}
+    for i, s in enumerate(internal_strides):
+        j = ckpt_input_proj_strides.index(s)
+        pixel_decoder[f"input_proj{i}"] = {
+            "kernel": _conv(g(pd + f"input_proj.{j}.0.weight")),
+            "bias": g(pd + f"input_proj.{j}.0.bias"),
+        }
+        pixel_decoder[f"input_norm{i}"] = _gn(g, pd + f"input_proj.{j}.1")
+    le = g(pd + "transformer.level_embed")
+    pixel_decoder["level_embed"] = le[np.asarray(perm)]
+
+    enc_layers = []
+    li = 0
+    while g.has(pd + f"transformer.encoder.layers.{li}.norm1.weight"):
+        base = pd + f"transformer.encoder.layers.{li}."
+        enc_layers.append({
+            "self_attn": _msda(g, base + "self_attn", nH, L, K, perm),
+            "norm1": _gn(g, base + "norm1"),
+            "ffn": {
+                "fc1": _dense(g, base + "linear1"),
+                "fc2": _dense(g, base + "linear2"),
+                "norm": _gn(g, base + "norm2"),
+            },
+        })
+        li += 1
+    pixel_decoder["layers"] = {"layer": _stack_tree(enc_layers)}
+
+    pixel_decoder["lateral4"] = {"kernel": _conv(g(pd + "adapter_1.weight"))}
+    pixel_decoder["lateral4_norm"] = _gn(g, pd + "adapter_1.norm")
+    pixel_decoder["output4"] = {"kernel": _conv(g(pd + "layer_1.weight"))}
+    pixel_decoder["output4_norm"] = _gn(g, pd + "layer_1.norm")
+    pixel_decoder["mask_feature_proj"] = {
+        "kernel": _conv(g(pd + "mask_features.weight")),
+        "bias": g(pd + "mask_features.bias"),
+    }
+
+    # ---- query decoder ----
+    pr = "sem_seg_head.predictor."
+    decoder: Dict[str, Any] = {
+        "class_embed": g(pr + "class_embed"),
+        "logit_scale": g(pr + "lang_encoder.logit_scale").reshape(()),
+        "enc_proj": _dense(g, pr + "enc_output"),
+        "enc_norm": _gn(g, pr + "enc_output_norm"),
+        "mask_head": _mlp(g, pr + "mask_embed", 3),
+        "decoder_norm": _gn(g, pr + "decoder_norm"),
+    }
+
+    dec_layers = []
+    li = 0
+    while g.has(pr + f"decoder.layers.{li}.norm1.weight"):
+        base = pr + f"decoder.layers.{li}."
+        dec_layers.append({
+            "cross_attn": _msda(g, base + "cross_attn", nH, L, K, perm),
+            "norm_cross": _gn(g, base + "norm1"),
+            "self_attn": {
+                "mha": _mha_from_inproj(
+                    g(base + "self_attn.in_proj_weight"),
+                    g(base + "self_attn.in_proj_bias"),
+                    g(base + "self_attn.out_proj.weight"),
+                    g(base + "self_attn.out_proj.bias"),
+                    nH,
+                ),
+                "norm": _gn(g, base + "norm2"),
+            },
+            "ffn": {
+                "fc1": _dense(g, base + "linear1"),
+                "fc2": _dense(g, base + "linear2"),
+                "norm": _gn(g, base + "norm3"),
+            },
+        })
+        li += 1
+    n_dec = li
+
+    # per-layer box MLPs (prefer the top-level alias; consume both spellings)
+    def box_mlp(idx: int) -> Optional[Dict[str, Any]]:
+        for cand in (pr + f"bbox_embed.{idx}", pr + f"decoder.bbox_embed.{idx}"):
+            if g.has(cand + ".layers.0.weight"):
+                got = _mlp(g, cand, 3)
+                other = (pr + f"decoder.bbox_embed.{idx}"
+                         if cand.endswith(f"bbox_embed.{idx}") and "decoder" not in cand
+                         else pr + f"bbox_embed.{idx}")
+                for j in range(3):
+                    g.opt(f"{other}.layers.{j}.weight")
+                    g.opt(f"{other}.layers.{j}.bias")
+                return got
+        return None
+
+    per_layer_boxes = [box_mlp(i) for i in range(n_dec)]
+    assert all(b is not None for b in per_layer_boxes), "missing bbox_embed"
+    enc_box = box_mlp(n_dec)  # two-stage proposal head (when saved)
+    decoder["enc_box_head"] = enc_box if enc_box is not None else per_layer_boxes[-1]
+
+    # ref_point_head: one torch module → tiled across the scan axis
+    rph = _mlp(g, pr + "decoder.ref_point_head", 2)
+    for i, lyr in enumerate(dec_layers):
+        lyr["ref_point_head"] = rph
+        lyr["box_head"] = per_layer_boxes[i]
+    decoder["layers"] = _stack_tree(dec_layers)
+
+    lang = convert_openseed_lang(g, prefix=pr + "lang_encoder.")
+
+    if strict:
+        left = g.leftovers(OPENSEED_DROP_PATTERNS)
+        if left:
+            raise ValueError(
+                f"unmapped checkpoint keys ({len(left)}): {left[:20]} ..."
+            )
+
+    params = {
+        "backbone": backbone,
+        "pixel_decoder": pixel_decoder,
+        "decoder": decoder,
+    }
+    return params, lang
+
+
+def detect_clip_resblock_prefix(state: Mapping[str, np.ndarray], prefix: str) -> str:
+    """The X-Decoder lang tower nests resblocks either directly
+    (``lang_encoder.resblocks.0...``) or under ``transformer.`` — detect."""
+    for k in state:
+        m = re.match(
+            re.escape(prefix) + r"lang_encoder\.(.*?)resblocks\.0\.attn\.in_proj_weight$", k
+        )
+        if m:
+            return prefix + "lang_encoder." + m.group(1) + "resblocks."
+    raise KeyError("no CLIP resblocks found under " + prefix)
+
+
+def convert_openseed_lang(
+    state_or_g,
+    prefix: str = "sem_seg_head.predictor.lang_encoder.",
+    num_heads: int = 8,
+    max_len: int = 77,
+):
+    """OpenSeeD/X-Decoder language encoder → our pre-LN CLIP text tower
+    (BertStyleEncoder(pre_ln=True, quick_gelu=True)) + lang_proj +
+    logit_scale.  Returns {"tower": params, "lang_proj": [D, proj],
+    "logit_scale": scalar}."""
+    g = state_or_g if isinstance(state_or_g, _Consumed) else _Consumed(state_or_g)
+    rb = detect_clip_resblock_prefix(g.state, prefix)
+    te = g(prefix + "lang_encoder.token_embedding.weight")
+    pe = g(prefix + "lang_encoder.positional_embedding")
+    D = te.shape[1]
+    hd = D // num_heads
+
+    layers = []
+    i = 0
+    while g.has(rb + f"{i}.attn.in_proj_weight"):
+        base = rb + str(i)
+        mha = _mha_from_inproj(
+            g(base + ".attn.in_proj_weight"),
+            g(base + ".attn.in_proj_bias"),
+            g(base + ".attn.out_proj.weight"),
+            g(base + ".attn.out_proj.bias"),
+            num_heads,
+        )
+        layers.append({
+            "attn_pre_ln": _gn(g, base + ".ln_1"),
+            "self_attn": mha,
+            "ffn_pre_ln": _gn(g, base + ".ln_2"),
+            "ffn_up": _dense(g, base + ".mlp.c_fc"),
+            "ffn_down": _dense(g, base + ".mlp.c_proj"),
+        })
+        i += 1
+
+    tower = {
+        "word_embed": {"embedding": te},
+        "pos_embed": pe[:max_len],
+        "layers": _stack_tree(layers),
+        "final_ln": _gn(g, prefix + "lang_encoder.ln_final"),
+    }
+    return {
+        "tower": tower,
+        "lang_proj": np.asarray(g(prefix + "lang_proj")),
+        "logit_scale": np.asarray(g(prefix + "logit_scale")).reshape(()),
+    }

@@ -183,3 +183,46 @@ class TestLanguage:
         e1 = np.asarray(jax.jit(enc.apply)({"params": params}, t1))[0]
         e2 = np.asarray(jax.jit(enc.apply)({"params": params}, t2))[0]
         np.testing.assert_allclose(e1, e2, atol=1e-5)
+
+
+class TestFusionCandidatePreselection:
+    def test_topc_fusion_exact_when_keeps_covered(self):
+        """Fusing only the (order-preserved) top-C queries by class score
+        is EXACT when every threshold-passing query is among them — the
+        memory lever that makes the 300-query decoder affordable
+        (PSGv4Config.fusion_candidates)."""
+        import numpy as np
+
+        from openpsg_tpu.models.segmenter.fusion import panoptic_fusion
+
+        rng = np.random.default_rng(0)
+        Q, K, h, w = 12, 7, 24, 24
+        # 4 strong queries pass the 0.25 sigmoid threshold; rest far below
+        cls = np.full((Q, K), -6.0, np.float32)
+        strong = [1, 4, 7, 9]
+        for i, q in enumerate(strong):
+            cls[q, i % K] = 3.0
+        masks = rng.normal(size=(Q, h, w)).astype(np.float32) - 4.0
+        for i, q in enumerate(strong):
+            masks[q] = -8.0
+            masks[q, (i * 6) % h : (i * 6) % h + 6] = 8.0
+
+        full = panoptic_fusion(
+            jnp.asarray(cls), jnp.asarray(masks),
+            cls_mode="sigmoid", object_mask_thr=0.25, iou_thr=0.8,
+            instance_mode="per_class", num_things=5,
+        )
+        C = 6
+        score = np.max(1 / (1 + np.exp(-cls)), -1)
+        cand = np.sort(np.argsort(-score)[:C])
+        sub = panoptic_fusion(
+            jnp.asarray(cls[cand]), jnp.asarray(masks[cand]),
+            cls_mode="sigmoid", object_mask_thr=0.25, iou_thr=0.8,
+            instance_mode="per_class", num_things=5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(full.pan_seg), np.asarray(sub.pan_seg)
+        )
+        full_ids = np.asarray(full.object_ids)[np.asarray(full.survive)]
+        sub_ids = np.asarray(sub.object_ids)[np.asarray(sub.survive)]
+        np.testing.assert_array_equal(np.sort(full_ids), np.sort(sub_ids))

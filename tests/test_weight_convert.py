@@ -228,6 +228,250 @@ def synthetic_clip_state(cfg, seed=0):
     return s
 
 
+def _lin(rng, o, i):
+    return rng.normal(size=(o, i)).astype(np.float32)
+
+
+def synthetic_openseed_state(cfg, num_lang_layers=2, lang_dim=32, vocab=64, seed=0):
+    """Synthetic checkpoint with the canonical OpenSeeD key schema (the
+    layout convert_openseed documents; see weight_convert.py docstring)."""
+    rng = np.random.default_rng(seed)
+    C, K, L = cfg.dim, cfg.num_points, cfg.total_levels
+    nH = 8
+    s = {}
+
+    # ---- backbone (standard Swin names under 'backbone.') ----
+    dims = [cfg.embed_dim * (2 ** i) for i in range(len(cfg.depths))]
+    s["backbone.patch_embed.proj.weight"] = rng.normal(
+        size=(cfg.embed_dim, 3, 4, 4)).astype(np.float32)
+    s["backbone.patch_embed.proj.bias"] = np.zeros(cfg.embed_dim, np.float32)
+    s["backbone.patch_embed.norm.weight"] = np.ones(cfg.embed_dim, np.float32)
+    s["backbone.patch_embed.norm.bias"] = np.zeros(cfg.embed_dim, np.float32)
+    for st, depth in enumerate(cfg.depths):
+        d = dims[st]
+        for b in range(depth):
+            p = f"backbone.layers.{st}.blocks.{b}."
+            s[p + "norm1.weight"] = np.ones(d, np.float32)
+            s[p + "norm1.bias"] = np.zeros(d, np.float32)
+            s[p + "norm2.weight"] = np.ones(d, np.float32)
+            s[p + "norm2.bias"] = np.zeros(d, np.float32)
+            s[p + "attn.qkv.weight"] = _lin(rng, 3 * d, d)
+            s[p + "attn.qkv.bias"] = np.zeros(3 * d, np.float32)
+            s[p + "attn.proj.weight"] = _lin(rng, d, d)
+            s[p + "attn.proj.bias"] = np.zeros(d, np.float32)
+            s[p + "attn.relative_position_bias_table"] = rng.normal(
+                size=((2 * cfg.window - 1) ** 2, cfg.num_heads[st])
+            ).astype(np.float32)
+            s[p + "mlp.fc1.weight"] = _lin(rng, 4 * d, d)
+            s[p + "mlp.fc1.bias"] = np.zeros(4 * d, np.float32)
+            s[p + "mlp.fc2.weight"] = _lin(rng, d, 4 * d)
+            s[p + "mlp.fc2.bias"] = np.zeros(d, np.float32)
+        if st < len(cfg.depths) - 1:
+            s[f"backbone.layers.{st}.downsample.reduction.weight"] = _lin(
+                rng, 2 * d, 4 * d)
+            s[f"backbone.layers.{st}.downsample.norm.weight"] = np.ones(4 * d, np.float32)
+            s[f"backbone.layers.{st}.downsample.norm.bias"] = np.zeros(4 * d, np.float32)
+        s[f"backbone.norm{st}.weight"] = np.ones(d, np.float32)
+        s[f"backbone.norm{st}.bias"] = np.zeros(d, np.float32)
+
+    # ---- pixel decoder ----
+    pd = "sem_seg_head.pixel_decoder."
+    # input_proj order (32, 16, 8, 64): reversed backbone levels + extras
+    in_ch = {32: dims[3], 16: dims[2], 8: dims[1], 64: dims[3]}
+    for j, stride in enumerate((32, 16, 8, 64)[:L]):
+        k = 1 if stride <= 32 else 3
+        s[pd + f"input_proj.{j}.0.weight"] = rng.normal(
+            size=(C, in_ch[stride], k, k)).astype(np.float32)
+        s[pd + f"input_proj.{j}.0.bias"] = np.zeros(C, np.float32)
+        s[pd + f"input_proj.{j}.1.weight"] = np.ones(C, np.float32)
+        s[pd + f"input_proj.{j}.1.bias"] = np.zeros(C, np.float32)
+    s[pd + "transformer.level_embed"] = rng.normal(size=(L, C)).astype(np.float32)
+
+    def msda(base):
+        s[base + ".sampling_offsets.weight"] = _lin(rng, nH * L * K * 2, C)
+        s[base + ".sampling_offsets.bias"] = np.zeros(nH * L * K * 2, np.float32)
+        s[base + ".attention_weights.weight"] = _lin(rng, nH * L * K, C)
+        s[base + ".attention_weights.bias"] = np.zeros(nH * L * K, np.float32)
+        s[base + ".value_proj.weight"] = _lin(rng, C, C)
+        s[base + ".value_proj.bias"] = np.zeros(C, np.float32)
+        s[base + ".output_proj.weight"] = _lin(rng, C, C)
+        s[base + ".output_proj.bias"] = np.zeros(C, np.float32)
+
+    def norm(base, d=None):
+        s[base + ".weight"] = np.ones(d or C, np.float32)
+        s[base + ".bias"] = np.zeros(d or C, np.float32)
+
+    for l in range(cfg.enc_layers):
+        base = pd + f"transformer.encoder.layers.{l}"
+        msda(base + ".self_attn")
+        norm(base + ".norm1")
+        s[base + ".linear1.weight"] = _lin(rng, cfg.ffn_hidden, C)
+        s[base + ".linear1.bias"] = np.zeros(cfg.ffn_hidden, np.float32)
+        s[base + ".linear2.weight"] = _lin(rng, C, cfg.ffn_hidden)
+        s[base + ".linear2.bias"] = np.zeros(C, np.float32)
+        norm(base + ".norm2")
+
+    s[pd + "adapter_1.weight"] = rng.normal(size=(C, dims[0], 1, 1)).astype(np.float32)
+    norm(pd + "adapter_1.norm")
+    s[pd + "layer_1.weight"] = rng.normal(size=(C, C, 3, 3)).astype(np.float32)
+    norm(pd + "layer_1.norm")
+    s[pd + "mask_features.weight"] = rng.normal(
+        size=(cfg.mask_dim, C, 1, 1)).astype(np.float32)
+    s[pd + "mask_features.bias"] = np.zeros(cfg.mask_dim, np.float32)
+
+    # ---- predictor (query decoder) ----
+    pr = "sem_seg_head.predictor."
+    s[pr + "class_embed"] = rng.normal(size=(C, cfg.proj_dim)).astype(np.float32)
+    s[pr + "enc_output.weight"] = _lin(rng, C, C)
+    s[pr + "enc_output.bias"] = np.zeros(C, np.float32)
+    norm(pr + "enc_output_norm")
+    norm(pr + "decoder_norm")
+    s[pr + "label_enc.weight"] = _lin(rng, 134, C)  # denoise-only → dropped
+
+    def mlp(base, widths):
+        for j, (o, i) in enumerate(widths):
+            s[base + f".layers.{j}.weight"] = _lin(rng, o, i)
+            s[base + f".layers.{j}.bias"] = np.zeros(o, np.float32)
+
+    mlp(pr + "mask_embed", [(C, C), (C, C), (cfg.mask_dim, C)])
+    mlp(pr + "decoder.ref_point_head", [(C, 2 * C), (C, C)])
+    for l in range(cfg.dec_layers + 1):  # +1: two-stage proposal head
+        mlp(pr + f"bbox_embed.{l}", [(C, C), (C, C), (4, C)])
+    for l in range(cfg.dec_layers):
+        base = pr + f"decoder.layers.{l}"
+        msda(base + ".cross_attn")
+        norm(base + ".norm1")
+        s[base + ".self_attn.in_proj_weight"] = _lin(rng, 3 * C, C)
+        s[base + ".self_attn.in_proj_bias"] = np.zeros(3 * C, np.float32)
+        s[base + ".self_attn.out_proj.weight"] = _lin(rng, C, C)
+        s[base + ".self_attn.out_proj.bias"] = np.zeros(C, np.float32)
+        norm(base + ".norm2")
+        s[base + ".linear1.weight"] = _lin(rng, cfg.ffn_hidden, C)
+        s[base + ".linear1.bias"] = np.zeros(cfg.ffn_hidden, np.float32)
+        s[base + ".linear2.weight"] = _lin(rng, C, cfg.ffn_hidden)
+        s[base + ".linear2.bias"] = np.zeros(C, np.float32)
+        norm(base + ".norm3")
+
+    # ---- language encoder (X-Decoder CLIP tower) ----
+    le = pr + "lang_encoder."
+    s[le + "logit_scale"] = np.asarray(2.659, np.float32)
+    s[le + "lang_proj"] = rng.normal(size=(lang_dim, cfg.proj_dim)).astype(np.float32)
+    s[le + "lang_encoder.token_embedding.weight"] = _lin(rng, vocab, lang_dim)
+    s[le + "lang_encoder.positional_embedding"] = rng.normal(
+        size=(77, lang_dim)).astype(np.float32)
+    for i in range(num_lang_layers):
+        base = le + f"lang_encoder.transformer.resblocks.{i}"
+        s[base + ".attn.in_proj_weight"] = _lin(rng, 3 * lang_dim, lang_dim)
+        s[base + ".attn.in_proj_bias"] = np.zeros(3 * lang_dim, np.float32)
+        s[base + ".attn.out_proj.weight"] = _lin(rng, lang_dim, lang_dim)
+        s[base + ".attn.out_proj.bias"] = np.zeros(lang_dim, np.float32)
+        norm(base + ".ln_1", lang_dim)
+        norm(base + ".ln_2", lang_dim)
+        s[base + ".mlp.c_fc.weight"] = _lin(rng, 4 * lang_dim, lang_dim)
+        s[base + ".mlp.c_fc.bias"] = np.zeros(4 * lang_dim, np.float32)
+        s[base + ".mlp.c_proj.weight"] = _lin(rng, lang_dim, 4 * lang_dim)
+        s[base + ".mlp.c_proj.bias"] = np.zeros(lang_dim, np.float32)
+    norm(le + "lang_encoder.ln_final", lang_dim)
+    return s
+
+
+class TestOpenSeedConvert:
+    def _cfg(self):
+        import dataclasses as dc
+
+        from openpsg_tpu.models.segmenter.openseed import SegmenterConfig
+
+        return dc.replace(SegmenterConfig.tiny_test(), total_levels=4, proj_dim=32)
+
+    def test_full_trunk_structure_matches_init(self):
+        from openpsg_tpu.models.llm.weight_convert import verify_structure
+        from openpsg_tpu.models.segmenter.openseed import OpenSeedSegmenter
+        from openpsg_tpu.models.segmenter.weight_convert import convert_openseed
+
+        cfg = self._cfg()
+        state = synthetic_openseed_state(cfg)
+        params, lang = convert_openseed(state, cfg)  # strict: no leftovers
+
+        model = OpenSeedSegmenter(cfg)
+        img = jnp.zeros((64, 64, 3), jnp.float32)
+        ce = jnp.zeros((7, cfg.proj_dim), jnp.float32)
+        init = jax.eval_shape(
+            lambda k: model.init(k, img, ce), jax.random.PRNGKey(0)
+        )
+        verify_structure({"params": params}, init)
+        assert lang["lang_proj"].shape == (32, 32)
+
+    def test_converted_trunk_runs(self):
+        from openpsg_tpu.models.segmenter.openseed import OpenSeedSegmenter
+        from openpsg_tpu.models.segmenter.weight_convert import convert_openseed
+
+        cfg = self._cfg()
+        params, _ = convert_openseed(synthetic_openseed_state(cfg), cfg)
+        model = OpenSeedSegmenter(cfg)
+        img = jnp.ones((64, 64, 3), jnp.float32) * 0.1
+        ce = jnp.asarray(
+            np.random.default_rng(0).normal(size=(7, cfg.proj_dim)), jnp.float32
+        )
+        out = jax.jit(model.apply)({"params": params}, img, ce)
+        assert out["cls_logits"].shape == (cfg.num_queries, 7)
+        assert out["mask_features"].shape == (16, 16, cfg.mask_dim)
+        assert np.isfinite(np.asarray(out["cls_logits"])).all()
+
+    def test_strict_unmapped_key_raises(self):
+        from openpsg_tpu.models.segmenter.weight_convert import convert_openseed
+
+        cfg = self._cfg()
+        state = synthetic_openseed_state(cfg)
+        state["sem_seg_head.predictor.some_new_tensor"] = np.zeros(3, np.float32)
+        with pytest.raises(ValueError, match="unmapped"):
+            convert_openseed(state, cfg)
+
+    def test_level_permutation_applied(self):
+        # level_embed row for internal level 0 (stride 8) must come from
+        # checkpoint index 2 under the default (32, 16, 8, 64) order
+        from openpsg_tpu.models.segmenter.weight_convert import convert_openseed
+
+        cfg = self._cfg()
+        state = synthetic_openseed_state(cfg)
+        le = state["sem_seg_head.pixel_decoder.transformer.level_embed"]
+        params, _ = convert_openseed(state, cfg)
+        got = params["pixel_decoder"]["level_embed"]
+        np.testing.assert_allclose(got[0], le[2])   # s8
+        np.testing.assert_allclose(got[1], le[1])   # s16
+        np.testing.assert_allclose(got[2], le[0])   # s32
+        np.testing.assert_allclose(got[3], le[3])   # s64
+
+    def test_lang_tower_structure(self):
+        from openpsg_tpu.models.commons.text_encoder import (
+            BertStyleConfig,
+            BertStyleEncoder,
+        )
+        from openpsg_tpu.models.llm.weight_convert import verify_structure
+        from openpsg_tpu.models.segmenter.weight_convert import convert_openseed_lang
+
+        cfg = self._cfg()
+        state = synthetic_openseed_state(cfg)
+        lang = convert_openseed_lang(state)
+        tcfg = BertStyleConfig(
+            hidden_size=32, num_layers=2, num_heads=8, intermediate=128,
+            vocab_size=64, max_len=77, pre_ln=True, quick_gelu=True,
+        )
+        enc = BertStyleEncoder(tcfg)
+        ids = jnp.zeros((1, 5), jnp.int32)
+        init = jax.eval_shape(
+            lambda k: enc.init(k, token_ids=ids), jax.random.PRNGKey(0)
+        )
+        tower = dict(lang["tower"])
+        tower["pooler"] = jax.tree_util.tree_map(
+            np.asarray, jax.tree_util.tree_map(
+                lambda x: np.zeros(x.shape, np.float32), init["params"]["pooler"]
+            )
+        )
+        verify_structure({"params": tower}, init)
+        out = enc.apply({"params": tower}, token_ids=ids)
+        assert np.isfinite(np.asarray(out)).all()
+
+
 class TestClipConvert:
     def test_pre_ln_structure(self):
         from openpsg_tpu.models.commons.text_encoder import (
@@ -248,3 +492,69 @@ class TestClipConvert:
         verify_structure(conv, init)
         out = enc.apply(conv, token_ids=ids)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestQFormerConvert:
+    def test_golden_outputs_match_hf(self):
+        """Converted HF InstructBlipQFormerModel weights reproduce HF's
+        query outputs through our batched RelationQFormer (validates the
+        'weights can slot in' claim in qformer.py:8-13)."""
+        import torch
+        from transformers import InstructBlipQFormerConfig
+        from transformers.models.instructblip.modeling_instructblip import (
+            InstructBlipQFormerModel,
+        )
+
+        from openpsg_tpu.models.relation.qformer import (
+            QFormerConfig,
+            RelationQFormer,
+        )
+        from openpsg_tpu.models.relation.weight_convert import convert_qformer
+
+        torch.manual_seed(0)
+        hf = InstructBlipQFormerModel(InstructBlipQFormerConfig(
+            vocab_size=64, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64,
+            encoder_hidden_size=16, cross_attention_frequency=1,
+            max_position_embeddings=32,
+            attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0,
+        )).eval()
+        cfg = QFormerConfig(
+            hidden_size=32, num_layers=2, num_heads=2, intermediate=64,
+            encoder_hidden_size=16, num_relation_queries=3, vocab_size=64,
+            max_text_len=8,
+        )
+        state = {k: v.numpy() for k, v in hf.state_dict().items()}
+        params = convert_qformer(state, cfg)
+
+        rng = np.random.default_rng(0)
+        B, Qn, T, P = 3, 4, 6, 5
+        q = rng.normal(size=(B, Qn, 32)).astype(np.float32)
+        ids = rng.integers(1, 64, (B, T)).astype(np.int64)
+        tmask = np.ones((B, T), bool)
+        tmask[:, 4:] = False
+        enc = rng.normal(size=(P, 16)).astype(np.float32)
+        emask = np.ones((B, P), bool)
+        emask[0, 2:] = False   # per-pair OR-mask restriction
+
+        with torch.no_grad():
+            ref = hf(
+                input_ids=torch.tensor(ids),
+                attention_mask=torch.cat(
+                    [torch.ones(B, Qn), torch.tensor(tmask, dtype=torch.float32)],
+                    dim=1,
+                ),
+                query_embeds=torch.tensor(q),
+                encoder_hidden_states=torch.tensor(
+                    np.tile(enc[None], (B, 1, 1))
+                ),
+                encoder_attention_mask=torch.tensor(emask, dtype=torch.float32),
+            ).last_hidden_state[:, :Qn].numpy()
+
+        mod = RelationQFormer(cfg)
+        got = mod.apply(
+            {"params": params},
+            jnp.asarray(q), jnp.asarray(ids, jnp.int32), jnp.asarray(tmask),
+            jnp.asarray(enc), jnp.asarray(emask),
+        )
+        np.testing.assert_allclose(np.asarray(got), ref, atol=3e-5)
