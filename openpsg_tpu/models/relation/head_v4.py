@@ -33,7 +33,9 @@ from openpsg_tpu.models.relation.qformer import QFormerConfig, RelationQFormer
 from openpsg_tpu.models.relation.tokenizer import WordTokenizer
 from openpsg_tpu.ops.mask_ops import downsample_mask_bilinear, pair_or_masks
 
-NAME_TOKENS = 4  # max tokens per class name ('baseball glove' etc. ≤ 2 words)
+NAME_TOKENS = 4  # word-tokenizer default; real tokenizers size the table
+                 # from their actual per-name token counts (BPE/wordpiece
+                 # split 'baseball glove' etc. into more pieces)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,20 +68,30 @@ class HeadV4Config:
 
 
 def build_instruction_table(tokenizer: WordTokenizer, class_names, template: str,
-                            max_len: int):
+                            min_len: int):
     """Host-side, once at init: template prefix/infix/suffix token ids and a
-    [num_classes, NAME_TOKENS] name-token table (0-padded)."""
+    [num_classes, name_tokens] name-token table (pad_id-padded).
+
+    ``name_tokens`` is the tokenizer's actual longest class-name encoding —
+    NOT a fixed constant — so BPE/wordpiece tokenizers that split names
+    into many pieces fit (reference tokenizes per pair at runtime,
+    relation_transformer_head_v4.py:146-152; we precompute).  The emitted
+    ``max_len`` is the static instruction width: at least ``min_len``,
+    grown to fit the longest possible instruction."""
+    pad_id = getattr(tokenizer, "pad_id", 0)
     pre, rest = template.split("{}", 1)
     mid, post = rest.split("{}", 1)
-    seg = lambda s: np.asarray(tokenizer.encode(s), np.int32)
-    names = np.zeros((len(class_names), NAME_TOKENS), np.int32)
-    for i, n in enumerate(class_names):
-        ids = tokenizer.encode(n)[:NAME_TOKENS]
+    seg = lambda s: np.asarray(tokenizer.encode(s), np.int32).reshape(-1)
+    name_ids = [tokenizer.encode(n) for n in class_names]
+    name_tokens = max(max(len(e) for e in name_ids), 1)
+    names = np.full((len(class_names), name_tokens), pad_id, np.int32)
+    for i, ids in enumerate(name_ids):
         names[i, : len(ids)] = ids
-    parts = {"pre": seg(pre), "mid": seg(mid), "post": seg(post), "names": names}
-    total = len(parts["pre"]) + len(parts["mid"]) + len(parts["post"]) + 2 * NAME_TOKENS
-    assert total <= max_len, (total, max_len)
-    parts["max_len"] = max_len
+    parts = {"pre": seg(pre), "mid": seg(mid), "post": seg(post), "names": names,
+             "pad_id": pad_id}
+    total = (len(parts["pre"]) + len(parts["mid"]) + len(parts["post"])
+             + 2 * name_tokens)
+    parts["max_len"] = max(min_len, total)
     return parts
 
 
@@ -106,8 +118,9 @@ def assemble_pair_instructions(parts, sub_labels: jnp.ndarray, obj_labels: jnp.n
     """Device-side: [NP] class labels → ([NP, max_len] ids, [NP, max_len] mask).
 
     Layout: pre ⧺ name(sub) ⧺ mid ⧺ name(obj) ⧺ post, with name slots
-    0-padded in place (mask marks real tokens; id 0 is the tokenizer PAD)."""
+    pad_id-padded in place (mask marks real tokens)."""
     NP = sub_labels.shape[0]
+    pad_id = int(parts.get("pad_id", 0))
     pre = jnp.broadcast_to(jnp.asarray(parts["pre"]), (NP, len(parts["pre"])))
     mid = jnp.broadcast_to(jnp.asarray(parts["mid"]), (NP, len(parts["mid"])))
     post = jnp.broadcast_to(jnp.asarray(parts["post"]), (NP, len(parts["post"])))
@@ -116,8 +129,8 @@ def assemble_pair_instructions(parts, sub_labels: jnp.ndarray, obj_labels: jnp.n
     obj = jnp.take(names, obj_labels, axis=0)
     ids = jnp.concatenate([pre, sub, mid, obj, post], axis=1)
     pad = parts["max_len"] - ids.shape[1]
-    ids = jnp.pad(ids, ((0, 0), (0, pad)))
-    mask = ids != 0
+    ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=pad_id)
+    mask = ids != pad_id
     return ids, mask
 
 

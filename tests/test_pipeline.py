@@ -54,6 +54,131 @@ class TestSelectObjects:
         assert got == [10, 11, 12, 13]        # ascending oid order
 
 
+class TestLoadConvertedTrunk:
+    def test_msgpack_roundtrip_into_pipeline(self, tiny_pipeline, tmp_path):
+        from flax import serialization
+
+        from tests.test_weight_convert import synthetic_openseed_state
+        from openpsg_tpu.models.segmenter.weight_convert import convert_openseed
+
+        p = tiny_pipeline
+        params, _ = convert_openseed(
+            synthetic_openseed_state(p.cfg.segmenter, seed=3), p.cfg.segmenter
+        )
+        path = str(tmp_path / "segmenter.msgpack")
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes({"params": params}))
+        leaf = lambda t: np.asarray(
+            t["params"]["backbone"]["patch_embed"]["kernel"]
+        )
+        before = leaf(p.params["segmenter"]).copy()
+        p.load_segmenter_weights(path)
+        after = leaf(p.params["segmenter"])
+        assert before.shape == after.shape
+        assert not np.allclose(before, after)
+        np.testing.assert_allclose(
+            after,
+            params["backbone"]["patch_embed"]["kernel"],
+            atol=0,
+        )
+
+
+@pytest.fixture(scope="module")
+def hf_pipeline(tmp_path_factory):
+    """Tiny PSGv4 with a REAL transformers wordpiece tokenizer in both the
+    LLM and Q-Former roles (reference: SentencePiece + BERT wordpiece,
+    relation_transformer_head_v4.py:85-86, 99-105)."""
+    from transformers import BertTokenizerFast
+
+    from openpsg_tpu.models.relation.hf_tokenizer import HFTokenizer
+
+    classes = ["person", "sky", "dog"]
+    relations = ["on", "over", "looking at"]
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "is", "there", "a",
+             "relation", "relations", "between", "and", "what", "are",
+             "the", "assistant", ":", "?", "person", "sky", "dog", "on",
+             "over", "looking", "at"]
+    d = tmp_path_factory.mktemp("hftok")
+    (d / "vocab.txt").write_text("\n".join(vocab))
+    tok = HFTokenizer(BertTokenizerFast(vocab_file=str(d / "vocab.txt")))
+
+    cfg = PSGv4Config.tiny_test()
+    p = PSGv4(
+        cfg, jax.random.PRNGKey(0), class_names=classes,
+        relation_names=relations, num_things=2,
+        tokenizer=tok, qformer_tokenizer=tok,
+    )
+    return p, tok
+
+
+class TestHFTokenizerPipeline:
+    def test_tables_sized_from_tokenizer(self, hf_pipeline):
+        p, tok = hf_pipeline
+        # class names here are single wordpieces → table width 1 (sized
+        # from the tokenizer, not the NAME_TOKENS constant)
+        assert p.llm_parts["names"].shape[1] == 1
+        # multi-piece predicate 'looking at' encodes to 2 tokens
+        assert max(len(e) for e in p.relation_token_ids) >= 2
+        assert p.llm_parts["pad_id"] == tok.pad_id
+        assert p.cfg.llm.vocab_size >= tok.vocab_size
+
+    def test_end_to_end_inference_surface(self, hf_pipeline):
+        p, _ = hf_pipeline
+        res = p.infer(_fake_image(), (60, 64))
+        assert set(res) == {"pan_results", "rel_results", "rel_scores"}
+        assert res["pan_results"].shape == (64, 64)
+        for s, o, r in res["rel_results"]["relation"]:
+            assert 0 <= r < len(p.relation_names)
+
+    def test_decode_matching_keyed_on_eos(self, hf_pipeline):
+        """Generated '<rel tokens> EOS pad...' matches the predicate by
+        token segments — including the multi-word 'looking at'."""
+        p, tok = hf_pipeline
+        M = p.cfg.head.max_objects_padded
+        gen = np.full((p.cfg.head.top_pairs, 8), tok.pad_id, np.int32)
+        row0 = tok.encode("looking at") + [tok.eos_id]
+        gen[0, : len(row0)] = row0
+        row1 = tok.encode("on") + [tok.eos_id]
+        gen[1, : len(row1)] = row1
+        dev = {
+            "pan_seg": np.zeros((16, 16), np.int64),
+            "object_valid": np.array([True, True] + [False] * (M - 2)),
+            "object_ids": np.array([5, 1007] + [-1] * (M - 2)),
+            "top_pair_idx": np.array([1, M] + [0] * (p.cfg.head.top_pairs - 2)),
+            "top_pair_scores": np.array(
+                [0.9, 0.8] + [0.0] * (p.cfg.head.top_pairs - 2), np.float32
+            ),
+            "gen_tokens": gen,
+        }
+        res = p.postprocess(dev)
+        assert [0, 1, p.relation_names.index("looking at")] in res["rel_results"]["relation"]
+        assert [1, 0, p.relation_names.index("on")] in res["rel_results"]["relation"]
+
+    def test_train_labels_with_hf_tokenizer(self, hf_pipeline):
+        from openpsg_tpu.train.trainer import build_llm_labels
+
+        p, tok = hf_pipeline
+        M = p.cfg.head.max_objects_padded
+        R = len(p.relation_names)
+        target = np.zeros((M, M, R), np.float32)
+        target[0, 1, p.relation_names.index("looking at")] = 1
+        target[0, 1, p.relation_names.index("on")] = 1
+        ids, mask = build_llm_labels(
+            tok, p.relation_names, target, np.array([1]), max_len=8
+        )
+        # ' looking at </s> on </s>' → segments end with EOS
+        toks = [int(t) for t in ids[0][mask[0]]]
+        assert toks.count(tok.eos_id) == 2
+        segs, cur = [], []
+        for t in toks:
+            if t == tok.eos_id:
+                segs.append(tok.decode(cur))
+                cur = []
+            else:
+                cur.append(t)
+        assert sorted(segs) == ["looking at", "on"]
+
+
 class TestInference:
     def test_end_to_end_surface(self, tiny_pipeline):
         p = tiny_pipeline
