@@ -221,15 +221,21 @@ class PSGDataset:
         batch_size: int,
         seed: int = 0,
         flip_prob: float = 0.5,
+        scale_jitter: Optional[tuple] = None,
         epochs: int = 1,
     ) -> Iterator[List[Dict[str, np.ndarray]]]:
+        """``scale_jitter=(lo, hi)``: large-scale jitter — each example's
+        short side is resampled in [lo, hi] (reference trains with Resize
+        range (1500,400)-(1500,1400), configs/psg/baseline_v4_ov.py:86-91;
+        the image lands in the same static bucket, content rescaled)."""
         rng = np.random.default_rng(seed)
         for _ in range(epochs):
             order = rng.permutation(len(self.records))
             for i in range(0, len(order) - batch_size + 1, batch_size):
                 yield [
                     self.load_example(
-                        int(j), preproc, max_objects, flip_prob=flip_prob, rng=rng
+                        int(j), preproc, max_objects, flip_prob=flip_prob,
+                        scale_jitter=scale_jitter, rng=rng,
                     )
                     for j in order[i : i + batch_size]
                 ]

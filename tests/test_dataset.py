@@ -86,3 +86,22 @@ class TestDataset:
             json.dump(raw, f)
         ds = PSGDataset(p, split="test", filter_no_relation=True)
         assert len(ds) == 1
+
+
+class TestScaleJitter:
+    def test_iter_train_varies_scale(self, fixture_root):
+        """Large-scale jitter (reference Resize range, baseline_v4_ov.py:
+        86-91): short sides differ across examples, bucket stays static."""
+        ds = PSGDataset(
+            f"{fixture_root}/psg.json", img_prefix=fixture_root,
+            seg_prefix=fixture_root, split="train",
+        )
+        pre = Preprocessor(scale=(64, 64))
+        shapes = set()
+        for batch in ds.iter_train(
+            pre, 8, 1, seed=0, scale_jitter=(24, 60), epochs=4
+        ):
+            for e in batch:
+                assert e["image"].shape == (64, 64, 3)  # static bucket
+                shapes.add(tuple(e["img_shape"]))
+        assert len(shapes) > 1, shapes

@@ -43,6 +43,9 @@ def parse_args():
 def main():
     args = parse_args()
     import jax
+
+    from openpsg_tpu.utils.logging import honor_platform_env
+    honor_platform_env()
     import jax.numpy as jnp
 
     from openpsg_tpu.core.builder import build_detector_from_config
@@ -87,7 +90,13 @@ def main():
     )
     logger.info(f"train dataset: {len(dataset)} images")
 
-    batch_size = cfg.data.get("samples_per_gpu", 1) * max(jax.device_count(), 1)
+    # global batch = samples_per_gpu × data-parallel degree; with a
+    # cfg.tpu.mesh the dp axis plays the reference's per-GPU role
+    _mesh_cfg = dict(cfg.get("tpu", {}) or {}).get("mesh") or {}
+    _dp = int(_mesh_cfg.get("dp", 0) or 0)
+    if not _dp or _dp * int(_mesh_cfg.get("tp", 1)) > jax.device_count():
+        _dp = max(jax.device_count(), 1)
+    batch_size = cfg.data.get("samples_per_gpu", 1) * _dp
     steps_per_epoch = max(len(dataset) // batch_size, 1)
     max_epochs = cfg.runner.get("max_epochs", 12)
 
@@ -115,6 +124,42 @@ def main():
     trainable = {k: v for k, v in model.params.items() if k not in freeze_keys}
     frozen = {k: v for k, v in model.params.items() if k in freeze_keys}
     logger.info(f"trainable groups: {sorted(trainable)} frozen: {sorted(frozen)}")
+
+    # honor cfg.tpu.mesh (dp×tp): batch sharded over dp, frozen LLM
+    # tensor-sharded over tp, trainable + small frozen groups replicated
+    # (replaces the reference's NCCL DDP, configs/psg/baseline_v4_ov.py:176)
+    mesh = None
+    mesh_cfg = dict(cfg.get("tpu", {}) or {}).get("mesh")
+    if mesh_cfg:
+        dp_n = int(mesh_cfg.get("dp", 1))
+        tp_n = int(mesh_cfg.get("tp", 1))
+        if dp_n * tp_n > 1 and dp_n * tp_n <= jax.device_count():
+            from openpsg_tpu.parallel.mesh import make_mesh
+            from openpsg_tpu.parallel.sharding import (
+                batch_sharding,
+                replicated,
+                shard_params,
+            )
+
+            mesh = make_mesh(dp=dp_n, tp=tp_n)
+            logger.info(f"mesh: {dict(mesh.shape)}")
+            if "llm" in frozen:
+                frozen["llm"] = shard_params(frozen["llm"], mesh)
+            for k in frozen:
+                if k != "llm":
+                    frozen[k] = jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x, replicated(mesh)), frozen[k]
+                    )
+            trainable = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, replicated(mesh)), trainable
+            )
+            batch_shard = batch_sharding(mesh)
+        elif dp_n * tp_n > jax.device_count():
+            logger.info(
+                f"tpu.mesh wants {dp_n * tp_n} devices, have "
+                f"{jax.device_count()} — running unsharded"
+            )
+
     opt_state = opt.init(trainable)
     step_fn = jax.jit(trainer.make_train_step(opt), donate_argnums=(0, 1))
 
@@ -141,11 +186,26 @@ def main():
     L_LAB = 16
     nprng = np.random.default_rng(args.seed + (jax.process_index() if args.diff_seed else 0))
 
+    # large-scale jitter from the config's train Resize range
+    # (reference: Resize (1500,400)-(1500,1400) multiscale_mode='range',
+    # configs/psg/baseline_v4_ov.py:86-91) — short side resampled per image
+    scale_jitter = None
+    for t in cfg.data.train.get("pipeline", []) or []:
+        if t.get("type") == "Resize" and t.get("multiscale_mode") == "range":
+            scales = t.get("img_scale") or []
+            if len(scales) == 2:
+                shorts = sorted(min(s) for s in scales)
+                scale_jitter = (int(shorts[0]), int(shorts[1]))
+    if scale_jitter:
+        logger.info(f"train scale jitter: short side in {scale_jitter}")
+
     interval = cfg.log_config.get("interval", 50)
     global_step = start_step
     t_last = time.time()
     for epoch in range(max_epochs):
-        for examples in dataset.iter_train(preproc, M, batch_size, seed=args.seed + epoch):
+        for examples in dataset.iter_train(preproc, M, batch_size,
+                                           seed=args.seed + epoch,
+                                           scale_jitter=scale_jitter):
             arrays = {k: np.stack([e[k] for e in examples]) for k in
                       ("image", "object_masks", "object_labels", "object_valid",
                        "relation_target")}
@@ -183,6 +243,10 @@ def main():
                     object_labels=jnp.asarray(arrays["object_labels"], jnp.int32),
                     object_valid=jnp.asarray(arrays["object_valid"]),
                     relation_target=jnp.asarray(arrays["relation_target"]),
+                )
+            if mesh is not None:
+                batch = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, batch_shard), batch
                 )
             trainable, opt_state, metrics = step_fn(
                 trainable, opt_state, frozen, batch
