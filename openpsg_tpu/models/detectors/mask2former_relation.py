@@ -121,7 +121,34 @@ class PSGMask2FormerRelation:
         self.segmenter = Mask2FormerSegmenter(
             dataclasses.replace(cfg.segmenter, num_classes=len(self.class_names))
         )
+        self.sem_token_ids = None
+        self.sem_token_mask = None
         if cfg.head_version == "v1":
+            if cfg.head_v1.use_relation_prompts:
+                # predicate-prompt path: descriptions → tokens once at init;
+                # the head's sem_encoder trains end-to-end (reference
+                # relation_transformer_head.py:54, 193-205)
+                from openpsg_tpu.data.predicate_descriptions import get_descriptions
+                from openpsg_tpu.models.relation.tokenizer import WordTokenizer
+
+                texts = get_descriptions(
+                    cfg.head_v1.semantic_type, self.relation_names
+                )
+                sem_tok = WordTokenizer(texts)
+                ids, msk = sem_tok.encode_batch(
+                    texts, max_len=cfg.head_v1.encoder.max_len
+                )
+                self.sem_token_ids = jnp.asarray(ids)
+                self.sem_token_mask = jnp.asarray(msk)
+                enc = dataclasses.replace(
+                    cfg.head_v1.encoder,
+                    vocab_size=max(cfg.head_v1.encoder.vocab_size,
+                                   sem_tok.vocab_size),
+                )
+                cfg = dataclasses.replace(
+                    cfg, head_v1=dataclasses.replace(cfg.head_v1, encoder=enc)
+                )
+                self.cfg = cfg
             self.head = RelationHeadV1(cfg.head_v1)
         elif cfg.head_version == "v2":
             self.head = RelationHeadV2(cfg.head_v2)
@@ -148,6 +175,8 @@ class PSGMask2FormerRelation:
             return self.head.apply(
                 head_params, tokens[None], valid[None],
                 semantic_embeds=extra.get("semantic_embeds"),
+                semantic_token_ids=self.sem_token_ids,
+                semantic_token_mask=self.sem_token_mask,
             )[0]
         if c.head_version == "v2":
             return self.head.apply(
@@ -208,6 +237,8 @@ class PSGMask2FormerRelation:
             return self.head.init(
                 k, tokens[None], valid[None],
                 semantic_embeds=extra.get("semantic_embeds"),
+                semantic_token_ids=self.sem_token_ids,
+                semantic_token_mask=self.sem_token_mask,
             )
         if c.head_version == "v2":
             return self.head.init(

@@ -39,6 +39,7 @@ class HeadV1Config:
     pred_type: str = "attention"          # attention | einsum
     use_relation_prompts: bool = False    # predicate-text fusion path
     fusion_pred_type: str = "einsum"
+    semantic_type: str = "relation_classes"  # description vocabulary (§2.1)
     loss_type: str = "v1"
     loss_weight: float = 50.0
     loss_alpha: float = 1.0
@@ -63,6 +64,8 @@ class RelationHeadV1(nn.Module):
         object_embeds: jnp.ndarray,          # [B, N, C_in] mask-pooled tokens
         attention_mask: jnp.ndarray,         # [B, N] bool
         semantic_embeds: Optional[jnp.ndarray] = None,  # [R, D] predicate text
+        semantic_token_ids: Optional[jnp.ndarray] = None,   # [R, L] int32
+        semantic_token_mask: Optional[jnp.ndarray] = None,  # [R, L] bool
     ) -> jnp.ndarray:                        # [B, R, N, N] scores
         c = self.cfg
         x = object_embeds
@@ -94,7 +97,22 @@ class RelationHeadV1(nn.Module):
                 raise ValueError(c.pred_type)
             return scores
 
-        assert semantic_embeds is not None, "prompt path needs predicate embeds"
+        if semantic_embeds is None:
+            # in-head semantic encoder: predicate descriptions → pooled
+            # text embeddings, trained end-to-end with the head (the
+            # reference encodes self.relation_prompts through its text
+            # tower each forward, relation_transformer_head.py:193-205)
+            assert semantic_token_ids is not None, (
+                "prompt path needs semantic_embeds or semantic_token_ids"
+            )
+            sem_cfg = dataclasses.replace(
+                c.encoder, hidden_size=c.output_feature_size
+            )
+            semantic_embeds = BertStyleEncoder(sem_cfg, name="sem_encoder")(
+                token_ids=semantic_token_ids,
+                attention_mask=semantic_token_mask,
+                pool=True,                       # BERT pooler (ref :60-69)
+            )
         sem = jnp.broadcast_to(
             semantic_embeds[None], (B,) + semantic_embeds.shape
         )

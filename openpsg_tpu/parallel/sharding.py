@@ -22,18 +22,22 @@ from typing import Any, Tuple
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-# (path regex, PartitionSpec) — first match wins. Llama param kernels are
-# [in, out] (flax Dense convention).
-_LLM_RULES: Tuple[Tuple[str, P], ...] = (
-    (r".*tok_embed.*embedding", P("tp", None)),     # vocab axis
-    (r".*\bwq\b.*kernel", P(None, "tp")),
-    (r".*\bwk\b.*kernel", P(None, "tp")),
-    (r".*\bwv\b.*kernel", P(None, "tp")),
-    (r".*\bwo\b.*kernel", P("tp", None)),
-    (r".*w_gate.*kernel", P(None, "tp")),
-    (r".*w_up.*kernel", P(None, "tp")),
-    (r".*w_down.*kernel", P("tp", None)),
-    (r".*lm_head.*kernel", P(None, "tp")),
+# (path regex, role) — first match wins.  Roles are rank-aware because
+# scanned layer stacks carry a leading layer axis ([L, in, out] kernels):
+#   col   → shard the LAST axis (output features; column parallel)
+#   row   → shard the SECOND-TO-LAST axis (input features; row parallel —
+#           XLA inserts one psum per block, riding ICI)
+#   vocab → shard axis 0 of the 2-D embedding table
+_LLM_RULES: Tuple[Tuple[str, str], ...] = (
+    (r".*tok_embed.*embedding", "vocab"),
+    (r".*\bwq\b.*kernel", "col"),
+    (r".*\bwk\b.*kernel", "col"),
+    (r".*\bwv\b.*kernel", "col"),
+    (r".*\bwo\b.*kernel", "row"),
+    (r".*w_gate.*kernel", "col"),
+    (r".*w_up.*kernel", "col"),
+    (r".*w_down.*kernel", "row"),
+    (r".*lm_head.*kernel", "col"),
 )
 
 
@@ -45,10 +49,14 @@ def _path_str(path) -> str:
 
 def param_sharding_rules(path, leaf) -> P:
     s = _path_str(path)
-    for pat, spec in _LLM_RULES:
+    nd = leaf.ndim
+    for pat, role in _LLM_RULES:
         if re.match(pat, s):
-            # guard: axis must divide; fall back to replication otherwise
-            return spec
+            if role == "vocab":
+                return P(*(("tp",) + (None,) * (nd - 1)))
+            axes = [None] * nd
+            axes[nd - 1 if role == "col" else nd - 2] = "tp"
+            return P(*axes)
     return P()
 
 
@@ -67,6 +75,32 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def assert_llm_sharded(llm_params: Any, mesh: Mesh, min_sharded: int = 4) -> int:
+    """Guard against silent replication: with tp>1 the core projection
+    kernels MUST carry 'tp' in their committed sharding (the divisibility
+    fallback in shard_params could otherwise quietly replicate everything
+    on small shapes).  Returns the count of tp-sharded leaves; raises if
+    fewer than ``min_sharded``."""
+    if mesh.shape.get("tp", 1) <= 1:
+        return 0
+    n = 0
+
+    def check(path, leaf):
+        nonlocal n
+        spec = getattr(getattr(leaf, "sharding", None), "spec", None)
+        if spec is not None and any(a == "tp" for a in spec if a is not None):
+            n += 1
+
+    jax.tree_util.tree_map_with_path(check, llm_params)
+    if n < min_sharded:
+        raise AssertionError(
+            f"LLM params not tensor-sharded: only {n} leaves carry 'tp' "
+            f"(need ≥{min_sharded}) — shapes too small for tp="
+            f"{mesh.shape['tp']}?"
+        )
+    return n
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -38,3 +38,16 @@ def param_table(params: Any, max_rows: int = 200) -> str:
         lines.append(f"  {group:>12}: {n:>14,} params, {len(leaves)} tensors")
     lines.append(f"  {'TOTAL':>12}: {total:>14,}")
     return "\n".join(lines)
+
+
+def honor_platform_env() -> None:
+    """Apply an explicit ``JAX_PLATFORMS=cpu`` request via the config API.
+
+    The axon sitecustomize force-prepends its TPU platform to
+    ``jax_platforms``, so the environment variable alone cannot select CPU
+    (CLAUDE.md gotcha); tools call this right after importing jax."""
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass

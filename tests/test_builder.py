@@ -55,3 +55,31 @@ class TestBuilder:
                               import_custom_modules=False)
         assert cfg.model.backbone.type == "SwinTransformer"
         assert cfg.model.type == "Mask2FormerRelation"   # inherited
+
+
+class TestPromptPathConfig:
+    def test_prompt_config_builds_and_infers(self):
+        """Drives the full v1 predicate-prompt path from the config file:
+        descriptions → semantic tokens → in-head sem_encoder (BERT pooler)
+        → InteractiveFusionModule scores (reference
+        relation_transformer_head.py:54, 193-205)."""
+        import numpy as np
+
+        cfg = Config.fromfile(os.path.join(CFG, "tiny_r50_prompt.py"),
+                              import_custom_modules=False)
+        m = build_detector_from_config(cfg, jax.random.PRNGKey(0))
+        assert m.cfg.head_v1.use_relation_prompts
+        assert m.sem_token_ids is not None
+        assert m.sem_token_ids.shape[0] == len(m.relation_names)  # 56
+        # semantic encoder params exist and train with the head
+        assert "sem_encoder" in m.params["head"]["params"]
+        # fusion scoring mode came from pred_type (reference mapping)
+        assert m.cfg.head_v1.fusion_pred_type == "einsum_v2"
+
+        img = np.random.default_rng(0).integers(
+            0, 255, (64, 64, 3)
+        ).astype(np.float32)
+        res = m.infer(img, (60, 64))
+        assert set(res) == {"pan_results", "rel_results", "rel_scores"}
+        for s in res["rel_scores"]:
+            assert np.isfinite(s)

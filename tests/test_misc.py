@@ -57,8 +57,12 @@ class TestShardingRules:
             "tok_embed": {"embedding": jnp.zeros((33, 64))},
         }
         sharded = shard_params(params, mesh)
+        # rank-aware: scanned kernels are [L, in, out] — column-parallel
+        # shards the LAST axis, row-parallel the second-to-last
         wq = sharded["core"]["layers"]["wq"]["kernel"]
-        assert wq.sharding.spec == P(None, "tp")
+        assert wq.sharding.spec == P(None, None, "tp")
+        wd = sharded["core"]["layers"]["w_down"]["kernel"]
+        assert wd.sharding.spec == P(None, "tp", None)
         emb = sharded["tok_embed"]["embedding"]
         assert emb.sharding.spec in (P(), P(None), P(None, None))
 
@@ -87,3 +91,38 @@ class TestProfiling:
     def test_profile_trace_noop(self):
         with profile_trace(None):
             pass  # must be a clean no-op
+
+
+class TestVisualize:
+    def test_overlay_and_table(self, tmp_path):
+        """Reference use_vis parity surface (tools/infer.py:191-253):
+        overlay jpg written, triplet table lists top rows."""
+        import numpy as np
+
+        from openpsg_tpu.utils.visualize import find_boundaries, vis
+
+        H = W = 32
+        img = np.full((H, W, 3), 120, np.uint8)
+        pan = np.zeros((H, W), np.int64)
+        pan[:16] = 7          # class 7 (thing)
+        pan[16:] = 119        # stuff
+        out_file, table = vis(
+            img, pan, [7, 119], [[0, 1, 3], [1, 0, 5]],
+            object_classes=[f"c{i}" for i in range(133)],
+            predicate_classes=[f"r{i}" for i in range(56)],
+            output_path=str(tmp_path), file_name="img_x.jpg",
+        )
+        import os
+        assert os.path.exists(out_file) and out_file.endswith("img_x_pan_seg.jpg")
+        assert "0_c7" in table and "r3" in table and "1_c119" in table
+
+    def test_find_boundaries(self):
+        import numpy as np
+
+        from openpsg_tpu.utils.visualize import find_boundaries
+
+        m = np.zeros((4, 4), np.int64)
+        m[:, 2:] = 1
+        b = find_boundaries(m)
+        assert b[:, 1].all() and b[:, 2].all()
+        assert not b[:, 0].any() and not b[:, 3].any()

@@ -40,6 +40,9 @@ def parse_args():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace to DIR")
+    ap.add_argument("--vis", default=None, metavar="DIR",
+                    help="write panoptic overlays + print triplet tables "
+                         "(reference use_vis path, infer.py:191-253)")
     ap.add_argument("--batch-size", type=int, default=1,
                     help="images per step; >1 uses the dp-sharded batched "
                          "path (set to the mesh's dp size on multi-chip)")
@@ -49,6 +52,9 @@ def parse_args():
 def main():
     args = parse_args()
     import jax
+
+    from openpsg_tpu.utils.logging import honor_platform_env
+    honor_platform_env()
 
     from openpsg_tpu.core.config import Config
     from openpsg_tpu.core.builder import build_detector_from_config
@@ -134,6 +140,8 @@ def main():
             img = load_image_rgb(os.path.join(data_dir, d["file_name"]))
             ex = preproc(img)
             ex["ori"] = img.shape[:2]
+            if args.vis:
+                ex["rgb"] = img
             exs.append(ex)
         return exs
 
@@ -181,6 +189,18 @@ def main():
                     res["rel_results"]["relation"],
                     test_idx=start + j,
                 )
+                if args.vis:
+                    from openpsg_tpu.utils.visualize import vis
+
+                    out_file, table = vis(
+                        ex["rgb"], pan_ori,
+                        res["rel_results"]["object_id_list"],
+                        res["rel_results"]["relation"],
+                        model.class_names, model.relation_names,
+                        args.vis, chunk[j]["file_name"],
+                    )
+                    print(chunk[j]["file_name"])
+                    print(table)
         done = min(start + B, len(records))
         if done % 50 < B:
             rate = done / (time.time() - t0)

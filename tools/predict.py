@@ -34,6 +34,9 @@ def main():
     import cv2
     import jax
 
+    from openpsg_tpu.utils.logging import honor_platform_env
+    honor_platform_env()
+
     from openpsg_tpu.core.builder import build_detector_from_config
     from openpsg_tpu.core.config import Config
     from openpsg_tpu.data.preprocess import Preprocessor, load_image_rgb

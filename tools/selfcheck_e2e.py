@@ -29,6 +29,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 def main(root="/tmp/psg_selfcheck", seg_steps=600, rel_steps=400):
     import jax
 
+    from openpsg_tpu.utils.logging import honor_platform_env
+    honor_platform_env()
+
     # correctness check, not a perf tool: run on CPU (the tunneled TPU's
     # per-step host round trips make the Hungarian loop pointlessly slow)
     try:
