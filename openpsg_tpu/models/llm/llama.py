@@ -44,6 +44,11 @@ class LlamaConfig:
     norm_eps: float = 1e-5
     max_seq_len: int = 512
     causal: bool = True
+    # weight-only int8: projection kernels stored int8 with per-output-
+    # channel f32 scales (dequantized into the matmul's operand dtype).
+    # Halves→quarters HBM for the frozen 7B so it fits one v5e chip;
+    # activations/cache stay in ``dtype``.
+    quant: bool = False
     dtype: Any = jnp.bfloat16
 
     @staticmethod
@@ -76,6 +81,67 @@ def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
     )
 
 
+def _int8_init(key, shape, dtype=jnp.int8):
+    return jax.random.randint(key, shape, -127, 128, jnp.int8)
+
+
+class QDense(nn.Module):
+    """Weight-only int8 linear: kernel_q int8 [in, out] + scale f32 [out].
+
+    Param names keep the ``kernel`` substring so the tensor-parallel
+    sharding rules (parallel.sharding) apply unchanged."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kq = self.param("kernel_q", _int8_init, (x.shape[-1], self.features))
+        scale = self.param(
+            "scale", nn.initializers.constant(1.0 / 127.0), (self.features,)
+        )
+        y = jnp.einsum(
+            "...i,io->...o", x, kq.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return (y * scale.astype(jnp.float32)).astype(self.dtype)
+
+
+def _dense(cfg: LlamaConfig, features: int, name: str):
+    if cfg.quant:
+        return QDense(features, dtype=cfg.dtype, name=name)
+    return nn.Dense(features, use_bias=False, dtype=cfg.dtype, name=name)
+
+
+def quantize_llama(params):
+    """bf16/f32 LlamaWithEmbeddings params → weight-only int8 tree for a
+    ``quant=True`` config: per-output-channel symmetric scales over the
+    input axis; embeddings and norms untouched."""
+    import numpy as np
+
+    targets = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "lm_head"}
+
+    def walk(tree, under_target=False):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = walk(v, under_target or k in targets)
+            elif k == "kernel" and under_target:
+                w = np.asarray(v, np.float32)
+                scale = np.maximum(
+                    np.max(np.abs(w), axis=-2, keepdims=True) / 127.0, 1e-8
+                )
+                out["kernel_q"] = np.clip(
+                    np.round(w / scale), -127, 127
+                ).astype(np.int8)
+                out["scale"] = np.squeeze(scale, -2).astype(np.float32)
+            else:
+                out[k] = v
+        return out
+
+    return walk(params)
+
+
 class RMSNorm(nn.Module):
     dim: int
     eps: float = 1e-5
@@ -104,9 +170,9 @@ class LlamaBlock(nn.Module):
         B, L, _ = x.shape
 
         h = RMSNorm(c.dim, c.norm_eps, c.dtype, name="attn_norm")(x)
-        q = nn.Dense(c.n_heads * hd, use_bias=False, dtype=c.dtype, name="wq")(h)
-        k = nn.Dense(c.n_kv_heads * hd, use_bias=False, dtype=c.dtype, name="wk")(h)
-        v = nn.Dense(c.n_kv_heads * hd, use_bias=False, dtype=c.dtype, name="wv")(h)
+        q = _dense(c, c.n_heads * hd, "wq")(h)
+        k = _dense(c, c.n_kv_heads * hd, "wk")(h)
+        v = _dense(c, c.n_kv_heads * hd, "wv")(h)
         q = _rope(q.reshape(B, L, c.n_heads, hd), positions, c.rope_theta)
         k = _rope(k.reshape(B, L, c.n_kv_heads, hd), positions, c.rope_theta)
         v = v.reshape(B, L, c.n_kv_heads, hd)
@@ -128,14 +194,12 @@ class LlamaBlock(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1).astype(c.dtype)
         out = jnp.einsum("bhlm,bmhd->blhd", attn, v_all)
         out = out.reshape(B, L, c.n_heads * hd)
-        x = x + nn.Dense(c.dim, use_bias=False, dtype=c.dtype, name="wo")(out)
+        x = x + _dense(c, c.dim, "wo")(out)
 
         h = RMSNorm(c.dim, c.norm_eps, c.dtype, name="ffn_norm")(x)
-        gate = nn.Dense(c.ffn_hidden, use_bias=False, dtype=c.dtype, name="w_gate")(h)
-        up = nn.Dense(c.ffn_hidden, use_bias=False, dtype=c.dtype, name="w_up")(h)
-        down = nn.Dense(c.dim, use_bias=False, dtype=c.dtype, name="w_down")(
-            nn.silu(gate) * up
-        )
+        gate = _dense(c, c.ffn_hidden, "w_gate")(h)
+        up = _dense(c, c.ffn_hidden, "w_up")(h)
+        down = _dense(c, c.dim, "w_down")(nn.silu(gate) * up)
         return (x + down, positions, mask, cache_index), (ck, cv)
 
 
@@ -198,9 +262,7 @@ class Llama(nn.Module):
         x = RMSNorm(c.dim, c.norm_eps, c.dtype, name="final_norm")(x)
         if return_hidden:
             return x, (new_cache if external_cache else None)
-        logits = nn.Dense(
-            c.vocab_size, use_bias=False, dtype=c.dtype, name="lm_head"
-        )(x)
+        logits = _dense(c, c.vocab_size, "lm_head")(x)
         return logits.astype(jnp.float32), (
             new_cache if external_cache else None
         )

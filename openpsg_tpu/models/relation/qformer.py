@@ -5,11 +5,15 @@ token + 32 relation queries, per-pair text instruction, cross-attention to
 image patches restricted by the pair's OR-mask
 (relation_transformer_head_v4.py:78-98, 144-186).
 
-Faithful structural choices (so converted HF weights can slot in):
+Weight-slot compatible with HF ``InstructBlipQFormerModel`` — verified by
+a golden test (tests/test_weight_convert.py::TestQFormerConvert runs the
+same weights through both and compares outputs; converter:
+relation/weight_convert.py):
   * self-attention runs over [queries ; instruction tokens];
   * cross-attention and a *separate* query FFN apply only to the query
     positions (BLIP-2's ``intermediate_query``/``output_query`` split);
-  * text embeddings are word-embedding + position + LayerNorm.
+  * text embeddings are word-embedding + position; the embedding
+    LayerNorm applies to the concatenated [queries ; text] (HF semantics).
 
 TPU-first batching: ALL pairs are processed as one [n_pairs, ...] batch —
 the reference's inference already batches all N² ≤ 900 pairs at once
@@ -136,9 +140,11 @@ class RelationQFormer(nn.Module):
             "pos_embed", nn.initializers.normal(0.02), (c.max_text_len, D)
         )
         tok = tok + pos[None, :T].astype(c.dtype)
-        tok = nn.LayerNorm(dtype=c.dtype, name="embed_ln")(tok)
 
         x = jnp.concatenate([query_embeds.astype(c.dtype), tok], axis=1)  # [B, Q+T, D]
+        # HF InstructBlipQFormerEmbeddings norms the CONCATENATED
+        # [queries ; text] sequence (modeling_instructblip.py:819-826)
+        x = nn.LayerNorm(epsilon=1e-12, dtype=c.dtype, name="embed_ln")(x)
         seq_mask = jnp.concatenate(
             [jnp.ones((B, Qn), bool), text_mask], axis=1
         )                                                                  # [B, Q+T]
@@ -149,7 +155,7 @@ class RelationQFormer(nn.Module):
             h = _MHA(D, c.num_heads, dtype=c.dtype, name=f"self_attn{i}")(
                 x, x, self_mask
             )
-            x = nn.LayerNorm(dtype=c.dtype, name=f"self_ln{i}")(x + h)
+            x = nn.LayerNorm(epsilon=1e-12, dtype=c.dtype, name=f"self_ln{i}")(x + h)
 
             # cross-attention: query positions only, masked to the pair region
             xq = x[:, :Qn]
@@ -160,19 +166,19 @@ class RelationQFormer(nn.Module):
             hq = _SharedKVCrossAttention(
                 D, c.num_heads, dtype=c.dtype, name=f"cross_attn{i}"
             )(xq, encoder_hidden.astype(c.dtype), cm)
-            xq = nn.LayerNorm(dtype=c.dtype, name=f"cross_ln{i}")(xq + hq)
+            xq = nn.LayerNorm(epsilon=1e-12, dtype=c.dtype, name=f"cross_ln{i}")(xq + hq)
 
             # split FFN: query tokens get their own weights (BLIP-2)
             fq = nn.Dense(c.intermediate, dtype=c.dtype, name=f"ffn_q_up{i}")(xq)
             fq = nn.gelu(fq, approximate=False)
             fq = nn.Dense(D, dtype=c.dtype, name=f"ffn_q_down{i}")(fq)
-            xq = nn.LayerNorm(dtype=c.dtype, name=f"ffn_q_ln{i}")(xq + fq)
+            xq = nn.LayerNorm(epsilon=1e-12, dtype=c.dtype, name=f"ffn_q_ln{i}")(xq + fq)
 
             xt = x[:, Qn:]
             ft = nn.Dense(c.intermediate, dtype=c.dtype, name=f"ffn_t_up{i}")(xt)
             ft = nn.gelu(ft, approximate=False)
             ft = nn.Dense(D, dtype=c.dtype, name=f"ffn_t_down{i}")(ft)
-            xt = nn.LayerNorm(dtype=c.dtype, name=f"ffn_t_ln{i}")(xt + ft)
+            xt = nn.LayerNorm(epsilon=1e-12, dtype=c.dtype, name=f"ffn_t_ln{i}")(xt + ft)
 
             x = jnp.concatenate([xq, xt], axis=1)
 

@@ -137,3 +137,79 @@ class TestGreedyDecode:
             # wherever a 0 appears after decode start, scores must be 0 too
             for p in eos_pos:
                 assert scores[b, p] == 0.0
+
+
+class TestInt8Quant:
+    def test_quantized_forward_close_and_decodes(self):
+        """Weight-only int8 (LlamaConfig.quant): params quantize from the
+        f32 tree, logits stay close, greedy decode runs."""
+        import dataclasses as dc
+
+        import numpy as np
+
+        from openpsg_tpu.models.llm.llama import (
+            LlamaConfig,
+            LlamaWithEmbeddings,
+            quantize_llama,
+        )
+
+        cfg = LlamaConfig.tiny_test(vocab_size=64)
+        model = LlamaWithEmbeddings(cfg)
+        ids = jnp.asarray([[1, 5, 9, 2]], jnp.int32)
+        mask = jnp.ones((1, 4), bool)
+        pos = jnp.arange(4)[None]
+        params = model.init(
+            jax.random.PRNGKey(0), token_ids=ids, attention_mask=mask,
+            positions=pos,
+        )
+        ref, _ = model.apply(
+            params, token_ids=ids, attention_mask=mask, positions=pos
+        )
+
+        qcfg = dc.replace(cfg, quant=True)
+        qmodel = LlamaWithEmbeddings(qcfg)
+        qparams = quantize_llama(params)
+        # structure: matches a fresh quant init
+        init_q = qmodel.init(
+            jax.random.PRNGKey(0), token_ids=ids, attention_mask=mask,
+            positions=pos,
+        )
+        from openpsg_tpu.models.llm.weight_convert import verify_structure
+        verify_structure(qparams, init_q)
+        assert (
+            qparams["params"]["core"]["layers"]["wq"]["kernel_q"].dtype
+            == np.int8
+        )
+        got, _ = qmodel.apply(
+            qparams, token_ids=ids, attention_mask=mask, positions=pos
+        )
+        # int8 per-channel quantization keeps the argmax token stable on a
+        # tiny model and logits within a loose tolerance
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=0.55, rtol=0.3
+        )
+        assert (
+            np.argmax(np.asarray(got)[0, -1]) == np.argmax(np.asarray(ref)[0, -1])
+        )
+
+    def test_quant_greedy_decode(self):
+        import dataclasses as dc
+
+        import numpy as np
+
+        from openpsg_tpu.models.llm.decode import greedy_decode
+        from openpsg_tpu.models.llm.llama import LlamaConfig, LlamaWithEmbeddings
+
+        cfg = dc.replace(LlamaConfig.tiny_test(vocab_size=64), quant=True)
+        model = LlamaWithEmbeddings(cfg)
+        prefix = jnp.asarray(
+            np.random.default_rng(0).normal(size=(2, 5, cfg.dim)), jnp.float32
+        )
+        pmask = jnp.ones((2, 5), bool)
+        params = model.init(
+            jax.random.PRNGKey(1), token_ids=jnp.zeros((2, 5), jnp.int32),
+            attention_mask=pmask, positions=jnp.tile(jnp.arange(5)[None], (2, 1)),
+        )
+        toks, scores = greedy_decode(model, params, prefix, pmask, 4, eos_id=3)
+        assert toks.shape == (2, 4)
+        assert np.isfinite(np.asarray(scores)).all()
