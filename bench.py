@@ -17,8 +17,10 @@ Prints one JSON line {"metric", "value", "unit", "vs_baseline"};
 vs_baseline = value / 2.5 img/s/chip (the 20 img/s v5e-8 north-star of
 BASELINE.md divided over 8 chips; infer_batch dp-shards images, so the
 slice scales linearly).  Size knobs via env: BENCH_IMAGE (default 1344 —
-the (1333,1333) test scale), BENCH_LLM_LAYERS (default 2 — truncated-7B
-stand-in until converted weights exist), BENCH_ITERS (4).
+the (1333,1333) test scale), BENCH_LLM_LAYERS (default 32 — the REAL
+Llama-2-7B depth), BENCH_LLM_INT8 (default 1: weight-only int8 so the 7B
+fits one v5e chip's HBM; 0 = bf16), BENCH_QUERIES (default 300 — the
+OpenSeeD checkpoint's decoder geometry), BENCH_ITERS (4).
 """
 
 from __future__ import annotations
@@ -41,22 +43,31 @@ def main():
     from openpsg_tpu.models.segmenter.openseed import SegmenterConfig
 
     size = int(os.environ.get("BENCH_IMAGE", 1344))   # the (1333,1333) test scale
-    llm_layers = int(os.environ.get("BENCH_LLM_LAYERS", 2))
+    llm_layers = int(os.environ.get("BENCH_LLM_LAYERS", 32))  # real 7B depth
+    llm_int8 = bool(int(os.environ.get("BENCH_LLM_INT8", 1)))
+    queries = int(os.environ.get("BENCH_QUERIES", 0))  # 0 = config default (300)
     iters = int(os.environ.get("BENCH_ITERS", 4))
     fusion_stride = int(os.environ.get("BENCH_FUSION_STRIDE", 1))  # 1 = parity
+    fusion_candidates = int(os.environ.get("BENCH_FUSION_CANDIDATES", 64))
 
+    seg_cfg = SegmenterConfig(dtype=jnp.bfloat16)
+    if queries:
+        import dataclasses as _dc
+
+        seg_cfg = _dc.replace(seg_cfg, num_queries=queries)
     cfg = PSGv4Config(
-        segmenter=SegmenterConfig(dtype=jnp.bfloat16),
+        segmenter=seg_cfg,
         head=HeadV4Config(
             qformer=QFormerConfig(dtype=jnp.bfloat16),
             dtype=jnp.bfloat16,
         ),
         llm=LlamaConfig(
             n_layers=llm_layers, dim=4096, n_heads=32, n_kv_heads=32,
-            ffn_hidden=11008, dtype=jnp.bfloat16,
+            ffn_hidden=11008, dtype=jnp.bfloat16, quant=llm_int8,
         ),
         input_hw=(size, size),
         fusion_stride=fusion_stride,
+        fusion_candidates=fusion_candidates,
     )
     pipeline = PSGv4(cfg, jax.random.PRNGKey(0))
 
@@ -105,7 +116,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"psg_v4_e2e_infer_img_per_s@{size}px_llm{llm_layers}L",
+                "metric": (
+                    f"psg_v4_e2e_infer_img_per_s@{size}px_llm{llm_layers}L"
+                    + ("_int8" if llm_int8 else "")
+                ),
                 "value": round(ips, 3),
                 "unit": "images/sec/chip",
                 # target: 20 img/s on v5e-8 == 2.5 img/s/chip (BASELINE.md);

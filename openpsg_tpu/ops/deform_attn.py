@@ -99,12 +99,14 @@ def _bilinear_gather_level(
             )                                                  # [HW, 4*hd]
             g = jnp.take(quad, idx_bh[b, hh], axis=0)
             g = g.reshape(Lq, K * 4, head_dim)
-            # single contraction over (K, corners); fp32 accumulate
+            # single contraction over (K, corners); operands stay in the
+            # value dtype (halves gather-output traffic in bf16), the dot
+            # accumulates in fp32
             wts = cw[b, :, hh].reshape(Lq, K * 4)              # [Lq, K*4]
             per_h.append(
                 jnp.einsum(
-                    "lkd,lk->ld", g.astype(jnp.float32),
-                    wts.astype(jnp.float32),
+                    "lkd,lk->ld", g, wts.astype(g.dtype),
+                    preferred_element_type=jnp.float32,
                 )
             )                                                  # [Lq, hd] f32
         per_b.append(jnp.stack(per_h, axis=1))                 # [Lq,nH,hd]
