@@ -52,9 +52,6 @@ from openpsg_tpu.models.segmenter.mask2former import (
 from openpsg_tpu.models.segmenter.openseed import normalize_image
 from openpsg_tpu.ops.mask_ops import mask_pool
 
-_INT_SENTINEL = np.iinfo(np.int32).max
-
-
 @dataclasses.dataclass(frozen=True)
 class M2FRelationConfig:
     segmenter: Mask2FormerConfig = Mask2FormerConfig()
@@ -275,16 +272,11 @@ class PSGMask2FormerRelation:
             num_things=self.num_things, region_mask=inside,
         )
 
-        key = jnp.where(fusion.survive, fusion.object_ids, _INT_SENTINEL)
-        if key.shape[0] < M:
-            key = jnp.concatenate(
-                [key, jnp.full((M - key.shape[0],), _INT_SENTINEL, key.dtype)]
-            )
-        order = jnp.argsort(key)
-        sel = order[:M]
-        sel_oid = jnp.take(key, sel)
-        valid = (sel_oid != _INT_SENTINEL) & (jnp.arange(M) < c.max_objects)
-        sel_oid = jnp.where(valid, sel_oid, 0)
+        from openpsg_tpu.models.detectors.psg_v4 import select_objects
+
+        sel, sel_oid, valid = select_objects(
+            fusion.survive, fusion.object_ids, M, c.max_objects
+        )
         labels = (sel_oid % INSTANCE_OFFSET).astype(jnp.int32)
         obj_scores = jnp.where(valid, jnp.take(fusion.query_scores, sel), 0.0)
 
