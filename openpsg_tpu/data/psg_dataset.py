@@ -231,6 +231,10 @@ class PSGDataset:
         rng = np.random.default_rng(seed)
         for _ in range(epochs):
             order = rng.permutation(len(self.records))
+            if len(order) < batch_size:
+                # tiny datasets (smoke runs) still yield one full batch
+                # instead of silently training zero steps
+                order = np.tile(order, -(-batch_size // len(order)))[:batch_size]
             for i in range(0, len(order) - batch_size + 1, batch_size):
                 yield [
                     self.load_example(

@@ -105,3 +105,12 @@ class TestScaleJitter:
                 assert e["image"].shape == (64, 64, 3)  # static bucket
                 shapes.add(tuple(e["img_shape"]))
         assert len(shapes) > 1, shapes
+
+    def test_small_dataset_still_yields_a_batch(self, fixture_root):
+        ds = PSGDataset(
+            f"{fixture_root}/psg.json", img_prefix=fixture_root,
+            seg_prefix=fixture_root, split="train",
+        )
+        pre = Preprocessor(scale=(64, 64))
+        batches = list(ds.iter_train(pre, 8, batch_size=8, seed=0))
+        assert len(batches) == 1 and len(batches[0]) == 8
