@@ -50,7 +50,7 @@ class SelfAttention(nn.Module):
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=self.dtype, name="mha"
         )(q, inputs_k=k, inputs_v=x)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(x + attn)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x + attn)
 
 
 class DecoderLayer(nn.Module):
@@ -84,7 +84,7 @@ class DecoderLayer(nn.Module):
             self.dim, self.num_heads, self.num_levels, self.num_points,
             dtype=self.dtype, name="cross_attn",
         )(queries + qpos, memory, self.spatial_shapes, boxes)
-        queries = nn.LayerNorm(dtype=self.dtype, name="norm_cross")(queries + cross)
+        queries = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_cross")(queries + cross)
         queries = FFN(self.dim, self.ffn_hidden, dtype=self.dtype, name="ffn")(queries)
         delta = MLP(self.dim, 4, layers=3, dtype=self.dtype, name="box_head")(queries)
         boxes = jax.nn.sigmoid(inverse_sigmoid(boxes) + delta.astype(jnp.float32))
@@ -130,7 +130,7 @@ class QueryDecoder(nn.Module):
             return (proj @ class_embeds.astype(jnp.float32).T) * jnp.exp(logit_scale)
 
         # ---- two-stage proposals from encoder memory ----
-        enc_out = nn.LayerNorm(dtype=self.dtype, name="enc_norm")(
+        enc_out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="enc_norm")(
             nn.Dense(C, dtype=self.dtype, name="enc_proj")(memory)
         )
         enc_cls = class_logits(enc_out)
@@ -170,7 +170,7 @@ class QueryDecoder(nn.Module):
         )
         (queries, boxes, _), _ = layer((queries, boxes, memory), None)
 
-        decoded = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")(queries)
+        decoded = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="decoder_norm")(queries)
         cls_logits = class_logits(decoded)
         mask_embed = MLP(C, self.mask_dim, layers=3, dtype=self.dtype, name="mask_head")(decoded)
         masks = jnp.einsum(

@@ -120,7 +120,7 @@ class FFN(nn.Module):
         h = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         h = nn.relu(h)
         h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(x + h)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x + h)
 
 
 class DeformableEncoderLayer(nn.Module):
@@ -138,7 +138,7 @@ class DeformableEncoderLayer(nn.Module):
             self.dim, self.num_heads, self.num_levels, self.num_points,
             dtype=self.dtype, name="self_attn",
         )(q, src, spatial_shapes, reference_points)
-        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src + attn_out)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src + attn_out)
         return FFN(self.dim, self.ffn_hidden, dtype=self.dtype, name="ffn")(src)
 
 

@@ -76,7 +76,7 @@ class PixelDecoder(nn.Module):
         for i, f in enumerate(levels):
             t = nn.Conv(self.dim, (1, 1), use_bias=True, dtype=self.dtype,
                         name=f"input_proj{i}")(f)
-            t = nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"input_norm{i}")(t)
+            t = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name=f"input_norm{i}")(t)
             tokens.append(t)
         prev = c5
         for i in range(len(levels), self.total_levels):
@@ -84,7 +84,7 @@ class PixelDecoder(nn.Module):
             # subsequent ones from the previous extra level)
             t = nn.Conv(self.dim, (3, 3), strides=(2, 2), use_bias=True,
                         dtype=self.dtype, name=f"input_proj{i}")(prev)
-            t = nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"input_norm{i}")(t)
+            t = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name=f"input_norm{i}")(t)
             tokens.append(t)
             prev = t
         spatial_shapes = tuple((f.shape[0], f.shape[1]) for f in tokens)
@@ -124,14 +124,14 @@ class PixelDecoder(nn.Module):
         enc8 = src[: h8 * w8].reshape(h8, w8, self.dim)
         lat4 = nn.Conv(self.dim, (1, 1), use_bias=False, dtype=self.dtype,
                        name="lateral4")(c2)
-        lat4 = nn.GroupNorm(num_groups=32, dtype=self.dtype, name="lateral4_norm")(lat4)
+        lat4 = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="lateral4_norm")(lat4)
         up = jax.image.resize(
             enc8, (c2.shape[0], c2.shape[1], self.dim), method="bilinear"
         ).astype(self.dtype)
         fused = lat4 + up
         fused = nn.Conv(self.dim, (3, 3), use_bias=False, dtype=self.dtype,
                         name="output4")(fused)
-        fused = nn.GroupNorm(num_groups=32, dtype=self.dtype, name="output4_norm")(fused)
+        fused = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="output4_norm")(fused)
         fused = nn.relu(fused)
         mask_features = nn.Conv(
             self.mask_dim, (1, 1), dtype=self.dtype, name="mask_feature_proj"

@@ -98,7 +98,7 @@ class SwinBlock(nn.Module):
         Hp, Wp = H + pad_h, W + pad_w
 
         shortcut = x
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         h = jnp.pad(h, ((0, pad_h), (0, pad_w), (0, 0)))
         if self.shift > 0:
             h = jnp.roll(h, (-self.shift, -self.shift), axis=(0, 1))
@@ -120,7 +120,7 @@ class SwinBlock(nn.Module):
         h = h[:H, :W]
         x = shortcut + h
 
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
@@ -155,7 +155,7 @@ class PatchMerging(nn.Module):
         x = jnp.concatenate(
             [x[:, 0, :, 0], x[:, 1, :, 0], x[:, 0, :, 1], x[:, 1, :, 1]], axis=-1
         )
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype, name="reduction")(x)
 
 
@@ -182,7 +182,7 @@ class SwinTransformer(nn.Module):
             dtype=self.dtype,
             name="patch_embed",
         )(image)
-        x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
 
         outs = []
         dim = self.embed_dim
@@ -197,7 +197,7 @@ class SwinTransformer(nn.Module):
                     name=f"stage{stage}_block{blk}",
                 )(x)
             if stage in self.out_indices:
-                out = nn.LayerNorm(dtype=self.dtype, name=f"out_norm{stage}")(x)
+                out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"out_norm{stage}")(x)
                 outs.append(out)
             if stage < len(self.depths) - 1:
                 x = PatchMerging(dim, dtype=self.dtype, name=f"merge{stage}")(x)

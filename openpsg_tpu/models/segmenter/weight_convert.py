@@ -106,6 +106,74 @@ def convert_swin(
     return out
 
 
+def hf_swin_state_to_ms(state: Mapping[str, np.ndarray], prefix: str = "") -> Dict[str, np.ndarray]:
+    """transformers ``SwinModel`` state dict → the microsoft/OpenSeeD
+    layout ``convert_swin`` consumes (separate q/k/v fused to qkv,
+    layernorm_before/after → norm1/2, embeddings/downsample renames).
+    The final ``layernorm`` maps onto the last stage's out norm."""
+    out: Dict[str, np.ndarray] = {}
+    g = lambda k: np.asarray(state[prefix + k])
+    out["patch_embed.proj.weight"] = g("embeddings.patch_embeddings.projection.weight")
+    out["patch_embed.proj.bias"] = g("embeddings.patch_embeddings.projection.bias")
+    out["patch_embed.norm.weight"] = g("embeddings.norm.weight")
+    out["patch_embed.norm.bias"] = g("embeddings.norm.bias")
+    import re as _re
+
+    last_stage = -1
+    for k in state:
+        m = _re.match(re.escape(prefix) + r"encoder\.layers\.(\d+)\.blocks\.(\d+)\.", k)
+        if m:
+            last_stage = max(last_stage, int(m.group(1)))
+    for k in list(state):
+        if not k.startswith(prefix + "encoder.layers."):
+            continue
+        rest = k[len(prefix + "encoder.layers."):]
+        m = _re.match(r"(\d+)\.blocks\.(\d+)\.(.*)", rest)
+        if m:
+            s, b, tail = m.group(1), m.group(2), m.group(3)
+            base = f"layers.{s}.blocks.{b}."
+            ren = {
+                "layernorm_before.weight": "norm1.weight",
+                "layernorm_before.bias": "norm1.bias",
+                "layernorm_after.weight": "norm2.weight",
+                "layernorm_after.bias": "norm2.bias",
+                "attention.self.relative_position_bias_table":
+                    "attn.relative_position_bias_table",
+                "attention.output.dense.weight": "attn.proj.weight",
+                "attention.output.dense.bias": "attn.proj.bias",
+                "intermediate.dense.weight": "mlp.fc1.weight",
+                "intermediate.dense.bias": "mlp.fc1.bias",
+                "output.dense.weight": "mlp.fc2.weight",
+                "output.dense.bias": "mlp.fc2.bias",
+            }
+            if tail in ren:
+                out[base + ren[tail]] = np.asarray(state[k])
+            continue
+        m = _re.match(r"(\d+)\.downsample\.(reduction\.weight|norm\.weight|norm\.bias)", rest)
+        if m:
+            out[f"layers.{m.group(1)}.downsample.{m.group(2)}"] = np.asarray(state[k])
+    # fuse separate q/k/v into the microsoft qkv tensors
+    s = 0
+    while prefix + f"encoder.layers.{s}.blocks.0.attention.self.query.weight" in state:
+        b = 0
+        while prefix + f"encoder.layers.{s}.blocks.{b}.attention.self.query.weight" in state:
+            p = prefix + f"encoder.layers.{s}.blocks.{b}.attention.self."
+            out[f"layers.{s}.blocks.{b}.attn.qkv.weight"] = np.concatenate(
+                [g(f"encoder.layers.{s}.blocks.{b}.attention.self.{n}.weight")
+                 for n in ("query", "key", "value")], axis=0
+            )
+            out[f"layers.{s}.blocks.{b}.attn.qkv.bias"] = np.concatenate(
+                [g(f"encoder.layers.{s}.blocks.{b}.attention.self.{n}.bias")
+                 for n in ("query", "key", "value")], axis=0
+            )
+            b += 1
+        s += 1
+    if prefix + "layernorm.weight" in state:
+        out[f"norm{last_stage}.weight"] = g("layernorm.weight")
+        out[f"norm{last_stage}.bias"] = g("layernorm.bias")
+    return out
+
+
 def detect_swin_prefix(state: Mapping[str, np.ndarray]) -> str:
     """Find the backbone prefix in a composite checkpoint."""
     for k in state:

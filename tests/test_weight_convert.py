@@ -558,3 +558,54 @@ class TestQFormerConvert:
             jnp.asarray(enc), jnp.asarray(emask),
         )
         np.testing.assert_allclose(np.asarray(got), ref, atol=3e-5)
+
+
+class TestSwinHFGolden:
+    def test_outputs_match_hf_swinmodel(self):
+        """Value-level backbone parity: a randomly-initialized HF SwinModel's
+        final hidden states match our SwinTransformer through
+        hf_swin_state_to_ms + convert_swin (upgrades the backbone story
+        from structural to numerical)."""
+        import torch
+        from transformers import SwinConfig, SwinModel
+
+        from openpsg_tpu.models.llm.weight_convert import verify_structure
+        from openpsg_tpu.models.segmenter.swin import SwinTransformer
+        from openpsg_tpu.models.segmenter.weight_convert import (
+            convert_swin,
+            hf_swin_state_to_ms,
+        )
+
+        torch.manual_seed(0)
+        # geometry chosen so every stage resolution is >= window and
+        # window-divisible: there HF's shrink-window-at-small-inputs
+        # behavior coincides with the detection-Swin fixed-window semantics
+        # our implementation (and OpenSeeD) uses
+        hf = SwinModel(SwinConfig(
+            image_size=64, patch_size=4, embed_dim=16, depths=[2, 2],
+            num_heads=[2, 4], window_size=4, num_channels=3,
+            drop_path_rate=0.0, hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0, mlp_ratio=4.0,
+        )).eval()
+
+        state = {k: v.numpy() for k, v in hf.state_dict().items()}
+        ms = hf_swin_state_to_ms(state)
+        params = convert_swin(ms, depths=(2, 2))
+
+        ours = SwinTransformer(
+            embed_dim=16, depths=(2, 2), num_heads=(2, 4), window=4,
+            out_indices=(1,),   # HF exposes only the final (normed) stage
+        )
+        img = np.random.default_rng(0).normal(size=(64, 64, 3)).astype(np.float32)
+        init = jax.eval_shape(lambda k: ours.init(k, jnp.asarray(img)),
+                              jax.random.PRNGKey(0))
+        verify_structure({"params": params}, init)
+
+        with torch.no_grad():
+            ref = hf(
+                pixel_values=torch.tensor(img.transpose(2, 0, 1)[None])
+            ).last_hidden_state.numpy()[0]          # [16, 32] (4x4 tokens)
+
+        (out,) = ours.apply({"params": params}, jnp.asarray(img))
+        got = np.asarray(out).reshape(-1, out.shape[-1])
+        np.testing.assert_allclose(got, ref, atol=3e-5)
