@@ -216,6 +216,7 @@ class Llama(nn.Module):
         cache: Optional[Tuple] = None,          # stacked (k, v): [nL, B, S, kv, hd]
         cache_index: Optional[jnp.ndarray] = None,
         key_positions: Optional[jnp.ndarray] = None,  # [B, S] when cache used
+        full_mask: Optional[jnp.ndarray] = None,      # [B, L, S] bool override
         return_hidden: bool = False,
     ):
         """Returns (logits [B, L, V] or hidden, new_cache).
@@ -243,7 +244,9 @@ class Llama(nn.Module):
             assert key_positions is not None, "cache path requires key_positions"
             external_cache = True
 
-        if c.causal:
+        if full_mask is not None:
+            mask = full_mask  # caller-built [B, L, S] (decoupled labels etc.)
+        elif c.causal:
             mask = key_positions[:, None, :] <= positions[:, :, None]
         else:
             mask = jnp.ones((B, L, key_positions.shape[1]), bool)
@@ -285,14 +288,66 @@ class LlamaWithEmbeddings(nn.Module):
 
     def __call__(self, *, input_embeds=None, token_ids=None, attention_mask,
                  positions, cache=None, cache_index=None, key_positions=None,
-                 return_hidden=False):
+                 full_mask=None, return_hidden=False):
         if input_embeds is None:
             input_embeds = self.tok_embed(token_ids)
         return self.core(
             input_embeds=input_embeds, attention_mask=attention_mask,
             positions=positions, cache=cache, cache_index=cache_index,
-            key_positions=key_positions, return_hidden=return_hidden,
+            key_positions=key_positions, full_mask=full_mask,
+            return_hidden=return_hidden,
         )
+
+
+def decouple_label_masks(
+    token_ids,
+    answer_id: int,
+    delimiter_id: int,
+    decouple_positions: bool = False,
+):
+    """Host-side port of the reference's ``decouple_label_tok_embeds``
+    attention surgery (kings_sgg/models/commons/llama.py:226-288): the
+    answer region after the last ``answer_id`` token holds delimiter-
+    separated label segments; each segment attends causally within itself
+    plus the full prompt, but NOT to earlier segments, so per-label
+    predictions are conditionally independent given the prompt.  With
+    ``decouple_positions`` every segment's RoPE positions restart at the
+    answer position (the reference's ``decouple_freqs_cis``).
+
+    → (mask [B, L, L] bool — feed as ``full_mask``; positions [B, L] i32).
+    The reference hardcodes ids 526 ("are") / 29892 (","); pass your
+    tokenizer's equivalents.
+    """
+    import numpy as np
+
+    ids = np.asarray(token_ids)
+    B, L = ids.shape
+    tril = np.tril(np.ones((L, L), bool))
+    mask = np.tile(tril[None], (B, 1, 1))
+    positions = np.tile(np.arange(L, dtype=np.int32)[None], (B, 1))
+
+    # answer start: first answer_id in the LAST sample (reference :232)
+    hits = np.nonzero(ids[-1] == answer_id)[0]
+    if not len(hits):
+        return mask, positions
+    a = int(hits[0])
+
+    for b in range(B):
+        prev = a
+        delims = np.nonzero(ids[b] == delimiter_id)[0]
+        for d in delims:
+            end = int(d) + 1  # delimiter conditions on its own segment
+            # tokens of this segment must not see earlier label segments
+            mask[b, prev:end, a + 1 : prev] = False
+            if decouple_positions:
+                positions[b, prev:end] = a + np.arange(end - prev)
+            prev = end
+        # trailing segment after the last delimiter
+        if prev < L:
+            mask[b, prev:, a + 1 : prev] = False
+            if decouple_positions:
+                positions[b, prev:] = a + np.arange(L - prev)
+    return mask, positions
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=None):

@@ -213,3 +213,69 @@ class TestInt8Quant:
         toks, scores = greedy_decode(model, params, prefix, pmask, 4, eos_id=3)
         assert toks.shape == (2, 4)
         assert np.isfinite(np.asarray(scores)).all()
+
+
+class TestDecoupledLabelMasks:
+    def test_segments_isolated(self):
+        """Port of the reference's decouple_label_tok_embeds surgery
+        (commons/llama.py:226-288): label segments after the answer token
+        attend to the prompt and themselves, never to earlier segments."""
+        import numpy as np
+
+        from openpsg_tpu.models.llm.llama import decouple_label_masks
+
+        ARE, COMMA = 50, 51
+        #       0   1   2    3(a) 4   5   6(,) 7   8(,)
+        ids = np.array([[7, 8, 9, ARE, 20, 21, COMMA, 22, COMMA]])
+        mask, pos = decouple_label_masks(ids, ARE, COMMA,
+                                         decouple_positions=True)
+        m = mask[0]
+        # prompt region: plain causal
+        assert m[3, :4].all() and not m[3, 4]
+        # segment 1 (tokens 4-6) sees prompt + itself
+        assert m[6, :4].all() and m[6, 4:7].all()
+        # segment 2 (tokens 7-8) sees prompt + itself but NOT segment 1
+        assert m[8, :4].all()
+        assert not m[8, 4] and not m[8, 5] and not m[8, 6]
+        assert m[8, 7] and m[8, 8]
+        # positions restart at the answer index per segment (the first
+        # segment starts AT the answer token, reference :246-266)
+        np.testing.assert_array_equal(pos[0, :7], [0, 1, 2, 3, 4, 5, 6])
+        np.testing.assert_array_equal(pos[0, 7:9], [3, 4])
+
+    def test_full_mask_feeds_llama(self):
+        import numpy as np
+
+        from openpsg_tpu.models.llm.llama import (
+            LlamaConfig,
+            LlamaWithEmbeddings,
+            decouple_label_masks,
+        )
+
+        cfg = LlamaConfig.tiny_test(vocab_size=64)
+        model = LlamaWithEmbeddings(cfg)
+        ids = np.array([[7, 8, 50, 20, 51, 22, 51, 0]])
+        mask, pos = decouple_label_masks(ids, 50, 51)
+        params = model.init(
+            jax.random.PRNGKey(0), token_ids=jnp.asarray(ids, jnp.int32),
+            attention_mask=jnp.asarray(ids != 0),
+            positions=jnp.asarray(pos),
+        )
+        logits, _ = model.apply(
+            params, token_ids=jnp.asarray(ids, jnp.int32),
+            attention_mask=jnp.asarray(ids != 0),
+            positions=jnp.asarray(pos), full_mask=jnp.asarray(mask),
+        )
+        assert np.isfinite(np.asarray(logits)).all()
+        # changing an EARLIER segment token must not change a later
+        # segment's logits (conditional independence given the prompt)
+        ids2 = ids.copy(); ids2[0, 3] = 21
+        mask2, pos2 = decouple_label_masks(ids2, 50, 51)
+        logits2, _ = model.apply(
+            params, token_ids=jnp.asarray(ids2, jnp.int32),
+            attention_mask=jnp.asarray(ids2 != 0),
+            positions=jnp.asarray(pos2), full_mask=jnp.asarray(mask2),
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits)[0, 5:7], np.asarray(logits2)[0, 5:7], atol=1e-5
+        )
