@@ -142,6 +142,113 @@ def panoptic_fusion(
     )
 
 
+def panoptic_fusion_area(
+    cls_logits: jnp.ndarray,    # [Q, K+1] (softmax over classes + void)
+    mask_logits: jnp.ndarray,   # [Q, H, W]
+    *,
+    object_mask_thr: float = 0.8,
+    num_things: int = NUM_THING_CLASSES,
+    region_mask: jnp.ndarray | None = None,
+):
+    """The reference's unused ``mode='area'`` fusion
+    (maskformer_fusion_relation_head.py:37-63), vectorized: kept queries are
+    painted largest-binary-area first so smaller masks overwrite larger ones.
+    Per pixel the winner is therefore the covering query with the smallest
+    (area, index) — an argmin, no sequential painting.  Thing instance ids
+    count from 1 in paint order; stuff paints its bare class id.  Unlike
+    'raw' mode the reference does NOT re-derive objects from the final map:
+    every painted query stays in the object list (even if fully overpainted)
+    and its score is the mean of its own score-weighted probs over its own
+    binary mask.
+
+    Returns (FusionResult, paint_pos [Q] i32) — paint_pos orders the object
+    list (invalid queries get Q).  ``survive`` marks painted queries;
+    ``query_scores`` is the own-mask mean described above.
+    """
+    Q = cls_logits.shape[0]
+    logits32 = cls_logits.astype(jnp.float32)
+    probs = jax.nn.softmax(logits32, axis=-1)
+    scores = jnp.max(probs, axis=-1)
+    labels = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    keep = (labels != probs.shape[-1] - 1) & (scores > object_mask_thr)
+    labels = jnp.minimum(labels, probs.shape[-1] - 2)
+
+    mask_probs = jax.nn.sigmoid(mask_logits.astype(jnp.float32))
+    if region_mask is not None:
+        mask_probs = jnp.where(region_mask[None], mask_probs, 0.0)
+    binary = mask_probs >= 0.5
+    area = jnp.sum(binary, axis=(1, 2)).astype(jnp.int32)
+    valid = keep & (area > 0)
+
+    # paint order = area descending, ties broken by HIGHER index first
+    # (torch ascending stable sort, flipped), so the per-pixel winner —
+    # the query painted last among those covering it — minimizes
+    # key = area * Q + index over covering valid queries.
+    key = area * Q + jnp.arange(Q, dtype=jnp.int32)             # [Q]
+    cover_key = jnp.where(
+        valid[:, None, None] & binary, key[:, None, None], jnp.iinfo(jnp.int32).max
+    )
+    winner = jnp.argmin(cover_key, axis=0).astype(jnp.int32)     # [H, W]
+    covered = jnp.min(cover_key, axis=0) < jnp.iinfo(jnp.int32).max
+
+    is_thing = labels < num_things
+    # instance id = 1 + number of valid things painted earlier (larger key)
+    thing_key = jnp.where(valid & is_thing, key, -1)
+    inst = 1 + jnp.sum(
+        (thing_key[None, :] > key[:, None]) & (thing_key[None, :] >= 0), axis=1
+    ).astype(jnp.int32)
+    object_ids = jnp.where(
+        is_thing, labels + INSTANCE_OFFSET * inst, labels
+    ).astype(jnp.int32)
+
+    pan_seg = jnp.where(covered, jnp.take(object_ids, winner), VOID_ID)
+
+    # own-mask score: mean of this query's score-weighted probs over its
+    # binary mask (computed pre-overwrite in the reference loop)
+    weighted = scores[:, None, None] * mask_probs
+    own_sum = jnp.sum(jnp.where(binary, weighted, 0.0), axis=(1, 2))
+    query_scores = own_sum / jnp.maximum(area, 1)
+
+    winner_score = jnp.where(
+        covered, jnp.take_along_axis(weighted, winner[None], axis=0)[0], 0.0
+    )
+
+    # paint position: rank of key in descending order among valid queries
+    paint_pos = jnp.where(
+        valid,
+        jnp.sum((key[None, :] > key[:, None]) & valid[None, :], axis=1),
+        Q,
+    ).astype(jnp.int32)
+
+    result = FusionResult(
+        pan_seg=pan_seg.astype(jnp.int32),
+        winner_score=winner_score,
+        object_ids=object_ids,
+        survive=valid,
+        query_scores=query_scores,
+        labels=labels,
+    )
+    return result, paint_pos
+
+
+def extract_object_lists_area(result: FusionResult, paint_pos) -> tuple:
+    """Host-side object lists for 'area' mode: painted queries in paint
+    order, overpainted segments included (reference appends during the
+    paint loop and never re-derives, :52-63)."""
+    import numpy as np
+
+    pos = np.asarray(paint_pos)
+    order = np.argsort(pos, kind="stable")
+    oids, scores = [], []
+    surv = np.asarray(result.survive)
+    for q in order:
+        if not surv[q]:
+            break  # invalid queries sort last (pos == Q)
+        oids.append(int(np.asarray(result.object_ids)[q]))
+        scores.append(float(np.asarray(result.query_scores)[q]))
+    return oids, scores
+
+
 def extract_object_lists(result: FusionResult):
     """Host-side: sorted-unique object ids + scores, reference semantics
     (torch.unique over the final map, maskformer_fusion_relation_head:100-108).

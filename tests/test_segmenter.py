@@ -185,6 +185,93 @@ class TestLanguage:
         np.testing.assert_allclose(e1, e2, atol=1e-5)
 
 
+class TestPanopticFusionAreaMode:
+    """Golden test of the 'area' fusion vs a direct loop port of the
+    reference's mode='area' branch (maskformer_fusion_relation_head.py:37-63):
+    sort kept queries by binary area, paint largest first (later/smaller
+    overwrite), thing instance ids count from 1 in paint order, object list
+    in paint order with own-mask mean scores."""
+
+    def _reference_area(self, cls_logits, mask_logits, thr, num_things):
+        K1 = cls_logits.shape[-1]
+        probs = np.exp(cls_logits - cls_logits.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        scores, labels = probs.max(-1), probs.argmax(-1)
+        keep = (labels != K1 - 1) & (scores > thr)
+        cur_scores, cur_classes = scores[keep], labels[keep]
+        cur_masks = 1.0 / (1.0 + np.exp(-mask_logits[keep]))
+        cur_prob = cur_scores[:, None, None] * cur_masks
+        h, w = cur_masks.shape[-2:]
+        pan = np.full((h, w), 133, np.int32)
+        oids, oscores = [], []
+        areas = (cur_masks >= 0.5).sum((1, 2))
+        order = np.argsort(areas, kind="stable")[::-1]  # descending, hi-idx first in ties
+        inst = 1
+        for i in order:
+            if areas[i] <= 0:
+                continue
+            m = cur_masks[i] >= 0.5
+            score = cur_prob[i][m].mean()
+            if cur_classes[i] < num_things:
+                oid = int(cur_classes[i] + inst * INSTANCE_OFFSET)
+                inst += 1
+            else:
+                oid = int(cur_classes[i])
+            pan[m] = oid
+            oids.append(oid)
+            oscores.append(float(score))
+        return pan, oids, oscores
+
+    def test_golden_vs_reference_loop(self):
+        from openpsg_tpu.models.segmenter.fusion import (
+            extract_object_lists_area,
+            panoptic_fusion_area,
+        )
+
+        rng = np.random.default_rng(7)
+        for trial in range(5):
+            Q, K1, H, W = 8, 5, 16, 16
+            cls_logits = rng.normal(0, 3, (Q, K1)).astype(np.float32)
+            mask_logits = rng.normal(0, 2, (Q, H, W)).astype(np.float32)
+            want_pan, want_ids, want_scores = self._reference_area(
+                cls_logits, mask_logits, thr=0.3, num_things=2
+            )
+            r, pos = panoptic_fusion_area(
+                jnp.asarray(cls_logits), jnp.asarray(mask_logits),
+                object_mask_thr=0.3, num_things=2,
+            )
+            # the vectorized path works on all Q queries (invalid masked);
+            # map reference's kept-index ids to full-index ids is unneeded —
+            # ids are (class, instance) pairs, directly comparable
+            np.testing.assert_array_equal(np.asarray(r.pan_seg), want_pan)
+            got_ids, got_scores = extract_object_lists_area(r, pos)
+            assert got_ids == want_ids
+            np.testing.assert_allclose(got_scores, want_scores, rtol=1e-5)
+
+    def test_overpainted_stays_listed(self):
+        from openpsg_tpu.models.segmenter.fusion import (
+            extract_object_lists_area,
+            panoptic_fusion_area,
+        )
+
+        # big mask fully covered by a smaller later-painted one: both listed
+        cls_logits = np.full((2, 3), -10.0, np.float32)
+        cls_logits[0, 0] = 8.0
+        cls_logits[1, 0] = 8.0
+        masks = np.full((2, 8, 8), -10.0, np.float32)
+        masks[0, :4, :4] = 10.0          # small
+        masks[1] = 10.0                  # covers everything
+        r, pos = panoptic_fusion_area(
+            jnp.asarray(cls_logits), jnp.asarray(masks),
+            object_mask_thr=0.3, num_things=2,
+        )
+        ids, scores = extract_object_lists_area(r, pos)
+        assert len(ids) == 2             # big painted first, small overwrites
+        pan = np.asarray(r.pan_seg)
+        assert pan[0, 0] == ids[1]       # small (second-painted) wins its region
+        assert pan[7, 7] == ids[0]
+
+
 class TestFusionCandidatePreselection:
     def test_topc_fusion_exact_when_keeps_covered(self):
         """Fusing only the (order-preserved) top-C queries by class score
