@@ -77,20 +77,25 @@ def main():
 
     infer_impl = pipeline._infer_jit.__wrapped__
 
-    @jax.jit
-    def run_n(params, image, img_hw):
-        def body(carry, _):
-            # data dependency: perturb the image by the previous scalar so
-            # iterations can't be elided or reordered
-            out = infer_impl(pipeline, params, image + carry * 1e-9, img_hw)
-            s = (
-                jnp.sum(out["gen_scores"])
-                + jnp.sum(out["top_pair_scores"])
-                + jnp.sum(out["object_scores"])
-            )
-            return s.astype(jnp.float32), None
-        s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return s
+    def make_run(n):
+        @jax.jit
+        def run_n(params, image, img_hw):
+            def body(carry, _):
+                # data dependency: perturb the image by the previous scalar
+                # so iterations can't be elided or reordered
+                out = infer_impl(pipeline, params, image + carry * 1e-9, img_hw)
+                s = (
+                    jnp.sum(out["gen_scores"])
+                    + jnp.sum(out["top_pair_scores"])
+                    + jnp.sum(out["object_scores"])
+                )
+                return s.astype(jnp.float32), None
+            s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+            return s
+        return run_n
+
+    run_n = make_run(iters)
+    run_3n = make_run(3 * iters)
 
     # measure tunnel round-trip latency with a trivial program
     trivial = jax.jit(lambda x: jnp.sum(x))
@@ -102,15 +107,25 @@ def main():
 
     t0 = time.time()
     s = float(run_n(pipeline.params, img, hw))  # includes compile
+    float(run_3n(pipeline.params, img, hw))
     compile_and_first = time.time() - t0
 
     if os.environ.get("BENCH_BREAKDOWN"):
         _stage_breakdown(pipeline, img, hw, iters, rtt_holder=[None])
 
-    t0 = time.time()
-    s = float(run_n(pipeline.params, img, hw))
-    total = time.time() - t0
-    step = max(total - rtt, 1e-9) / iters
+    # slope timing: T(3N) - T(N) cancels the variable tunnel round-trip
+    # (min-of-2 per point guards against rtt spikes)
+    def sample(fn):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            float(fn(pipeline.params, img, hw))
+            best = min(best, time.time() - t0)
+        return best
+
+    t_lo = sample(run_n)
+    t_hi = sample(run_3n)
+    step = max(t_hi - t_lo, 1e-9) / (2 * iters)
     ips = 1.0 / step
 
     print(

@@ -44,7 +44,6 @@ def greedy_decode(
     cfg = model.cfg
     B, Lp, _ = prefix_embeds.shape
     S = Lp + max_new_tokens
-    cache = init_kv_cache(cfg, B, S)
 
     key_mask = jnp.concatenate(
         [prefix_mask, jnp.zeros((B, max_new_tokens), bool)], axis=1
@@ -56,14 +55,19 @@ def greedy_decode(
     key_positions = jnp.concatenate(
         [positions, jnp.zeros((B, max_new_tokens), jnp.int32)], axis=1
     )
-    logits, cache = model.apply(
+    # prefill WITHOUT a cache (no zero-cache read); the returned packed KV
+    # is placed into the full-length cache with one update
+    logits, kv = model.apply(
         params,
         input_embeds=prefix_embeds,
-        attention_mask=key_mask,
+        attention_mask=prefix_mask,
         positions=positions,
-        cache=cache,
-        cache_index=jnp.int32(0),
-        key_positions=key_positions,
+        last_logit_only=True,
+    )
+    ck, cv = init_kv_cache(cfg, B, S)
+    cache = (
+        jax.lax.dynamic_update_slice(ck, kv[0].astype(ck.dtype), (0, 0, 0, 0, 0)),
+        jax.lax.dynamic_update_slice(cv, kv[1].astype(cv.dtype), (0, 0, 0, 0, 0)),
     )
     tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
     score = jax.nn.log_softmax(logits[:, -1], axis=-1)[jnp.arange(B), tok]

@@ -156,15 +156,19 @@ class RMSNorm(nn.Module):
 
 
 class LlamaBlock(nn.Module):
-    """One decoder block operating against a cache slice (always cached —
-    see module docstring).  Scan signature: carry is the hidden state +
-    shared context; per-layer input/output is that layer's (k, v) cache."""
+    """One decoder block.  Scan signature: carry is the hidden state plus
+    shared masks; per-layer xs is that layer's READ-ONLY (k, v) cache
+    (possibly zero-length), per-layer ys is the (k, v) of the current
+    tokens.  The cache is never rewritten inside the layer scan — the
+    caller folds ys into the big cache with ONE dynamic_update_slice, so a
+    decode step writes ~L tokens of KV instead of the whole cache (the
+    old ys-the-updated-cache layout cost 2 full cache writes per step)."""
 
     cfg: LlamaConfig
 
     @nn.compact
     def __call__(self, carry, layer_cache: Tuple[jnp.ndarray, jnp.ndarray]):
-        x, positions, mask, cache_index = carry
+        x, positions, mask_cache, mask_cur = carry
         c = self.cfg
         hd = c.dim // c.n_heads
         B, L, _ = x.shape
@@ -177,22 +181,30 @@ class LlamaBlock(nn.Module):
         k = _rope(k.reshape(B, L, c.n_kv_heads, hd), positions, c.rope_theta)
         v = v.reshape(B, L, c.n_kv_heads, hd)
 
-        ck, cv = layer_cache  # [B, S, n_kv, hd]
-        ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), cache_index, axis=1)
-        cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), cache_index, axis=1)
-
-        k_all, v_all = ck, cv
+        ck, cv = layer_cache  # [B, S, n_kv, hd] (S may be 0)
         rep = c.n_heads // c.n_kv_heads
-        if rep > 1:
-            k_all = jnp.repeat(k_all, rep, axis=2)
-            v_all = jnp.repeat(v_all, rep, axis=2)
 
-        attn = jnp.einsum(
-            "blhd,bmhd->bhlm", q, k_all, preferred_element_type=jnp.float32
-        ) * (hd ** -0.5)
+        def expand(t):
+            return jnp.repeat(t, rep, axis=2) if rep > 1 else t
+
+        # scores over [cached keys ; current keys] — cached keys are stored
+        # pre-roped; current-slot staleness is excluded via mask_cache
+        s_cache = jnp.einsum(
+            "blhd,bmhd->bhlm", q, expand(ck.astype(q.dtype)),
+            preferred_element_type=jnp.float32,
+        )
+        s_cur = jnp.einsum(
+            "blhd,bmhd->bhlm", q, expand(k),
+            preferred_element_type=jnp.float32,
+        )
+        attn = jnp.concatenate([s_cache, s_cur], axis=-1) * (hd ** -0.5)
+        mask = jnp.concatenate([mask_cache, mask_cur], axis=-1)
         attn = jnp.where(mask[:, None], attn, -1e9)
         attn = jax.nn.softmax(attn, axis=-1).astype(c.dtype)
-        out = jnp.einsum("bhlm,bmhd->blhd", attn, v_all)
+        S = ck.shape[1]
+        out = jnp.einsum(
+            "bhlm,bmhd->blhd", attn[..., :S], expand(cv.astype(v.dtype))
+        ) + jnp.einsum("bhlm,bmhd->blhd", attn[..., S:], expand(v))
         out = out.reshape(B, L, c.n_heads * hd)
         x = x + _dense(c, c.dim, "wo")(out)
 
@@ -200,7 +212,9 @@ class LlamaBlock(nn.Module):
         gate = _dense(c, c.ffn_hidden, "w_gate")(h)
         up = _dense(c, c.ffn_hidden, "w_up")(h)
         down = _dense(c, c.dim, "w_down")(nn.silu(gate) * up)
-        return (x + down, positions, mask, cache_index), (ck, cv)
+        return (x + down, positions, mask_cache, mask_cur), (
+            k.astype(ck.dtype), v.astype(cv.dtype)
+        )
 
 
 class Llama(nn.Module):
@@ -218,39 +232,71 @@ class Llama(nn.Module):
         key_positions: Optional[jnp.ndarray] = None,  # [B, S] when cache used
         full_mask: Optional[jnp.ndarray] = None,      # [B, L, S] bool override
         return_hidden: bool = False,
+        last_logit_only: bool = False,
     ):
         """Returns (logits [B, L, V] or hidden, new_cache).
 
         With an external ``cache`` (from ``init_kv_cache``): keys span the
-        cache length S; ``attention_mask`` and ``key_positions`` are
-        [B, S].  Without: a scratch cache of length L is allocated, so
-        S == L and ``key_positions`` defaults to ``positions``.
+        cache length S plus the L current tokens; ``attention_mask`` and
+        ``key_positions`` are [B, S] (the L current tokens' slots
+        [cache_index, cache_index+L) take their validity from
+        ``attention_mask`` but their keys come from this call, never from
+        the stale cache contents).  ``new_cache`` is the cache with the
+        current tokens' (k, v) folded in at ``cache_index``.
+
+        Without an external cache: attention runs over the L current
+        tokens only (S == L) and ``new_cache`` is the packed
+        ([n_layers, B, L, n_kv, hd], ...) KV of this call — a valid cache
+        of length L (callers that don't decode may ignore it).
         Causality: query position p attends to key positions ≤ p; padded
         slots excluded by ``attention_mask``.
         """
         c = self.cfg
         B, L, _ = input_embeds.shape
+        hd = c.dim // c.n_heads
 
         if cache is None:
-            hd = c.dim // c.n_heads
+            # no cached keys: zero-length read-only cache, current tokens
+            # attend among themselves
             cache = (
-                jnp.zeros((c.n_layers, B, L, c.n_kv_heads, hd), c.dtype),
-                jnp.zeros((c.n_layers, B, L, c.n_kv_heads, hd), c.dtype),
+                jnp.zeros((c.n_layers, B, 0, c.n_kv_heads, hd), c.dtype),
+                jnp.zeros((c.n_layers, B, 0, c.n_kv_heads, hd), c.dtype),
             )
             cache_index = jnp.int32(0)
-            key_positions = positions if key_positions is None else key_positions
             external_cache = False
+            if full_mask is not None:
+                mask_cur = full_mask
+            elif c.causal:
+                kp = positions if key_positions is None else key_positions
+                mask_cur = kp[:, None, :] <= positions[:, :, None]
+            else:
+                mask_cur = jnp.ones((B, L, L), bool)
+            mask_cur = mask_cur & attention_mask[:, None, :]
+            mask_cache = jnp.zeros((B, L, 0), bool)
         else:
             assert key_positions is not None, "cache path requires key_positions"
             external_cache = True
-
-        if full_mask is not None:
-            mask = full_mask  # caller-built [B, L, S] (decoupled labels etc.)
-        elif c.causal:
-            mask = key_positions[:, None, :] <= positions[:, :, None]
-        else:
-            mask = jnp.ones((B, L, key_positions.shape[1]), bool)
-        mask = mask & attention_mask[:, None, :]
+            S = cache[0].shape[2]
+            if full_mask is not None:
+                base = full_mask
+                mask_cur = jax.lax.dynamic_slice(
+                    full_mask, (0, 0, cache_index), (B, L, L)
+                )
+            elif c.causal:
+                base = key_positions[:, None, :] <= positions[:, :, None]
+                mask_cur = positions[:, None, :] <= positions[:, :, None]
+            else:
+                base = jnp.ones((B, L, S), bool)
+                mask_cur = jnp.ones((B, L, L), bool)
+            # current tokens' slots: keys come from this call (ys), so the
+            # stale cache entries there are masked out of the cache part
+            slot = jnp.arange(S, dtype=jnp.int32)[None, None, :]
+            in_cur = (slot >= cache_index) & (slot < cache_index + L)
+            mask_cache = base & attention_mask[:, None, :] & ~in_cur
+            cur_valid = jax.lax.dynamic_slice(
+                attention_mask, (0, cache_index), (B, L)
+            )
+            mask_cur = mask_cur & cur_valid[:, None, :]
 
         block = nn.scan(
             LlamaBlock,
@@ -259,16 +305,31 @@ class Llama(nn.Module):
             in_axes=0,
             out_axes=0,
         )(c, name="layers")
-        (x, _, _, _), new_cache = block(
-            (input_embeds.astype(c.dtype), positions, mask, cache_index), cache
+        (x, _, _, _), (k_new, v_new) = block(
+            (input_embeds.astype(c.dtype), positions, mask_cache, mask_cur),
+            cache,
         )
+        if external_cache:
+            new_cache = (
+                jax.lax.dynamic_update_slice(
+                    cache[0], k_new, (0, 0, cache_index, 0, 0)
+                ),
+                jax.lax.dynamic_update_slice(
+                    cache[1], v_new, (0, 0, cache_index, 0, 0)
+                ),
+            )
+        else:
+            new_cache = (k_new, v_new)
         x = RMSNorm(c.dim, c.norm_eps, c.dtype, name="final_norm")(x)
         if return_hidden:
-            return x, (new_cache if external_cache else None)
+            return x, new_cache
+        if last_logit_only:
+            # project only the final position (the reference's inference
+            # also takes last-token logits only, commons/llama.py:294);
+            # skips a [B, L, V] materialization at prefill
+            x = x[:, -1:]
         logits = _dense(c, c.vocab_size, "lm_head")(x)
-        return logits.astype(jnp.float32), (
-            new_cache if external_cache else None
-        )
+        return logits.astype(jnp.float32), new_cache
 
 
 class LlamaWithEmbeddings(nn.Module):
@@ -288,14 +349,14 @@ class LlamaWithEmbeddings(nn.Module):
 
     def __call__(self, *, input_embeds=None, token_ids=None, attention_mask,
                  positions, cache=None, cache_index=None, key_positions=None,
-                 full_mask=None, return_hidden=False):
+                 full_mask=None, return_hidden=False, last_logit_only=False):
         if input_embeds is None:
             input_embeds = self.tok_embed(token_ids)
         return self.core(
             input_embeds=input_embeds, attention_mask=attention_mask,
             positions=positions, cache=cache, cache_index=cache_index,
             key_positions=key_positions, full_mask=full_mask,
-            return_hidden=return_hidden,
+            return_hidden=return_hidden, last_logit_only=last_logit_only,
         )
 
 

@@ -82,18 +82,34 @@ def main():
     results = {}
 
     def timed(name, fn, *args):
-        @jax.jit
-        def run(args):
-            def body(carry, _):
-                return fn(*args, carry), None
-            s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-            return s
+        # slope method: time scan-length N and 3N programs and use the
+        # difference — cancels the (highly variable) tunnel round-trip
+        # instead of subtracting a stale rtt estimate.  min-of-2 guards
+        # against rtt spikes inside a sample.
+        def make(n):
+            @jax.jit
+            def run(args):
+                def body(carry, _):
+                    return fn(*args, carry), None
+                s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+                return s
+            return run
+
+        lo, hi = make(iters), make(3 * iters)
         t0 = time.time()
-        float(run(args))  # compile + first
+        float(lo(args))
+        float(hi(args))  # compiles + first runs
         compile_s = time.time() - t0
-        t0 = time.time()
-        float(run(args))
-        ms = max(time.time() - t0 - rtt, 0.0) / iters * 1e3
+
+        def sample(run):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                float(run(args))
+                best = min(best, time.time() - t0)
+            return best
+
+        ms = max(sample(hi) - sample(lo), 0.0) / (2 * iters) * 1e3
         results[name] = round(ms, 2)
         print(f"  {name}: {ms:.2f} ms/iter  (compile {compile_s:.0f}s)",
               flush=True)
@@ -127,9 +143,12 @@ def main():
 
     if "pixel" in stages:
         def px_fn(p, feats, carry):
-            f = [feats[0] + carry * 1e-9] + list(feats[1:])
+            # perturb EVERY input level: c2 feeds only the FPN tail, so
+            # perturbing it alone lets XLA hoist the whole encoder out of
+            # the timing loop (observed: 1.4 ms for a 280 ms stage)
+            f = [fi + carry.astype(fi.dtype) * 1e-9 for fi in feats]
             memory, shapes, mf = pixdec.apply(p, f)
-            return jnp.sum(mf).astype(jnp.float32)
+            return (jnp.sum(mf) + jnp.sum(memory)).astype(jnp.float32)
         timed(f"pixel_decoder_{sc.enc_layers}L", px_fn, px_params, feats)
 
     if "msda" in stages:
