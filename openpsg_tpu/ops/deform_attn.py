@@ -25,6 +25,7 @@ one-hot-MXU alternative (slower — kept as groundwork).
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import jax
@@ -37,7 +38,80 @@ def ms_deform_attn(
     sampling_locations: jnp.ndarray,    # [B, Lq, n_heads, L, K, 2] in [0,1]
     attention_weights: jnp.ndarray,     # [B, Lq, n_heads, L, K] (softmaxed)
 ) -> jnp.ndarray:                       # [B, Lq, n_heads * head_dim]
-    """Multi-scale deformable attention core (value already projected).
+    """Multi-scale deformable attention core — vmap-safe entry point.
+
+    Under ``jax.vmap`` (the dp-batched ``infer_batch`` path) JAX would turn
+    the row gathers into *batched* gathers, which the TPU lowers ~5× slower
+    than flat ones (measured 10.9 vs 1.9 ns/row).  A ``custom_vmap`` rule
+    therefore folds any mapped axis into the leading batch dim and calls
+    the flat implementation.  Because ``custom_vmap`` does not support
+    autodiff, the op is wrapped in ``custom_vjp``: the primal (inference)
+    path is the fast one, while fwd/bwd route through the plain
+    differentiable implementation (segmenter training uses that).
+    """
+    return _msda_dispatch(tuple(map(tuple, spatial_shapes)))(
+        value, sampling_locations, attention_weights
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _msda_vmap_safe(spatial_shapes):
+    @jax.custom_batching.custom_vmap
+    def f(value, sampling_locations, attention_weights):
+        return _ms_deform_attn_flat(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, value, loc, aw):
+        vb, lb, ab = in_batched
+
+        def bc(x, b):
+            return x if b else jax.lax.broadcast(x, (axis_size,))
+
+        value, loc, aw = bc(value, vb), bc(loc, lb), bc(aw, ab)
+        N, B = value.shape[0], value.shape[1]
+        out = f(
+            value.reshape((N * B,) + value.shape[2:]),
+            loc.reshape((N * B,) + loc.shape[2:]),
+            aw.reshape((N * B,) + aw.shape[2:]),
+        )
+        return out.reshape((N, B) + out.shape[1:]), True
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _msda_dispatch(spatial_shapes):
+    fast = _msda_vmap_safe(spatial_shapes)
+
+    def plain(value, loc, aw):
+        return _ms_deform_attn_flat(value, spatial_shapes, loc, aw)
+
+    @jax.custom_vjp
+    def op(value, loc, aw):
+        return fast(value, loc, aw)
+
+    def fwd(value, loc, aw):
+        # AD path: plain implementation (vmap may batch its gathers —
+        # slower, but correct and differentiable)
+        return plain(value, loc, aw), (value, loc, aw)
+
+    def bwd(res, ct):
+        _, vjp = jax.vjp(plain, *res)
+        return vjp(ct)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def _ms_deform_attn_flat(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Flat (unmapped) multi-scale deformable attention.
 
     ``spatial_shapes`` must be static Python ints — level boundaries become
     static slices so XLA sees fixed shapes (no dynamic control flow).
@@ -89,21 +163,30 @@ def ms_deform_attn(
         start += h * w
 
     quad_all = jnp.concatenate(quads, axis=1)                  # [B,Lv,nH,4hd]
-    base = jnp.stack(bases, axis=3).reshape(B, Lq, n_heads, L * K)
-    cw = jnp.stack(cws, axis=3).reshape(B, Lq, n_heads, L * K * 4)
+    base = jnp.stack(bases, axis=3)                            # [B,Lq,nH,L,K]
+    cw = jnp.stack(cws, axis=3)                                # [B,Lq,nH,L,K,4]
 
+    # accumulate one gather per (level, point): each jnp.take feeds straight
+    # into a tent-weighted add, so XLA fuses the gather into its elementwise
+    # consumer and the [Lq, L·K·4, hd] intermediate never hits HBM.
+    # Measured at the 1344px 4-level encoder geometry: 47.6 → 19.1 ms/layer
+    # vs the single-big-gather + einsum formulation (identical output).
     per_b = []
     for b in range(B):
         per_h = []
         for hh in range(n_heads):
-            g = jnp.take(quad_all[b, :, hh], base[b, :, hh].reshape(-1), axis=0)
-            g = g.reshape(Lq, L * K * 4, head_dim)
-            per_h.append(
-                jnp.einsum(
-                    "lkd,lk->ld", g, cw[b, :, hh].astype(g.dtype),
-                    preferred_element_type=jnp.float32,
-                )
-            )
+            acc = jnp.zeros((Lq, head_dim), jnp.float32)
+            for lvl in range(L):
+                for k in range(K):
+                    g = jnp.take(
+                        quad_all[b, :, hh], base[b, :, hh, lvl, k], axis=0
+                    ).reshape(Lq, 4, head_dim)
+                    wgt = cw[b, :, hh, lvl, k]                 # [Lq, 4]
+                    acc = acc + jnp.einsum(
+                        "lcd,lc->ld", g, wgt.astype(g.dtype),
+                        preferred_element_type=jnp.float32,
+                    )
+            per_h.append(acc)
         per_b.append(jnp.stack(per_h, axis=1))                 # [Lq,nH,hd]
     out = jnp.stack(per_b, axis=0)                             # [B,Lq,nH,hd]
     return out.reshape(B, Lq, n_heads * head_dim).astype(value.dtype)
