@@ -29,7 +29,41 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
+
+from openpsg_tpu.ops.pallas.flash_cross_attn import (
+    flash_shared_kv_cross_attn,
+    shared_kv_cross_attn_reference,
+)
+
+
+@jax.custom_vjp
+def _shared_kv_attention(q, k, v, mask):
+    """q [B, H, Lq, hd]; k/v [H, P, hd]; mask [B, P] → [B, H, Lq, hd].
+
+    Primal: flash Pallas kernel on TPU (scores stay in VMEM), plain XLA
+    on CPU.  Autodiff routes through the plain path (training quality
+    over training speed; the hot path is inference over all 1024 pairs)."""
+    if jax.default_backend() == "cpu":
+        return shared_kv_cross_attn_reference(q, k, v, mask)
+    return flash_shared_kv_cross_attn(q, k, v, mask)
+
+
+def _skv_fwd(q, k, v, mask):
+    return shared_kv_cross_attn_reference(q, k, v, mask), (q, k, v, mask)
+
+
+def _skv_bwd(res, ct):
+    q, k, v, mask = res
+    _, vjp = jax.vjp(
+        lambda a, b, c: shared_kv_cross_attn_reference(a, b, c, mask), q, k, v
+    )
+    dq, dk, dv = vjp(ct)
+    return dq, dk, dv, np.zeros(mask.shape, dtype=jax.dtypes.float0)
+
+
+_shared_kv_attention.defvjp(_skv_fwd, _skv_bwd)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -106,15 +140,11 @@ class _SharedKVCrossAttention(nn.Module):
         q = nn.Dense(self.dim, dtype=self.dtype, name="q")(q_in)
         k = nn.Dense(self.dim, dtype=self.dtype, name="k")(kv_shared)
         v = nn.Dense(self.dim, dtype=self.dtype, name="v")(kv_shared)
-        q = q.reshape(B, Lq, self.num_heads, hd)
-        k = k.reshape(P, self.num_heads, hd)
-        v = v.reshape(P, self.num_heads, hd)
-        attn = jnp.einsum(
-            "bqhd,phd->bhqp", q, k, preferred_element_type=jnp.float32
-        ) * (hd ** -0.5)
-        attn = jnp.where(mask[:, None, None, :], attn, -1e9)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqp,phd->bqhd", attn, v).reshape(B, Lq, self.dim)
+        q = q.reshape(B, Lq, self.num_heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(P, self.num_heads, hd).transpose(1, 0, 2)
+        v = v.reshape(P, self.num_heads, hd).transpose(1, 0, 2)
+        out = _shared_kv_attention(q, k, v, mask)       # [B, H, Lq, hd]
+        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="o")(out)
 
 
