@@ -42,7 +42,13 @@ def main():
     from openpsg_tpu.models.relation.qformer import QFormerConfig
     from openpsg_tpu.models.segmenter.openseed import SegmenterConfig
 
-    size = int(os.environ.get("BENCH_IMAGE", 1344))   # the (1333,1333) test scale
+    # BENCH_IMAGE: "1344" (square) or "1344x1024" (the dominant PSG-val
+    # bucket for 4:3 images resized keep-ratio into the (1333,1333) cap)
+    spec = os.environ.get("BENCH_IMAGE", "1344")
+    if "x" in spec:
+        size, size_w = (int(t) for t in spec.split("x"))
+    else:
+        size = size_w = int(spec)
     llm_layers = int(os.environ.get("BENCH_LLM_LAYERS", 32))  # real 7B depth
     llm_int8 = bool(int(os.environ.get("BENCH_LLM_INT8", 1)))
     queries = int(os.environ.get("BENCH_QUERIES", 0))  # 0 = config default (300)
@@ -65,15 +71,15 @@ def main():
             n_layers=llm_layers, dim=4096, n_heads=32, n_kv_heads=32,
             ffn_hidden=11008, dtype=jnp.bfloat16, quant=llm_int8,
         ),
-        input_hw=(size, size),
+        input_hw=(size, size_w),
         fusion_stride=fusion_stride,
         fusion_candidates=fusion_candidates,
     )
     pipeline = PSGv4(cfg, jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.integers(0, 255, (size, size, 3)).astype(np.float32))
-    hw = jnp.asarray([size, size - 8], jnp.int32)
+    img = jnp.asarray(rng.integers(0, 255, (size, size_w, 3)).astype(np.float32))
+    hw = jnp.asarray([size, size_w - 8], jnp.int32)
 
     infer_impl = pipeline._infer_jit.__wrapped__
 
@@ -132,7 +138,7 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    f"psg_v4_e2e_infer_img_per_s@{size}px_llm{llm_layers}L"
+                    f"psg_v4_e2e_infer_img_per_s@{spec}px_llm{llm_layers}L"
                     + ("_int8" if llm_int8 else "")
                 ),
                 "value": round(ips, 3),

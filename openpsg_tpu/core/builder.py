@@ -112,11 +112,22 @@ def build_detector_from_config(cfg, rng: Optional[jax.Array] = None):
         import os
 
         def _hf_tok(*keys):
-            from openpsg_tpu.models.relation.hf_tokenizer import HFTokenizer
-
             for k in keys:
                 p = head_dict.get(k)
                 if p and os.path.exists(str(p)):
+                    if str(p).endswith(".model"):
+                        # the reference's llama tokenizer_path points at a
+                        # SentencePiece file (llama_tokenizer.py:14-16);
+                        # loaded by the dependency-free SP reader
+                        from openpsg_tpu.models.relation.sp_tokenizer import (
+                            SentencePieceTokenizer,
+                        )
+
+                        return SentencePieceTokenizer.from_file(str(p))
+                    from openpsg_tpu.models.relation.hf_tokenizer import (
+                        HFTokenizer,
+                    )
+
                     return HFTokenizer.from_pretrained(str(p))
             return None
 

@@ -83,3 +83,33 @@ class TestPromptPathConfig:
         assert set(res) == {"pan_results", "rel_results", "rel_scores"}
         for s in res["rel_scores"]:
             assert np.isfinite(s)
+
+    def test_sp_tokenizer_path_dispatch(self, tmp_path):
+        """A config ``tokenizer_path`` pointing at a SentencePiece .model
+        file loads through the dependency-free SP reader (the reference's
+        llama tokenizer asset layout, llama_tokenizer.py:14-16)."""
+        from openpsg_tpu.data.vocab import OBJECT_CLASSES, RELATION_CLASSES
+        from openpsg_tpu.models.relation.sp_tokenizer import (
+            SentencePieceTokenizer,
+            build_sp_model_bytes,
+            build_toy_llama_tokenizer,
+        )
+
+        words = sorted({
+            w for t in list(OBJECT_CLASSES) + list(RELATION_CLASSES)
+            + ["what are the relations between and ? assistant :",
+               "is there a relation"]
+            for w in t.replace("-", " ").split()
+        })
+        toy = build_toy_llama_tokenizer(words)
+        mp = tmp_path / "tokenizer.model"
+        mp.write_bytes(build_sp_model_bytes(toy.pieces))
+
+        cfg = _tiny(Config.fromfile(os.path.join(CFG, "baseline_v4_ov.py"),
+                                    import_custom_modules=False))
+        cfg.merge_from_dict({
+            "model.relation_head.tokenizer_path": str(mp),
+        })
+        m = build_detector_from_config(cfg, jax.random.PRNGKey(0))
+        assert isinstance(m.tokenizer, SentencePieceTokenizer)
+        assert m.llm_parts["pad_id"] == m.tokenizer.pad_id
