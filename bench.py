@@ -74,6 +74,11 @@ def main():
         input_hw=(size, size_w),
         fusion_stride=fusion_stride,
         fusion_candidates=fusion_candidates,
+        # worst-case decode: random bench weights rarely emit EOS, but pin
+        # the full 16 steps so the metric can't be deflated by a lucky
+        # early exit (real val decode stops after ~5 steps — a bonus the
+        # bench deliberately does not claim)
+        decode_early_exit=False,
     )
     pipeline = PSGv4(cfg, jax.random.PRNGKey(0))
 

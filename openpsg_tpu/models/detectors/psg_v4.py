@@ -68,6 +68,10 @@ class PSGv4Config:
     head: HeadV4Config = HeadV4Config()
     llm: LlamaConfig = LlamaConfig()
     max_new_tokens: int = 16            # reference :308
+    # stop decoding once every top-pair sequence hit EOS (bit-identical
+    # outputs, data-dependent step count); bench pins it off for an
+    # honest worst-case step time
+    decode_early_exit: bool = True
     object_mask_thr: float = 0.25       # OpenSeeD/MaskDINO panoptic threshold
     iou_thr: float = 0.8
     freeze_layers: Tuple[str, ...] = ("segmenter", "llm")  # ref config :64-66
@@ -428,6 +432,7 @@ class PSGv4:
             self.llm, params["llm"], prefix, pmask,
             c.max_new_tokens, eos_id=self.tokenizer.eos_id,
             pad_id=self.tokenizer.pad_id,
+            early_exit=c.decode_early_exit,
         )
         out["gen_tokens"] = toks
         out["gen_scores"] = tok_scores

@@ -10,9 +10,11 @@ The reference decodes relations with a *python loop* of ≤20 independent
   * RoPE positions follow HF semantics ``cumsum(attention_mask) - 1`` so
     arbitrary pad layouts work — including the reference's
     [visual tokens ; left-padded text] prompt whose pads sit mid-sequence;
-  * per-sequence EOS early-exit via a ``done`` mask (tokens after EOS are
-    emitted as ``pad_id``; compute still runs — static shapes — but the
-    whole batch costs 16 steps instead of 20×16 sequential calls).
+  * EOS early-exit: a ``lax.while_loop`` stops the whole batch as soon
+    as every sequence has emitted EOS (predicates are 1-4 tokens, so real
+    decode runs ~5 of the 16 worst-case steps); tokens after a sequence's
+    EOS are emitted as ``pad_id``.  Outputs are bit-identical to the
+    fixed-16-step loop — only the step count is data-dependent.
 """
 
 from __future__ import annotations
@@ -33,6 +35,7 @@ def greedy_decode(
     max_new_tokens: int,
     eos_id: int,
     pad_id: int = 0,
+    early_exit: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """→ (tokens [B, max_new_tokens] int32, scores [B, max_new_tokens] f32).
 
@@ -72,20 +75,26 @@ def greedy_decode(
     tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
     score = jax.nn.log_softmax(logits[:, -1], axis=-1)[jnp.arange(B), tok]
     done = jnp.zeros((B,), bool)
+    toks0 = jnp.full((B, max_new_tokens), pad_id, jnp.int32)
+    scores0 = jnp.zeros((B, max_new_tokens), jnp.float32)
 
-    def step(carry, t):
-        tok, score, done, cache, key_mask, key_positions = carry
+    def body(carry):
+        t, tok, score, done, cache, key_mask, key_positions, toks, scores = carry
         # emit the token chosen at the previous forward (masked once done)
         hit_eos = tok == eos_id
         out_tok = jnp.where(done | hit_eos, pad_id, tok)
         out_score = jnp.where(done | hit_eos, 0.0, score)
         done = done | hit_eos
+        toks = jax.lax.dynamic_update_slice(toks, out_tok[:, None], (0, t))
+        scores = jax.lax.dynamic_update_slice(scores, out_score[:, None], (0, t))
 
         slot = Lp + t
-        key_mask = key_mask.at[:, slot].set(True)
+        key_mask = jax.lax.dynamic_update_slice(
+            key_mask, jnp.ones((B, 1), bool), (0, slot)
+        )
         pos = (n_real + t)[:, None]                         # [B, 1]
-        key_positions = jax.lax.dynamic_update_slice_in_dim(
-            key_positions, pos, slot, axis=1
+        key_positions = jax.lax.dynamic_update_slice(
+            key_positions, pos, (0, slot)
         )
         emb = model.apply(params, tok[:, None], method=lambda m, ids: m.embed(ids))
         logits, cache = model.apply(
@@ -99,11 +108,19 @@ def greedy_decode(
         )
         nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
         nscore = jax.nn.log_softmax(logits[:, 0], axis=-1)[jnp.arange(B), nxt]
-        return (nxt, nscore, done, cache, key_mask, key_positions), (out_tok, out_score)
+        return (t + 1, nxt, nscore, done, cache, key_mask, key_positions,
+                toks, scores)
 
-    (_, _, _, _, _, _), (toks, scores) = jax.lax.scan(
-        step,
-        (tok, score, done, cache, key_mask, key_positions),
-        jnp.arange(max_new_tokens, dtype=jnp.int32),
-    )
-    return toks.T, scores.T
+    def cond(carry):
+        t, tok, _, done = carry[:4]
+        # stop as soon as every sequence has emitted EOS: predicates are
+        # 1-4 tokens, so real decode runs ~5 of the 16 worst-case steps.
+        # Remaining buffer slots keep pad_id/0 — EXACTLY what the fixed
+        # 16-step loop would emit (post-EOS steps emit pads).
+        alive = ~jnp.all(done | (tok == eos_id)) if early_exit else True
+        return (t < max_new_tokens) & alive
+
+    carry = (jnp.int32(0), tok, score, done, cache, key_mask, key_positions,
+             toks0, scores0)
+    carry = jax.lax.while_loop(cond, body, carry)
+    return carry[7], carry[8]

@@ -279,3 +279,57 @@ class TestDecoupledLabelMasks:
         np.testing.assert_allclose(
             np.asarray(logits)[0, 5:7], np.asarray(logits2)[0, 5:7], atol=1e-5
         )
+
+
+class TestEarlyExitDecode:
+    """lax.while_loop early exit must be bit-identical to the fixed-step
+    decode — only the step count is data-dependent."""
+
+    def _model(self, seed=0):
+        from openpsg_tpu.models.llm.llama import LlamaConfig, LlamaWithEmbeddings
+
+        cfg = LlamaConfig.tiny_test(vocab_size=32)
+        m = LlamaWithEmbeddings(cfg)
+        p = m.init(
+            jax.random.PRNGKey(seed),
+            token_ids=jnp.zeros((1, 4), jnp.int32),
+            attention_mask=jnp.ones((1, 4), bool),
+            positions=jnp.zeros((1, 4), jnp.int32),
+        )
+        return m, p
+
+    def _decode_both(self, m, p, eos_id):
+        from openpsg_tpu.models.llm.decode import greedy_decode
+
+        rng = np.random.default_rng(0)
+        prefix = jnp.asarray(rng.normal(size=(3, 5, m.cfg.dim)), jnp.float32)
+        mask = jnp.ones((3, 5), bool).at[0, 0].set(False)
+        outs = []
+        for flag in (True, False):
+            toks, scores = jax.jit(
+                lambda pr, mk, f=flag: greedy_decode(
+                    m, p, pr, mk, 8, eos_id=eos_id, pad_id=0, early_exit=f
+                )
+            )(prefix, mask)
+            outs.append((np.asarray(toks), np.asarray(scores)))
+        return outs
+
+    def test_immediate_eos(self):
+        m, p = self._model()
+        # zero lm_head -> all logits equal -> argmax 0; eos_id=0 means
+        # every sequence ends at once and the loop exits on step 1
+        p = jax.tree_util.tree_map(lambda x: x, p)
+        p["params"]["core"]["lm_head"]["kernel"] = jnp.zeros_like(
+            p["params"]["core"]["lm_head"]["kernel"]
+        )
+        (t1, s1), (t2, s2) = self._decode_both(m, p, eos_id=0)
+        np.testing.assert_array_equal(t1, t2)
+        np.testing.assert_allclose(s1, s2, atol=1e-6)
+        assert (t1 == 0).all()  # all pads after immediate EOS
+
+    def test_random_model_equivalence(self):
+        m, p = self._model(3)
+        for eos in (5, 31):
+            (t1, s1), (t2, s2) = self._decode_both(m, p, eos_id=eos)
+            np.testing.assert_array_equal(t1, t2)
+            np.testing.assert_allclose(s1, s2, atol=1e-6)
