@@ -103,7 +103,8 @@ def parse_model_proto(data: bytes) -> dict:
     add_dummy_prefix, remove_extra_whitespaces}."""
     pieces: List[Tuple[str, float, int]] = []
     meta = {
-        "model_type": BPE,
+        # proto2 default for TrainerSpec.model_type is UNIGRAM(=1)
+        "model_type": UNIGRAM,
         "unk_id": 0,
         "bos_id": 1,
         "eos_id": 2,
@@ -196,11 +197,17 @@ class SentencePieceTokenizer:
         self._pad = m["pad_id"]
         self.ptoi: Dict[str, int] = {}
         self.scores: Dict[str, float] = {}
+        # segmentation candidates: NORMAL pieces only — CONTROL/BYTE piece
+        # strings appearing literally in text must NOT produce their ids
+        # (e.g. a prompt containing "</s>" must not emit a real EOS)
+        self._seg_scores: Dict[str, float] = {}
         self._byte_ids: Dict[int, int] = {}
         for i, (piece, score, ptype) in enumerate(self.pieces):
             if piece not in self.ptoi:
                 self.ptoi[piece] = i
             self.scores[piece] = score
+            if ptype == NORMAL:
+                self._seg_scores[piece] = score
             if ptype == BYTE:
                 self._byte_ids[int(piece[1:-1], 16)] = i  # "<0xAB>"
         self._types = [p[2] for p in self.pieces]
@@ -250,11 +257,9 @@ class SentencePieceTokenizer:
             best_score, best_i = None, -1
             for i in range(len(syms) - 1):
                 cand = syms[i] + syms[i + 1]
-                s = self.scores.get(cand)
+                s = self._seg_scores.get(cand)  # merges: NORMAL pieces only
                 if s is None:
                     continue
-                if cand in self.ptoi and self._types[self.ptoi[cand]] != NORMAL:
-                    continue  # merges only produce NORMAL pieces
                 if best_score is None or s > best_score:
                     best_score, best_i = s, i
             if best_i < 0:
@@ -272,13 +277,13 @@ class SentencePieceTokenizer:
         best = [NEG] * (n + 1)
         back: List[Tuple[int, str]] = [(0, "")] * (n + 1)
         best[0] = 0.0
-        maxlen = max((len(p) for p, _, t in self.pieces if t == NORMAL), default=1)
+        maxlen = max((len(p) for p in self._seg_scores), default=1)
         for i in range(n):
             if best[i] <= NEG:
                 continue
             for j in range(i + 1, min(n, i + maxlen) + 1):
                 cand = text[i:j]
-                s = self.scores.get(cand)
+                s = self._seg_scores.get(cand)  # NORMAL pieces only
                 if s is None:
                     if j - i > 1:
                         continue

@@ -239,13 +239,15 @@ def extract_object_lists_area(result: FusionResult, paint_pos) -> tuple:
 
     pos = np.asarray(paint_pos)
     order = np.argsort(pos, kind="stable")
-    oids, scores = [], []
     surv = np.asarray(result.survive)
+    obj_ids = np.asarray(result.object_ids)       # one host fetch, not per-q
+    q_scores = np.asarray(result.query_scores)
+    oids, scores = [], []
     for q in order:
         if not surv[q]:
             break  # invalid queries sort last (pos == Q)
-        oids.append(int(np.asarray(result.object_ids)[q]))
-        scores.append(float(np.asarray(result.query_scores)[q]))
+        oids.append(int(obj_ids[q]))
+        scores.append(float(q_scores[q]))
     return oids, scores
 
 

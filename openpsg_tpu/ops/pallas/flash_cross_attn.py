@@ -12,9 +12,9 @@ the bench geometry (v5e, chunk=1024, pair_tile=32), taking the 2-layer
 Q-Former stage from 33.2 to 26.7 ms.
 
 Layout: rows are (query, pair-tile) pairs — query-major, pair-minor with
-the pair tile a multiple of 32 — so Lq needs NO padding to tile
+the pair tile a multiple of 16 — so Lq needs NO padding to tile
 boundaries (merging/splitting (Lq, TB) keeps whole sublane tiles for
-f32/bf16/int8 alike).  Grid (pair_tile, head, patch_chunk), chunk axis
+f32 (8) and bf16 (16)).  Grid (pair_tile, head, patch_chunk), chunk axis
 innermost; running max / normalizer / accumulator live in VMEM scratch,
 re-initialized when the chunk index wraps.  Fully-masked chunks
 contribute exactly zero (p is mask-multiplied, so the -1e9 fill never

@@ -173,3 +173,32 @@ class TestPipelineIntegration:
         assert set(res) == {"pan_results", "rel_results", "rel_scores"}
         for s, o, r in res["rel_results"]["relation"]:
             assert 0 <= r < len(relations)
+
+
+class TestControlPieceInjection:
+    def test_literal_eos_text_is_not_control(self):
+        """Text containing '</s>' literally must byte-encode, not emit the
+        real EOS id (reference wrapper only maps REGISTERED specials)."""
+        pieces = [
+            ("<unk>", 0.0, UNKNOWN), ("<s>", 0.0, CONTROL),
+            ("</s>", 0.0, CONTROL),
+        ] + [(f"<0x{b:02X}>", 0.0, BYTE) for b in range(256)] + [
+            ("</s", -1.0, NORMAL),  # adversarial near-miss NORMAL piece
+            ("hello", -1.0, NORMAL),
+        ]
+        for mtype in (BPE, UNIGRAM):
+            tok = SentencePieceTokenizer(build_sp_model_bytes(
+                pieces, model_type=mtype, add_dummy_prefix=False))
+            ids = tok.encode("</s>hello")
+            assert tok.eos_id not in ids and tok.bos_id not in ids
+            assert tok.decode(ids, stop_at_eos=True) == "</s>hello"
+
+    def test_model_type_default_is_unigram(self):
+        # a proto omitting TrainerSpec.model_type means UNIGRAM (proto2
+        # default), not BPE
+        from openpsg_tpu.models.relation.sp_tokenizer import (
+            UNIGRAM as U, parse_model_proto, _write_field,
+        )
+        body = b""  # empty TrainerSpec: every field at proto default
+        data = _write_field(2, 2, body)
+        assert parse_model_proto(data)["model_type"] == U

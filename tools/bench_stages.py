@@ -294,6 +294,7 @@ def main():
                 pipeline.llm, p["llm"],
                 prefix + carry.astype(prefix.dtype) * 1e-9, pmask,
                 c.max_new_tokens, eos_id=2, pad_id=0,
+                early_exit=False,  # pinned worst case, like bench.py
             )
             return jnp.sum(scores).astype(jnp.float32)
         timed(f"llm_prefill+decode_{K}x{c.max_new_tokens}", dec_fn, params,
