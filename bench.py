@@ -8,10 +8,10 @@ pairs → batched 16-step LLM greedy decode over top-20 pairs).
 Timing methodology (IMPORTANT on this environment): the axon tunnel's
 ``block_until_ready`` does not actually block, and fetching arrays
 measures the tunnel's transfer bandwidth, not compute.  So the bench jits
-ONE program that runs the pipeline ``iters`` times inside ``lax.scan``
-with a data dependency between iterations (no elision possible) and
-returns a single scalar; wall time of the scalar fetch = iters × step +
-one round trip (measured separately and subtracted).
+programs that run the pipeline N and 3N times inside ``lax.scan`` with a
+data dependency between iterations (no elision possible), each returning
+one scalar; step time = (T(3N) − T(N)) / 2N, which cancels the highly
+variable tunnel round-trip.  Per-stage timings: tools/bench_stages.py.
 
 Prints one JSON line {"metric", "value", "unit", "vs_baseline"};
 vs_baseline = value / 2.5 img/s/chip (the 20 img/s v5e-8 north-star of
@@ -121,8 +121,6 @@ def main():
     float(run_3n(pipeline.params, img, hw))
     compile_and_first = time.time() - t0
 
-    if os.environ.get("BENCH_BREAKDOWN"):
-        _stage_breakdown(pipeline, img, hw, iters, rtt_holder=[None])
 
     # slope timing: T(3N) - T(N) cancels the variable tunnel round-trip
     # (min-of-2 per point guards against rtt spikes)
@@ -162,74 +160,6 @@ def main():
             }
         )
     )
-
-
-def _stage_breakdown(pipeline, img, hw, iters, rtt_holder):
-    """Chained-scan timing of each pipeline stage (BENCH_BREAKDOWN=1)."""
-    import jax
-    import jax.numpy as jnp
-
-    import dataclasses
-
-    c = pipeline.cfg
-    M = c.head.max_objects_padded
-
-    def timed(name, fn, *args):
-        @jax.jit
-        def run(args):
-            def body(carry, _):
-                out = fn(*args, carry)
-                return out, None
-            s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-            return s
-        float(run(args))  # compile
-        t0 = time.time()
-        float(run(args))
-        dt = time.time() - t0
-        print(f"  {name}: {dt / iters * 1e3:.2f} ms/iter (incl rtt/iters)")
-
-    from openpsg_tpu.models.segmenter.openseed import normalize_image
-
-    def seg_fn(params, image, carry):
-        out = pipeline.segmenter.apply(
-            params["segmenter"], normalize_image(image + carry * 1e-9),
-            params["class_embeds"],
-        )
-        return jnp.sum(out["cls_logits"]).astype(jnp.float32)
-
-    timed("segmenter", seg_fn, pipeline.params, img)
-
-    H, W = pipeline._model_hw()
-    H4 = H // 4
-    mf = jnp.zeros((H4, H4, c.segmenter.mask_dim), c.head.dtype)
-    masks = jnp.zeros((M, H4, H4), bool).at[:, :8, :8].set(True)
-    valid = jnp.ones((M,), bool)
-    ids = jnp.ones((M * M, 16), jnp.int32)
-    tmask = jnp.ones((M * M, 16), bool)
-
-    def head_fn(params, mf, carry):
-        out = pipeline.head.apply(
-            params["head"], mf + carry * 1e-9, masks, valid, ids, tmask
-        )
-        return jnp.sum(out["binary_logits"]).astype(jnp.float32)
-
-    timed("qformer_1024pairs", head_fn, pipeline.params, mf)
-
-    from openpsg_tpu.models.llm.decode import greedy_decode
-
-    K = c.head.top_pairs
-    Lp = c.head.qformer.num_relation_queries + 20
-    prefix = jnp.zeros((K, Lp, c.llm.dim), c.llm.dtype)
-    pmask = jnp.ones((K, Lp), bool)
-
-    def llm_fn(params, prefix, carry):
-        toks, scores = greedy_decode(
-            pipeline.llm, params["llm"], prefix + carry * 1e-9, pmask,
-            c.max_new_tokens, eos_id=3,
-        )
-        return jnp.sum(scores).astype(jnp.float32)
-
-    timed("llm_decode_20x16", llm_fn, pipeline.params, prefix)
 
 
 if __name__ == "__main__":
