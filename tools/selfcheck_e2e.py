@@ -61,7 +61,9 @@ def main(root="/tmp/psg_selfcheck", seg_steps=600, rel_steps=400):
     from openpsg_tpu.data.preprocess import load_image_rgb
 
     os.makedirs(root, exist_ok=True)
-    ann = make_fixture(root, n_images=4, hw=(64, 64))
+    # 3 train / 3 held-out: two training images are too few for the tiny
+    # from-scratch segmenter to generalize reliably
+    ann = make_fixture(root, n_images=6, hw=(64, 64))
     pipeline = PSGv4(PSGv4Config.tiny_test(), jax.random.PRNGKey(0))
     H, _ = pipeline._model_hw()
     pre = Preprocessor(scale=(H, H))
@@ -77,16 +79,24 @@ def main(root="/tmp/psg_selfcheck", seg_steps=600, rel_steps=400):
 
     # ---------------- phase A: segmenter ----------------
     print("[A] segmenter pretraining")
-    class_embeds = pipeline.params["class_embeds"]
+    # class embeddings train jointly: in scratch training there is no
+    # pretrained language tower, so the frozen byte-tower init gives
+    # near-collinear class directions that sigmoid CE cannot separate in
+    # a few hundred steps (observed: right masks, wrong classes)
     seg_trainer = SegmenterTrainer(
         pipeline.segmenter,
         num_classes=len(pipeline.class_names),
         cls_mode="sigmoid",
-        apply_fn=lambda p, img: pipeline.segmenter.apply(p, img, class_embeds),
+        apply_fn=lambda p, img: pipeline.segmenter.apply(
+            p["seg"], img, p["ce"]
+        ),
     )
     seg_batch = SegTrainBatch(images, gt_masks, gt_labels, gt_valid)
     opt = optax.adamw(optax.cosine_decay_schedule(2e-3, seg_steps, 0.05))
-    seg_params = pipeline.params["segmenter"]
+    seg_params = {
+        "seg": pipeline.params["segmenter"],
+        "ce": pipeline.params["class_embeds"],
+    }
     opt_state = opt.init(seg_params)
     cost_fn, seg_step = seg_trainer.make_step_fns(opt)
     for i in range(seg_steps):
@@ -95,7 +105,8 @@ def main(root="/tmp/psg_selfcheck", seg_steps=600, rel_steps=400):
         seg_params, opt_state, d = seg_step(seg_params, opt_state, seg_batch, match)
         if i % 50 == 0 or i == seg_steps - 1:
             print(f"  step {i}: " + " ".join(f"{k}={float(v):.3f}" for k, v in d.items()))
-    pipeline.params["segmenter"] = seg_params
+    pipeline.params["segmenter"] = seg_params["seg"]
+    pipeline.params["class_embeds"] = seg_params["ce"]
 
     # ---------------- phase B: relation head + LLM ----------------
     print("[B] relation training (LLM unfrozen)")
