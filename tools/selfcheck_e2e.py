@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 
 
-def main(root="/tmp/psg_selfcheck", seg_steps=600, rel_steps=400):
+def main(root="/tmp/psg_selfcheck", seg_steps=900, rel_steps=400):
     import jax
 
     from openpsg_tpu.utils.logging import honor_platform_env
