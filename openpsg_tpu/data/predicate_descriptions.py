@@ -8,11 +8,13 @@ v1's predicate-prompt path (relation_transformer_head.py:54):
   * ``relation_description_v1``     — the template
     'The relationship between two objects is "{name}"';
   * ``relation_description_gpt4_v0``— 56 GPT-4-written paragraph
-    definitions (~1 KB each).  Those are offline-generated *data*; we load
-    them from a JSON asset (``{"descriptions": [...56 strings...]}``)
-    when present and fall back to a structured template that carries the
-    same information shape (name + role sentence) so the prompt path is
-    fully functional without the asset.
+    definitions (~1 KB each).  Those are offline-generated *data* shipped
+    in-repo by the reference; we vendor them verbatim as
+    ``assets/relation_description_gpt4_v0.json`` and load that by default,
+    so reference prompts reproduce without env vars.  A custom asset path
+    (``gpt4_asset_path`` arg or ``PSG_GPT4_DESCRIPTIONS`` env) overrides;
+    a structured template remains as last-resort fallback for truncated
+    vocabularies where the 56-entry asset doesn't apply.
 """
 
 from __future__ import annotations
@@ -29,6 +31,12 @@ _FALLBACK_TEMPLATE = (
     "object are arranged or interact in the scene."
 )
 
+# Vendored reference data (coco_panoptic_relation.py:49-106): 56 paragraph
+# descriptions, one per RELATION_CLASSES entry, in vocabulary order.
+_GPT4_ASSET = os.path.join(
+    os.path.dirname(__file__), "assets", "relation_description_gpt4_v0.json"
+)
+
 
 def get_descriptions(
     semantic_type: str = "relation_classes",
@@ -41,13 +49,24 @@ def get_descriptions(
     if semantic_type == "relation_description_v1":
         return [f'The relationship between two objects is "{n}"' for n in names]
     if semantic_type == "relation_description_gpt4_v0":
-        path = gpt4_asset_path or os.environ.get("PSG_GPT4_DESCRIPTIONS", "")
+        path = (
+            gpt4_asset_path
+            or os.environ.get("PSG_GPT4_DESCRIPTIONS", "")
+            or _GPT4_ASSET
+        )
         if path and os.path.exists(path):
             with open(path, "r", encoding="utf-8") as f:
                 data = json.load(f)
             desc = data["descriptions"] if isinstance(data, dict) else data
-            assert len(desc) == len(names), (len(desc), len(names))
-            return list(desc)
+            if len(desc) == len(names):
+                return list(desc)
+            if relation_names is None:
+                raise AssertionError((len(desc), len(names)))
+            # Truncated/custom vocabulary: pick the matching entries when the
+            # names are a subset of the canonical vocabulary.
+            idx = {n: i for i, n in enumerate(RELATION_CLASSES)}
+            if all(n in idx for n in names):
+                return [desc[idx[n]] for n in names]
         return [_FALLBACK_TEMPLATE.format(name=n) for n in names]
     raise KeyError(semantic_type)
 
