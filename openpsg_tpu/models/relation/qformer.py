@@ -38,6 +38,18 @@ from openpsg_tpu.ops.pallas.flash_cross_attn import (
 )
 
 
+def _guard_empty_mask(mask):
+    """Rows with an all-False mask attend everywhere instead.
+
+    For a fully-masked row the flash kernel returns zeros (normalizer
+    stays 0) while the XLA reference returns the uniform-softmax mean of
+    V — a TPU-inference vs train/CPU divergence.  Guarding HERE (not only
+    in RelationQFormer) means the two implementations can never be called
+    with semantics-diverging inputs (round-2 advisor finding).  Such rows
+    are padding pairs whose outputs are discarded downstream."""
+    return jnp.where(jnp.any(mask, axis=-1)[:, None], mask, True)
+
+
 @jax.custom_vjp
 def _shared_kv_attention(q, k, v, mask):
     """q [B, H, Lq, hd]; k/v [H, P, hd]; mask [B, P] → [B, H, Lq, hd].
@@ -45,12 +57,14 @@ def _shared_kv_attention(q, k, v, mask):
     Primal: flash Pallas kernel on TPU (scores stay in VMEM), plain XLA
     on CPU.  Autodiff routes through the plain path (training quality
     over training speed; the hot path is inference over all 1024 pairs)."""
+    mask = _guard_empty_mask(mask)
     if jax.default_backend() == "cpu":
         return shared_kv_cross_attn_reference(q, k, v, mask)
     return flash_shared_kv_cross_attn(q, k, v, mask)
 
 
 def _skv_fwd(q, k, v, mask):
+    mask = _guard_empty_mask(mask)
     return shared_kv_cross_attn_reference(q, k, v, mask), (q, k, v, mask)
 
 
@@ -187,15 +201,13 @@ class RelationQFormer(nn.Module):
             )
             x = nn.LayerNorm(epsilon=1e-12, dtype=c.dtype, name=f"self_ln{i}")(x + h)
 
-            # cross-attention: query positions only, masked to the pair region
+            # cross-attention: query positions only, masked to the pair
+            # region (empty padding-pair masks are guarded inside
+            # _shared_kv_attention)
             xq = x[:, :Qn]
-            # guard fully-empty pair masks (padding pairs): attend everywhere
-            cm = jnp.where(
-                jnp.any(encoder_mask, axis=-1)[:, None], encoder_mask, True
-            )
             hq = _SharedKVCrossAttention(
                 D, c.num_heads, dtype=c.dtype, name=f"cross_attn{i}"
-            )(xq, encoder_hidden.astype(c.dtype), cm)
+            )(xq, encoder_hidden.astype(c.dtype), encoder_mask)
             xq = nn.LayerNorm(epsilon=1e-12, dtype=c.dtype, name=f"cross_ln{i}")(xq + hq)
 
             # split FFN: query tokens get their own weights (BLIP-2)

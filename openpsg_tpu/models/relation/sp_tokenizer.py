@@ -211,6 +211,11 @@ class SentencePieceTokenizer:
             if ptype == BYTE:
                 self._byte_ids[int(piece[1:-1], 16)] = i  # "<0xAB>"
         self._types = [p[2] for p in self.pieces]
+        # SentencePiece scores an unknown single char min_score - unk_penalty
+        # (unigram_model.cc kUnkPenalty=10), not a flat constant (r2 advisor)
+        self._unk_char_score = (
+            min(self._seg_scores.values(), default=0.0) - 10.0
+        )
         # special tokens appended past vocab end (llama_tokenizer.py:38-47)
         self.special_ttoi: Dict[str, int] = {}
         self.special_itot: Dict[int, str] = {}
@@ -278,6 +283,7 @@ class SentencePieceTokenizer:
         back: List[Tuple[int, str]] = [(0, "")] * (n + 1)
         best[0] = 0.0
         maxlen = max((len(p) for p in self._seg_scores), default=1)
+        unk_score = self._unk_char_score
         for i in range(n):
             if best[i] <= NEG:
                 continue
@@ -287,7 +293,7 @@ class SentencePieceTokenizer:
                 if s is None:
                     if j - i > 1:
                         continue
-                    s = -100.0  # unknown single char
+                    s = unk_score  # unknown single char
                 if best[i] + s > best[j]:
                     best[j] = best[i] + s
                     back[j] = (i, cand)
@@ -382,7 +388,12 @@ class SentencePieceTokenizer:
                 byte_buf.append(int(piece[1:-1], 16))
                 continue
             flush()
-            if ptype in (CONTROL, UNKNOWN):
+            if ptype == CONTROL:
+                continue
+            if ptype == UNKNOWN:
+                # render unk visibly (SentencePiece's unk_surface " ⁇ ";
+                # silently dropping generated unks was a r2 advisor finding)
+                out.append(" ⁇ ")
                 continue
             out.append(piece)
         flush()
@@ -396,7 +407,10 @@ class SentencePieceTokenizer:
         chunk: List[int] = []
         for i in ids:
             i = int(i)
-            if i == self.pad_id:
+            # skip pads only when the model declares a REAL pad id; for
+            # Llama-layout models pad_id falls back to unk_id, and genuinely
+            # generated unks must stay visible (r2 advisor finding)
+            if self._pad >= 0 and i == self._pad:
                 continue
             if i == self._eos and stop_at_eos:
                 break

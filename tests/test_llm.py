@@ -124,6 +124,33 @@ class TestGreedyDecode:
         np.testing.assert_array_equal(np.asarray(toks), want)
         assert scores.shape == (B, steps)
 
+    def test_vmap_matches_per_image_decode(self, tiny_llm):
+        """infer_batch vmaps greedy_decode (with its data-dependent
+        early-exit while_loop) over images (psg_v4.py:infer_batch); the
+        vmapped result must match per-image calls bit-for-bit, for both
+        early-exit settings (r2 advisor finding)."""
+        cfg, model, params = tiny_llm
+        NI, B, Lp, steps = 2, 3, 6, 6
+        emb = jax.random.normal(
+            jax.random.PRNGKey(11), (NI, B, Lp, cfg.dim)
+        ) * 0.5
+        mask = np.ones((NI, B, Lp), bool)
+        mask[0, 0, :2] = False
+        mask[1, 2, :1] = False
+        mask = jnp.asarray(mask)
+
+        for flag in (True, False):
+            fn = lambda e, m, f=flag: greedy_decode(
+                model, params, e, m, steps, eos_id=3, early_exit=f
+            )
+            tb, sb = jax.jit(jax.vmap(fn))(emb, mask)
+            for i in range(NI):
+                ti, si = jax.jit(fn)(emb[i], mask[i])
+                np.testing.assert_array_equal(np.asarray(tb[i]), np.asarray(ti))
+                np.testing.assert_allclose(
+                    np.asarray(sb[i]), np.asarray(si), atol=1e-5
+                )
+
     def test_eos_stops_sequence(self, tiny_llm):
         """After EOS the emitted tokens are pad (0) and scores 0."""
         cfg, model, params = tiny_llm

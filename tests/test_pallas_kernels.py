@@ -83,6 +83,51 @@ class TestFlashSharedKVCrossAttn:
             np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
         )
 
+    def test_vmap_matches_per_image_calls(self):
+        """infer_batch vmaps the whole per-image pipeline over images
+        (psg_v4.py:infer_batch) — the pallas_call must survive that vmap
+        with unchanged semantics (r2 advisor finding)."""
+        from openpsg_tpu.ops.pallas.flash_cross_attn import (
+            flash_shared_kv_cross_attn,
+        )
+
+        B = 3
+        per = [self._data(s, 6, 2, 5, 16, 40) for s in range(B)]
+        qb, kb, vb, mb = (jnp.stack([d[i] for d in per]) for i in range(4))
+
+        got = jax.vmap(
+            lambda q, k, v, m: flash_shared_kv_cross_attn(
+                q, k, v, m, chunk=16, pair_tile=4, interpret=True
+            )
+        )(qb, kb, vb, mb)
+        for b in range(B):
+            want = flash_shared_kv_cross_attn(
+                *per[b], chunk=16, pair_tile=4, interpret=True
+            )
+            np.testing.assert_allclose(
+                np.asarray(got[b]), np.asarray(want), atol=2e-5, rtol=2e-5
+            )
+
+    def test_empty_mask_guard_inside_wrapper(self):
+        """An all-False mask row (padding pair) is guarded INSIDE
+        _shared_kv_attention so kernel and XLA reference can never
+        diverge, regardless of module-level guards (r2 advisor)."""
+        from openpsg_tpu.models.relation.qformer import _shared_kv_attention
+        from openpsg_tpu.ops.pallas.flash_cross_attn import (
+            shared_kv_cross_attn_reference,
+        )
+
+        q, k, v, mask = self._data(3, 4, 2, 5, 8, 24)
+        mask = mask.at[1].set(False)                   # empty row
+        got = _shared_kv_attention(q, k, v, mask)
+        want = shared_kv_cross_attn_reference(
+            q, k, v, mask.at[1].set(True)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
+        )
+        assert bool(jnp.all(jnp.isfinite(got)))
+
     def test_qformer_grads_flow_through_plain_path(self):
         """The custom_vjp routes AD through the reference path — training
         the Q-Former (its whole job) must produce finite grads."""
