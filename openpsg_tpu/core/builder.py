@@ -105,6 +105,8 @@ def build_detector_from_config(cfg, rng: Optional[jax.Array] = None):
             head=_head_cfg_from_dict(head_dict, tpu),
             llm=_llm_cfg_from_dict(head_dict, tpu),
         )
+        if tpu.get("input_hw"):
+            pcfg = dataclasses.replace(pcfg, input_hw=tuple(tpu["input_hw"]))
         # real tokenizers (reference: SentencePiece for the LLM, wordpiece
         # for the Q-Former, relation_transformer_head_v4.py:85-86, 99-105).
         # Accept explicit *_tokenizer_path fields or model-name fields that

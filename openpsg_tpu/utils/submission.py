@@ -77,15 +77,22 @@ class SubmissionWriter:
                 dict(category_id=1, id=int(rgb2id(np.asarray([r, g, b], np.uint8))))
             ]
         self.results.append(
-            dict(
-                relations=[[int(s), int(o), int(r) + 1] for s, o, r in relation],
-                segments_info=segments_info,
-                pan_seg_file_name=f"{test_idx}.png",
+            (
+                test_idx,
+                dict(
+                    relations=[[int(s), int(o), int(r) + 1] for s, o, r in relation],
+                    segments_info=segments_info,
+                    pan_seg_file_name=f"{test_idx}.png",
+                ),
             )
         )
 
     def finalize(self) -> str:
+        # images may be processed out of dataset order (tools/infer.py groups
+        # them by resolution bucket); the submission list is positional, so
+        # restore test_idx order here
         path = os.path.join(self.json_dir, "relation.json")
+        ordered = [r for _, r in sorted(self.results, key=lambda t: t[0])]
         with open(path, "w", encoding="utf-8") as f:
-            json.dump(self.results, f, default=str)
+            json.dump(ordered, f, default=str)
         return path

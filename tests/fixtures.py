@@ -15,6 +15,8 @@ from openpsg_tpu.utils.panoptic import id2rgb
 
 
 def make_fixture(root: str, n_images: int = 4, hw=(96, 64), seed: int = 0):
+    """``hw``: one (H, W) for all images, or a list cycled per image
+    (mixed aspects exercise the multi-bucket inference path)."""
     import cv2
 
     rng = np.random.default_rng(seed)
@@ -23,8 +25,8 @@ def make_fixture(root: str, n_images: int = 4, hw=(96, 64), seed: int = 0):
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(pan_dir, exist_ok=True)
 
+    hws = list(hw) if isinstance(hw, (list,)) else [tuple(hw)]
     data = []
-    H, W = hw
     # color-coded regions (+noise) so a from-scratch segmenter can learn
     # appearance → class and GENERALIZE to held-out images (pure-noise
     # images are memorizable but not learnable)
@@ -32,6 +34,7 @@ def make_fixture(root: str, n_images: int = 4, hw=(96, 64), seed: int = 0):
         [[200, 60, 60], [60, 200, 60], [60, 60, 200]], np.int64
     )
     for i in range(n_images):
+        H, W = hws[i % len(hws)]
         img = np.zeros((H, W, 3), np.int64)
         img[: H // 2, : W // 2] = region_colors[0]
         img[: H // 2, W // 2:] = region_colors[1]

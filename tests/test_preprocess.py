@@ -40,3 +40,63 @@ class TestRescale:
         img = np.zeros((16, 16, 3), np.uint8)
         out = p(img)
         assert out["img_shape"] == (64, 64)  # keep-ratio upscale to fit
+
+
+class TestAspectBuckets:
+    """Rectangular buckets: the dominant 4:3 COCO shapes avoid the square
+    worst case (VERDICT r2 weak #6 / next #1a)."""
+
+    def test_standard_set(self):
+        from openpsg_tpu.data.preprocess import aspect_buckets
+
+        bs = aspect_buckets((1333, 1333))
+        assert bs == ((1024, 1344), (1344, 1024), (1344, 1344))
+        assert all(h % 32 == 0 and w % 32 == 0 for h, w in bs)
+
+    def test_tiny_cap_collapses_to_square(self):
+        from openpsg_tpu.data.preprocess import aspect_buckets
+
+        assert aspect_buckets((64, 64)) == ((64, 64),)
+
+    def test_bucket_selection(self):
+        from openpsg_tpu.data.preprocess import aspect_buckets
+
+        p = Preprocessor(scale=(1333, 1333), buckets=aspect_buckets((1333, 1333)))
+        # 640x480 landscape: keep-ratio -> 1000x1333 -> landscape bucket
+        assert p.bucket_for(480, 640) == (1024, 1344)
+        # portrait
+        assert p.bucket_for(640, 480) == (1344, 1024)
+        # squarish (aspect < 1333/1024): needs the square bucket
+        assert p.bucket_for(600, 640) == (1344, 1344)
+        assert p.bucket_for(640, 640) == (1344, 1344)
+        # largest bucket exposed for callers that need the fallback
+        assert p.bucket_hw == (1344, 1344)
+
+    def test_call_pads_to_selected_bucket(self):
+        from openpsg_tpu.data.preprocess import aspect_buckets
+
+        p = Preprocessor(scale=(1333, 1333), buckets=aspect_buckets((1333, 1333)))
+        img = np.random.default_rng(0).integers(
+            0, 255, (480, 640, 3)
+        ).astype(np.uint8)
+        out = p(img)
+        assert out["image"].shape == (1024, 1344, 3)
+        assert out["img_shape"] == (1000, 1333)
+
+    def test_pinned_bucket_overrides(self):
+        from openpsg_tpu.data.preprocess import aspect_buckets
+
+        p = Preprocessor(scale=(1333, 1333), buckets=aspect_buckets((1333, 1333)))
+        img = np.zeros((480, 640, 3), np.uint8)
+        out = p(img, bucket=(1344, 1344))
+        assert out["image"].shape == (1344, 1344, 3)
+
+    def test_pinned_bucket_too_small_shrinks(self):
+        # annotation/batch-group disagreement (json dims said 4:3 but the
+        # decoded file is square): image must still fit the pinned bucket
+        p = Preprocessor(scale=(1333, 1333))
+        img = np.zeros((640, 640, 3), np.uint8)   # resizes to 1333x1333
+        out = p(img, bucket=(1024, 1344))
+        nh, nw = out["img_shape"]
+        assert nh <= 1024 and nw <= 1344
+        assert out["image"].shape == (1024, 1344, 3)

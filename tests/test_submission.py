@@ -53,6 +53,21 @@ class TestSubmission:
         np.testing.assert_array_equal(ids[16:, :16] == seg_ids[1], True)
         assert (ids[16:, 16:] == 0).all()              # void stays black
 
+    def test_out_of_order_add_is_reordered(self, tmp_path):
+        """tools/infer.py groups images by resolution bucket, so add()
+        arrives out of dataset order; relation.json is positional and must
+        come back sorted by test_idx."""
+        w = SubmissionWriter(str(tmp_path), seed=1)
+        pan = np.full((8, 8), 7, np.int64)
+        w.add(pan, [7], [[0, 0, 3]], test_idx=2)
+        w.add(pan, [7], [[0, 0, 1]], test_idx=0)
+        w.add(pan, [7], [[0, 0, 2]], test_idx=1)
+        recs = json.load(open(w.finalize()))
+        assert [r["relations"][0][2] for r in recs] == [2, 3, 4]  # +1-indexed
+        assert [r["pan_seg_file_name"] for r in recs] == [
+            "0.png", "1.png", "2.png"
+        ]
+
     def test_seeded_reproducible(self, tmp_path):
         pan = np.full((8, 8), 7, np.int64)
         w1 = SubmissionWriter(str(tmp_path / "a"), seed=3)
