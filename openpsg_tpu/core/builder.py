@@ -68,6 +68,56 @@ def _llm_cfg_from_dict(d: Dict[str, Any], tpu: Dict[str, Any]):
     return cfg
 
 
+def _backbone_preset(model_cfg: Dict[str, Any]) -> str:
+    """Derive the backbone preset from the reference's ``model.backbone``
+    dict (field-deep: baseline_swin_b.py:14-34 switches type/embed_dims
+    with no `tpu` section)."""
+    bb = dict(model_cfg.get("backbone", {}) or {})
+    if bb.get("type") == "SwinTransformer":
+        return "swin_b" if int(bb.get("embed_dims", 96)) >= 128 else "swin_t"
+    return "r50"
+
+
+def _apply_panoptic_head_fields(seg, ph: Dict[str, Any]):
+    """Field-deep mapping of the reference's ``panoptic_head`` dict onto
+    Mask2FormerConfig (reference baseline_r50.py:48-109) — the "config IS
+    the API" contract (SURVEY.md §2.8): loading the reference's own
+    config must build the reference's model GEOMETRY, not a preset.
+
+    Mapped: num_queries, feat_channels→dim, out_channels→mask_dim,
+    pixel_decoder.encoder.num_layers→enc_layers (+ its FFN width),
+    transformer_decoder.num_layers→dec_layers (+ its FFN width).
+    Backbone-derived fields (in_channels, strides) follow the backbone
+    preset; class counts come from the vocabulary lists."""
+    if not ph:
+        return seg
+    upd: Dict[str, Any] = {}
+    if "num_queries" in ph:
+        upd["num_queries"] = int(ph["num_queries"])
+    if "feat_channels" in ph:
+        upd["dim"] = int(ph["feat_channels"])
+    if "out_channels" in ph:
+        upd["mask_dim"] = int(ph["out_channels"])
+    enc = (ph.get("pixel_decoder") or {}).get("encoder") or {}
+    if "num_layers" in enc:
+        upd["enc_layers"] = int(enc["num_layers"])
+    enc_ffn = ((enc.get("transformerlayers") or {}).get("ffn_cfgs") or {}).get(
+        "feedforward_channels"
+    )
+    if enc_ffn:
+        upd["enc_ffn_hidden"] = int(enc_ffn)
+    td = ph.get("transformer_decoder") or {}
+    if "num_layers" in td:
+        upd["dec_layers"] = int(td["num_layers"])
+    tdl = td.get("transformerlayers") or {}
+    dec_ffn = (tdl.get("ffn_cfgs") or {}).get("feedforward_channels") or tdl.get(
+        "feedforward_channels"
+    )
+    if dec_ffn:
+        upd["ffn_hidden"] = int(dec_ffn)
+    return dataclasses.replace(seg, **upd)
+
+
 def _segmenter_cfg_from_dict(tpu: Dict[str, Any]):
     from openpsg_tpu.models.segmenter.openseed import SegmenterConfig
 
@@ -163,13 +213,24 @@ def build_detector_from_config(cfg, rng: Optional[jax.Array] = None):
     raise NotImplementedError(f"detector {mtype!r} is not a known PSG model")
 
 
-def _build_m2f_family(cfg, model_cfg, head_dict, tpu, rng, class_names,
-                      relations, num_things):
+def m2f_relation_config(cfg):
+    """Assemble the M2FRelationConfig from a loaded config file WITHOUT
+    initializing parameters — geometry inspection and tests (the config-IS-
+    the-API contract, SURVEY.md §2.8)."""
+    model_cfg = cfg["model"] if "model" in cfg else cfg
+    tpu = dict(cfg.get("tpu", {})) if hasattr(cfg, "get") else {}
+    head_dict = dict(model_cfg.get("relation_head", {}))
+    relations = list(
+        head_dict.get("relation_classes", []) or cfg.get("relation_classes", [])
+    )
+    return _m2f_config(model_cfg, head_dict, tpu, relations)
+
+
+def _m2f_config(model_cfg, head_dict, tpu, relations):
     import jax.numpy as jnp
 
     from openpsg_tpu.models.detectors.mask2former_relation import (
         M2FRelationConfig,
-        PSGMask2FormerRelation,
     )
     from openpsg_tpu.models.relation.head_v1 import HeadV1Config
     from openpsg_tpu.models.relation.head_v2 import HeadV2Config
@@ -186,14 +247,19 @@ def _build_m2f_family(cfg, model_cfg, head_dict, tpu, rng, class_names,
         "RelationTransformerHeadV3": "v3",
     }[head_type]
 
-    preset = tpu.get("segmenter_preset", "r50")
+    preset = tpu.get("segmenter_preset") or _backbone_preset(model_cfg)
     if preset == "tiny":
+        # explicit test override: tiny topology, reference panoptic_head
+        # geometry deliberately ignored
         seg = Mask2FormerConfig.tiny_test()
         input_hw = (64, 64)
         max_obj, max_pad = 6, 8
     else:
         backbone = {"r50": "r50", "swin_t": "swin_t", "swin_b": "swin_b"}[preset]
         seg = Mask2FormerConfig(backbone=backbone, dtype=dtype)
+        seg = _apply_panoptic_head_fields(
+            seg, dict(model_cfg.get("panoptic_head", {}) or {})
+        )
         input_hw = tuple(tpu.get("input_hw", (1344, 1344)))
         max_obj, max_pad = 30, 32
 
@@ -266,7 +332,7 @@ def _build_m2f_family(cfg, model_cfg, head_dict, tpu, rng, class_names,
         HeadV3Config.tiny_test() if preset == "tiny" else HeadV3Config()
     )
 
-    mcfg = M2FRelationConfig(
+    return M2FRelationConfig(
         segmenter=seg, head_version=version,
         head_v1=v1, head_v2=v2, head_v3=v3,
         max_objects=max_obj, max_objects_padded=max_pad,
@@ -274,6 +340,15 @@ def _build_m2f_family(cfg, model_cfg, head_dict, tpu, rng, class_names,
         if model_cfg.get("test_cfg") else 0.8,
         input_hw=input_hw,
     )
+
+
+def _build_m2f_family(cfg, model_cfg, head_dict, tpu, rng, class_names,
+                      relations, num_things):
+    from openpsg_tpu.models.detectors.mask2former_relation import (
+        PSGMask2FormerRelation,
+    )
+
+    mcfg = _m2f_config(model_cfg, head_dict, tpu, relations)
 
     text_kv = None
     db_dir = model_cfg.get("text_embed_db_dir")

@@ -30,7 +30,11 @@ class Mask2FormerConfig:
     num_queries: int = 100
     enc_layers: int = 6
     dec_layers: int = 9
-    ffn_hidden: int = 2048
+    ffn_hidden: int = 2048            # transformer decoder FFN width
+    # pixel-decoder (deformable encoder) FFN width; the reference's
+    # MSDeformAttnPixelDecoder uses 1024 vs the decoder's 2048
+    # (baseline_r50.py:70-75 vs :100-104).  None → ffn_hidden.
+    enc_ffn_hidden: Any = None
     num_classes: int = 133
     dtype: Any = jnp.float32
 
@@ -66,7 +70,8 @@ class Mask2FormerSegmenter(nn.Module):
             raise ValueError(c.backbone)
 
         memory, spatial_shapes, mask_features = PixelDecoder(
-            dim=c.dim, num_layers=c.enc_layers, ffn_hidden=c.ffn_hidden,
+            dim=c.dim, num_layers=c.enc_layers,
+            ffn_hidden=c.enc_ffn_hidden or c.ffn_hidden,
             mask_dim=c.mask_dim, dtype=c.dtype, name="pixel_decoder",
         )(feats)
         out = Mask2FormerDecoder(

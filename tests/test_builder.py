@@ -57,6 +57,63 @@ class TestBuilder:
         assert cfg.model.type == "Mask2FormerRelation"   # inherited
 
 
+class TestFieldDeepSegmenterConfig:
+    """The config IS the API (SURVEY.md §2.8): loading the reference's own
+    baseline_r50.py must build the reference's model GEOMETRY from the
+    panoptic_head dict, not a named preset (VERDICT r2 weak #4)."""
+
+    REF = "/root/reference/configs/psg"
+
+    def _seg(self, fname, ours=False):
+        from openpsg_tpu.core.builder import m2f_relation_config
+
+        base = CFG if ours else self.REF
+        path = os.path.join(base, fname)
+        if not os.path.exists(path):
+            pytest.skip(f"{path} not present")
+        cfg = Config.fromfile(path, import_custom_modules=False)
+        return m2f_relation_config(cfg).segmenter
+
+    def test_reference_r50_geometry(self):
+        seg = self._seg("baseline_r50.py")
+        # values straight from the dict (reference baseline_r50.py:48-109)
+        assert seg.backbone == "r50"
+        assert seg.num_queries == 100
+        assert seg.dim == 256 and seg.mask_dim == 256
+        assert seg.enc_layers == 6 and seg.dec_layers == 9
+        assert seg.enc_ffn_hidden == 1024   # pixel-decoder FFN (:70-75)
+        assert seg.ffn_hidden == 2048       # decoder FFN (:100-104)
+
+    def test_reference_swin_b_backbone_from_model_dict(self):
+        # no `tpu` section in the reference file: the backbone preset must
+        # come from model.backbone (type=SwinTransformer, embed_dims=128)
+        seg = self._seg("baseline_swin_b.py")
+        assert seg.backbone == "swin_b"
+
+    def test_field_overrides_beat_preset_defaults(self):
+        from openpsg_tpu.core.builder import m2f_relation_config
+
+        cfg = Config.fromfile(
+            os.path.join(CFG, "baseline_r50.py"), import_custom_modules=False
+        )
+        cfg.merge_from_dict({
+            "model.panoptic_head.num_queries": 300,
+            "model.panoptic_head.feat_channels": 128,
+        })
+        seg = m2f_relation_config(cfg).segmenter
+        assert seg.num_queries == 300
+        assert seg.dim == 128
+
+    def test_tiny_preset_still_overrides(self):
+        cfg = _tiny(Config.fromfile(
+            os.path.join(CFG, "baseline_r50.py"), import_custom_modules=False
+        ))
+        from openpsg_tpu.core.builder import m2f_relation_config
+
+        seg = m2f_relation_config(cfg).segmenter
+        assert seg.num_queries == 20  # tiny_test, by explicit request
+
+
 class TestPromptPathConfig:
     def test_prompt_config_builds_and_infers(self):
         """Drives the full v1 predicate-prompt path from the config file:

@@ -25,6 +25,11 @@ from openpsg_tpu.eval.pq import panoptic_quality
 from openpsg_tpu.eval.sgg_metrics import sgg_recall
 from openpsg_tpu.utils.panoptic import rgb2id
 
+# last graded per-image dicts (incl. pred/gt labels) — lets callers such
+# as tools/selfcheck_e2e.py assert the strict protocol actually received
+# class labels
+LAST_IMAGES = []
+
 
 def load_submission_image(sub_dir, rec):
     import cv2
@@ -87,8 +92,11 @@ def main():
             "gt_triplets": [list(t) for t in gt_rec["relations"]],
         })
 
+    global LAST_IMAGES
+    LAST_IMAGES = images
     res = sgg_recall(images, ks=tuple(args.ks))
     print(json.dumps({k: round(v, 2) for k, v in res.items()}))
+    return res
 
 
 if __name__ == "__main__":
