@@ -366,6 +366,24 @@ class PSGv4:
             pan4 = downsample_nearest(fusion.pan_seg, (H4, W4))
         object_masks = (pan4[None] == sel_oid[:, None, None]) & valid[:, None, None]
 
+        pan_full = (
+            fusion.pan_seg if s == 1
+            else downsample_nearest(fusion.pan_seg, (H, W))  # nearest upsample
+        )
+        return self._relation_tail(
+            params, seg_out["mask_features"], object_masks, valid, labels,
+            sel_oid, obj_scores, pan_full,
+        )
+
+    def _relation_tail(
+        self, params, mask_features, object_masks, valid, labels, sel_oid,
+        obj_scores, pan_full,
+    ) -> Dict[str, jnp.ndarray]:
+        """Relation stage shared by predicted- and GT-mask inference:
+        pair instructions → Q-Former → existence filter → batched decode."""
+        c = self.cfg
+        M = c.head.max_objects_padded
+
         # --- pair instructions, assembled on device ---
         pair_idx = jnp.arange(M * M, dtype=jnp.int32)
         sub_lab = jnp.take(labels, pair_idx // M)
@@ -375,15 +393,11 @@ class PSGv4:
         )
 
         head_out = self.head.apply(
-            params["head"], seg_out["mask_features"], object_masks, valid,
+            params["head"], mask_features, object_masks, valid,
             text_ids, text_mask,
         )
         pair_valid = jnp.take(valid, pair_idx // M) & jnp.take(valid, pair_idx % M)
 
-        pan_full = (
-            fusion.pan_seg if s == 1
-            else downsample_nearest(fusion.pan_seg, (H, W))  # nearest upsample
-        )
         out: Dict[str, jnp.ndarray] = {
             "pan_seg": pan_full,
             "object_ids": jnp.where(valid, sel_oid, -1),
@@ -437,6 +451,55 @@ class PSGv4:
         out["gen_tokens"] = toks
         out["gen_scores"] = tok_scores
         return out
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _infer_gt_jit(
+        self, params, image_u8: jnp.ndarray, gt_masks: jnp.ndarray,
+        gt_oids: jnp.ndarray, gt_valid: jnp.ndarray,
+    ):
+        """GT-segmenter upper-bound ablation: the segmenter still runs (its
+        ``mask_features`` feed the Q-Former) but panoptic fusion/selection
+        are REPLACED by ground-truth masks — isolating relation-head
+        quality from segmentation quality.  The reference ships this as a
+        commented-out harness (tools/infer.py:102-147,
+        mask2former_relation.py:380-409).
+
+        gt_masks: [M, H, W] bool (model-bucket resolution);
+        gt_oids: [M] mmdet-scheme ids; gt_valid: [M] bool.
+        """
+        image = normalize_image(image_u8)
+        seg_out = self.segmenter.apply(
+            params["segmenter"], image, params["class_embeds"]
+        )
+        H, W = image.shape[:2]
+        H4, W4 = H // 4, W // 4
+        M = gt_masks.shape[0]
+        masks4 = jax.image.resize(
+            gt_masks.astype(jnp.int32), (M, H4, W4), method="nearest"
+        ).astype(bool) & gt_valid[:, None, None]
+        labels = (gt_oids % INSTANCE_OFFSET).astype(jnp.int32)
+        # composite a pan map from the (disjoint) GT masks; void where none
+        idx = jnp.argmax(gt_masks & gt_valid[:, None, None], axis=0)
+        any_mask = jnp.any(gt_masks & gt_valid[:, None, None], axis=0)
+        pan_full = jnp.where(any_mask, jnp.take(gt_oids, idx), 133)
+        return self._relation_tail(
+            params, seg_out["mask_features"], masks4, gt_valid, labels,
+            jnp.where(gt_valid, gt_oids, 0),
+            gt_valid.astype(jnp.float32), pan_full,
+        )
+
+    def infer_gt(
+        self, image_u8: np.ndarray, gt_masks: np.ndarray,
+        gt_oids: np.ndarray, gt_valid: np.ndarray,
+    ) -> Dict[str, Any]:
+        """Host entry for the GT-masks ablation (same result surface as
+        :meth:`infer`)."""
+        dev = self._infer_gt_jit(
+            self.params, jnp.asarray(image_u8),
+            jnp.asarray(gt_masks, bool), jnp.asarray(gt_oids, jnp.int32),
+            jnp.asarray(gt_valid, bool),
+        )
+        return self.postprocess(jax.device_get(dev))
 
     def infer(self, image_u8: np.ndarray, img_hw: Tuple[int, int]) -> Dict[str, Any]:
         """Host entry: returns the reference ``simple_test`` result surface

@@ -38,6 +38,17 @@ _LLM_RULES: Tuple[Tuple[str, str], ...] = (
     (r".*w_up.*kernel", "col"),
     (r".*w_down.*kernel", "row"),
     (r".*lm_head.*kernel", "col"),
+    # int8 QDense per-output-channel scales must CO-SHARD with their
+    # kernel_q: column-parallel layers shard the output axis of both
+    # ([L, in, out] kernel_q + [L, out] scale); row-parallel layers shard
+    # the INPUT axis of kernel_q, so their [out] scale — applied after the
+    # psum — stays replicated (no rule).
+    (r".*\bwq\b.*scale", "col"),
+    (r".*\bwk\b.*scale", "col"),
+    (r".*\bwv\b.*scale", "col"),
+    (r".*w_gate.*scale", "col"),
+    (r".*w_up.*scale", "col"),
+    (r".*lm_head.*scale", "col"),
 )
 
 
@@ -60,45 +71,78 @@ def param_sharding_rules(path, leaf) -> P:
     return P()
 
 
-def shard_params(params: Any, mesh: Mesh) -> Any:
-    """Apply the rules, skipping specs whose sharded axis doesn't divide."""
+def plan_shardings(params: Any, mesh: Mesh) -> Any:
+    """Rule + divisibility resolution WITHOUT allocation: works on real
+    arrays or ``jax.ShapeDtypeStruct`` trees (spec-level tests at 7B
+    shapes).  Returns a PartitionSpec tree; non-dividing axes degrade to
+    replicated."""
 
-    def assign(path, leaf):
+    def plan(path, leaf):
         spec = param_sharding_rules(path, leaf)
-        # validate divisibility; degrade to replicated on mismatch
         for dim, axis in enumerate(spec):
             if axis is None:
                 continue
-            size = mesh.shape[axis]
-            if dim >= leaf.ndim or leaf.shape[dim] % size != 0:
-                return jax.device_put(leaf, NamedSharding(mesh, P()))
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+            if dim >= leaf.ndim or leaf.shape[dim] % mesh.shape[axis] != 0:
+                return P()
+        return spec
 
-    return jax.tree_util.tree_map_with_path(assign, params)
+    return jax.tree_util.tree_map_with_path(plan, params)
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Apply the planned specs, committing each leaf to its sharding."""
+    specs = plan_shardings(params, mesh)
+    return jax.tree_util.tree_map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        params, specs,
+    )
 
 
 def assert_llm_sharded(llm_params: Any, mesh: Mesh, min_sharded: int = 4) -> int:
-    """Guard against silent replication: with tp>1 the core projection
-    kernels MUST carry 'tp' in their committed sharding (the divisibility
-    fallback in shard_params could otherwise quietly replicate everything
-    on small shapes).  Returns the count of tp-sharded leaves; raises if
-    fewer than ``min_sharded``."""
+    """Guard against silent replication: with tp>1 every leaf whose RULE
+    plans a dividing 'tp' axis must carry it in its COMMITTED sharding.
+
+    The expected count is computed from the rules + shapes (not a
+    hardcoded floor), so the guard tightens automatically with depth and
+    quantization; ``min_sharded`` additionally sanity-checks that the
+    rules found enough shardable leaves at all (shapes too small for the
+    configured tp would otherwise quietly replicate the whole LLM).
+    Returns the count of tp-sharded leaves."""
     if mesh.shape.get("tp", 1) <= 1:
         return 0
+
+    def _has_tp(spec) -> bool:
+        return spec is not None and any(
+            a == "tp" for a in spec if a is not None
+        )
+
+    expected = sum(
+        _has_tp(s)
+        for s in jax.tree_util.tree_leaves(
+            plan_shardings(llm_params, mesh),
+            is_leaf=lambda x: isinstance(x, P),
+        )
+    )
     n = 0
 
     def check(path, leaf):
         nonlocal n
         spec = getattr(getattr(leaf, "sharding", None), "spec", None)
-        if spec is not None and any(a == "tp" for a in spec if a is not None):
+        if _has_tp(spec):
             n += 1
 
     jax.tree_util.tree_map_with_path(check, llm_params)
-    if n < min_sharded:
+    if expected < min_sharded:
         raise AssertionError(
-            f"LLM params not tensor-sharded: only {n} leaves carry 'tp' "
+            f"sharding rules planned only {expected} tp leaves "
             f"(need ≥{min_sharded}) — shapes too small for tp="
             f"{mesh.shape['tp']}?"
+        )
+    if n < expected:
+        raise AssertionError(
+            f"LLM params not tensor-sharded: {n} leaves carry 'tp' but the "
+            f"rules plan {expected} at these shapes — params were committed "
+            "without shard_params?"
         )
     return n
 

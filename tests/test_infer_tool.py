@@ -71,3 +71,47 @@ def test_infer_multibucket_batched(mixed_fixture, tmp_path, capsys, monkeypatch)
     for r in recs:
         assert len(r["relations"]) >= 1
         assert len(r["segments_info"]) >= 1
+
+
+def test_infer_gt_masks_ablation(mixed_fixture, tmp_path, monkeypatch):
+    """--gt-masks upper-bound ablation (reference's commented-out harness,
+    tools/infer.py:102-147): predicted panoptic replaced by ground truth;
+    submission masks must round-trip the GT segments near-perfectly."""
+    import cv2
+
+    from openpsg_tpu.utils.panoptic import rgb2id
+
+    root, ann = mixed_fixture
+    import infer as infer_tool
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["infer.py", "--config", os.path.join(REPO, "configs/psg/tiny_v4_ov.py"),
+         "--test-file", ann, "--data-dir", root,
+         "--output-dir", str(tmp_path),
+         "--img-scale", "64", "64", "--single-bucket", "--gt-masks"],
+    )
+    infer_tool.main()
+
+    recs = json.load(open(tmp_path / "submission" / "relation.json"))
+    assert len(recs) == 4
+    gt = json.load(open(ann))
+    gt_recs = [d for d in gt["data"]
+               if d["image_id"] in set(gt["test_image_ids"]) and d["relations"]]
+    for rec, gt_rec in zip(recs, gt_recs):
+        # all three GT segments present with the right classes
+        assert len(rec["segments_info"]) == 3
+        assert sorted(s["category_id"] - 1 for s in rec["segments_info"]) == \
+            sorted(s["category_id"] for s in gt_rec["segments_info"])
+        # masks round-trip: submission PNG IoU vs GT PNG > 0.8 per segment
+        png = cv2.imread(
+            str(tmp_path / "submission" / "panseg" / rec["pan_seg_file_name"])
+        )
+        ids = rgb2id(png[..., ::-1])
+        gt_png = cv2.imread(os.path.join(root, gt_rec["pan_seg_file_name"]))
+        gt_ids = rgb2id(gt_png[..., ::-1])
+        for seg, gt_seg in zip(rec["segments_info"], gt_rec["segments_info"]):
+            pm = ids == seg["id"]
+            gm = gt_ids == gt_seg["id"]
+            iou = (pm & gm).sum() / max((pm | gm).sum(), 1)
+            assert iou > 0.8, (seg, gt_seg, iou)

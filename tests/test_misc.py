@@ -86,6 +86,101 @@ class TestShardingRules:
         emb = sharded["tok_embed"]["embedding"]
         assert emb.sharding.spec in (P(), P(None), P(None, None))
 
+    def test_qdense_7b_co_sharding_spec_level(self):
+        """VERDICT r2 next #8: at REAL 7B shapes (via jax.eval_shape — no
+        allocation), every int8 QDense projection's kernel_q and scale
+        must receive CONSISTENT tp specs: column-parallel layers shard the
+        output axis of both; row-parallel layers shard kernel_q's input
+        axis and keep the post-psum scale replicated."""
+        from jax.sharding import PartitionSpec as P
+
+        from openpsg_tpu.models.llm.llama import LlamaConfig, LlamaWithEmbeddings
+        from openpsg_tpu.parallel.mesh import make_mesh
+        from openpsg_tpu.parallel.sharding import plan_shardings
+
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 devices")
+        cfg = LlamaConfig(
+            n_layers=32, dim=4096, n_heads=32, n_kv_heads=32,
+            ffn_hidden=11008, vocab_size=32000, quant=True,
+        )
+        model = LlamaWithEmbeddings(cfg)
+        shapes = jax.eval_shape(
+            lambda k: model.init(
+                k,
+                token_ids=jnp.zeros((1, 8), jnp.int32),
+                attention_mask=jnp.ones((1, 8), bool),
+                positions=jnp.zeros((1, 8), jnp.int32),
+            ),
+            jax.random.PRNGKey(0),
+        )
+        mesh = make_mesh(dp=2, tp=4)
+        specs = plan_shardings(shapes, mesh)
+        layers = specs["params"]["core"]["layers"]
+
+        # column-parallel: kernel_q [L, in, out] + scale [L, out] co-shard out
+        for name in ("wq", "wk", "wv", "w_gate", "w_up"):
+            assert layers[name]["kernel_q"] == P(None, None, "tp"), name
+            assert layers[name]["scale"] == P(None, "tp"), name
+        # row-parallel: kernel_q shards IN; scale applies post-psum → replicated
+        for name in ("wo", "w_down"):
+            assert layers[name]["kernel_q"] == P(None, "tp", None), name
+            assert layers[name]["scale"] == P(), name
+        lm = specs["params"]["core"]["lm_head"]
+        assert lm["kernel_q"] == P(None, "tp")
+        assert lm["scale"] == P("tp")
+        emb = specs["params"]["tok_embed"]["embedding"]
+        assert emb == P("tp", None)
+
+        # expected tp-leaf count at 7B/tp=4: 7 kernels + 6 scales + embed
+        n_tp = sum(
+            any(a == "tp" for a in s if a is not None)
+            for s in jax.tree_util.tree_leaves(
+                specs, is_leaf=lambda x: isinstance(x, P)
+            )
+            if s
+        )
+        assert n_tp == 7 + 6 + 1 + 1  # projections, scales, lm_head... embed
+
+    def test_assert_llm_sharded_uses_computed_floor(self):
+        """A half-sharded tree (kernels committed replicated) must now be
+        caught even when more than the old hardcoded floor of 4 leaves
+        carry tp."""
+        from openpsg_tpu.parallel.mesh import make_mesh
+        from openpsg_tpu.parallel.sharding import (
+            assert_llm_sharded,
+            shard_params,
+        )
+
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 devices")
+        mesh = make_mesh(dp=2, tp=4)
+        params = {
+            "core": {
+                "layers": {
+                    n: {"kernel_q": jnp.zeros((2, 64, 64), jnp.int8),
+                        "scale": jnp.zeros((2, 64))}
+                    for n in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+                },
+            },
+            "tok_embed": {"embedding": jnp.zeros((64, 64))},
+        }
+        good = shard_params(params, mesh)
+        n = assert_llm_sharded(good, mesh)
+        assert n == 7 + 5 + 1  # kernels + col scales + embedding
+
+        # drop ONE projection's sharding → must raise despite n >> 4
+        import copy
+
+        bad = copy.copy(good)
+        bad["core"] = dict(good["core"])
+        bad["core"]["layers"] = dict(good["core"]["layers"])
+        bad["core"]["layers"]["w_down"] = jax.device_put(
+            jax.device_get(good["core"]["layers"]["w_down"])
+        )
+        with pytest.raises(AssertionError, match="not tensor-sharded"):
+            assert_llm_sharded(bad, mesh)
+
     def test_batch_sharding(self):
         from jax.sharding import PartitionSpec as P
 

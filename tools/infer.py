@@ -52,6 +52,11 @@ def parse_args():
     ap.add_argument("--single-bucket", action="store_true",
                     help="pad every image to the square cap (one jitted "
                          "program; default uses aspect buckets)")
+    ap.add_argument("--gt-masks", action="store_true",
+                    help="GT-segmenter upper-bound ablation: replace the "
+                         "predicted panoptic masks with ground truth, "
+                         "isolating relation-head quality (the reference's "
+                         "commented-out harness, tools/infer.py:102-147)")
     return ap.parse_args()
 
 
@@ -179,6 +184,41 @@ def main():
             exs.append(ex)
         return exs
 
+    def _load_gt_objects(rec, ex):
+        """GT panoptic PNG → padded full-res masks + mmdet-scheme oids
+        (per-class occurrence counters from 0, matching fusion.py
+        instance_mode='per_class')."""
+        from openpsg_tpu.data.vocab import INSTANCE_OFFSET
+        from openpsg_tpu.utils.panoptic import rgb2id
+
+        M = model.cfg.head.max_objects_padded
+        pan_rgb = load_image_rgb(os.path.join(data_dir, rec["pan_seg_file_name"]))
+        pan_id = rgb2id(pan_rgb)
+        nh, nw = ex["img_shape"]
+        H, W = ex["image"].shape[:2]
+        pan_r = cv2.resize(
+            pan_id.astype(np.float64), (nw, nh), interpolation=cv2.INTER_NEAREST
+        ).astype(np.int64)
+        pan_pad = np.full((H, W), -1, np.int64)
+        pan_pad[:nh, :nw] = pan_r
+        masks = np.zeros((M, H, W), bool)
+        oids = np.zeros((M,), np.int64)
+        valid = np.zeros((M,), bool)
+        counters = {}
+        for i, seg in enumerate(rec["segments_info"][:M]):
+            cat = int(seg.get("category_id", seg.get("category", 0)))
+            if bool(seg.get("isthing", 1)):
+                occ = counters.get(cat, 0)
+                counters[cat] = occ + 1
+                oids[i] = cat + INSTANCE_OFFSET * occ
+            else:
+                oids[i] = cat
+            masks[i] = pan_pad == seg["id"]
+            valid[i] = masks[i].any()
+        return masks, oids, valid
+
+    import cv2  # used by _load_gt_objects on the prefetch thread
+
     pool = ThreadPoolExecutor(max_workers=1)
     pending = pool.submit(_prep_chunk, chunks[0]) if chunks else None
 
@@ -193,7 +233,15 @@ def main():
                 if ci + 1 < len(chunks) else None
             )
         with timer.section("model"):
-            if B == 1:
+            if args.gt_masks:
+                assert B == 1, "--gt-masks runs per image (batch-size 1)"
+                gm, go, gv = _load_gt_objects(items[0][1], exs[0])
+                results = [
+                    model.infer_gt(
+                        exs[0]["image"].astype(np.float32), gm, go, gv
+                    )
+                ]
+            elif B == 1:
                 results = [
                     model.infer(exs[0]["image"].astype(np.float32), exs[0]["img_shape"])
                 ]
@@ -212,8 +260,13 @@ def main():
         with timer.section("write"):
             for j, (ex, res) in enumerate(zip(exs, results)):
                 orig_idx, rec = items[j]
+                # crop the padding off BEFORE rescaling to the original
+                # size — resizing the whole bucket would squash the valid
+                # region for any image that doesn't fill it (the reference
+                # strips padding, openseed_relation_v2.py:101-103)
+                nh, nw = ex["img_shape"]
                 pan_ori = cv2.resize(
-                    res["pan_results"].astype(np.float64),
+                    res["pan_results"][:nh, :nw].astype(np.float64),
                     (ex["ori"][1], ex["ori"][0]),
                     interpolation=cv2.INTER_NEAREST,
                 ).astype(np.int64)

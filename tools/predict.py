@@ -67,8 +67,10 @@ def main():
         img = load_image_rgb(os.path.join(args.data_dir, d["file_name"]))
         ex = preproc(img)
         res = model.infer(ex["image"].astype(np.float32), ex["img_shape"])
+        # crop the padding off before rescaling (see tools/infer.py)
+        nh, nw = ex["img_shape"]
         pan_ori = cv2.resize(
-            res["pan_results"].astype(np.float64),
+            res["pan_results"][:nh, :nw].astype(np.float64),
             (img.shape[1], img.shape[0]),
             interpolation=cv2.INTER_NEAREST,
         ).astype(np.int64)
