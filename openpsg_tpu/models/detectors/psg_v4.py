@@ -278,6 +278,11 @@ class PSGv4:
                 state = state["model"]
             state = {k: np.asarray(v) for k, v in state.items()}
             params, _ = convert_openseed(state, self.cfg.segmenter)
+            from openpsg_tpu.models.segmenter.weight_convert import (
+                conversion_report,
+            )
+
+            print(conversion_report(params, self.cfg.segmenter, state))
             tree = {"params": params}
             # structure check against the initialized tree
             jax.tree_util.tree_map(

@@ -193,6 +193,34 @@ class TestShardingRules:
         assert batch_sharding(mesh).spec == P("dp")
 
 
+class TestTrainCLI:
+    def test_cfg_options_dictaction_semantics(self):
+        """mmcv DictAction value parsing WITHOUT eval (VERDICT r2 next #9):
+        auto-typed scalars, comma lists, nested brackets."""
+        import sys as _sys
+
+        _sys.path.insert(
+            0, __import__("os").path.join(
+                __import__("os").path.dirname(__file__), "..", "tools"
+            )
+        )
+        from train import _parse_cfg_value as p
+
+        assert p("3") == 3 and isinstance(p("3"), int)
+        assert p("0.5") == 0.5
+        assert p("True") is True and p("false") is False
+        assert p("None") is None
+        assert p("swin_t") == "swin_t"
+        assert p("'quoted'") == "quoted"
+        assert p("1,2,3") == [1, 2, 3]
+        assert p("[1,2]") == [1, 2]
+        assert p("(1344,1024)") == (1344, 1024)
+        assert p("[[1,2],[3,4]]") == [[1, 2], [3, 4]]
+        assert p("[]") == []
+        # eval() would have executed this; the parser must treat it as text
+        assert p("__import__('os')") == "__import__('os')"
+
+
 class TestProfiling:
     def test_section_timer(self):
         t = SectionTimer()

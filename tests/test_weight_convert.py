@@ -5,6 +5,8 @@ state dict with the canonical tensor names/shapes, convert, check the tree
 matches a fresh init exactly, and check logits change when weights load
 (i.e. the converted values actually land)."""
 
+import re
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -440,6 +442,93 @@ class TestOpenSeedConvert:
         np.testing.assert_allclose(got[1], le[1])   # s16
         np.testing.assert_allclose(got[2], le[0])   # s32
         np.testing.assert_allclose(got[3], le[3])   # s64
+
+    def test_level_order_knob_equivalence(self):
+        """VERDICT r2 next #6a: the converter's documented escape hatch
+        for its one unverifiable layout assumption.  A checkpoint whose
+        level-indexed tensors are stored in a DIFFERENT order must convert
+        to the IDENTICAL param tree once the knobs declare that order —
+        flipping ``ckpt_level_strides`` / ``ckpt_input_proj_strides`` is
+        the complete fix, no code changes."""
+        from openpsg_tpu.models.segmenter.weight_convert import convert_openseed
+
+        cfg = self._cfg()
+        state_a = synthetic_openseed_state(cfg)
+        order_a = (32, 16, 8, 64)
+        order_b = (8, 16, 32, 64)   # deliberately permuted storage order
+
+        nH, K, L = 8, cfg.num_points, cfg.total_levels
+        # old level index (in state_a) for each new level index (state_b)
+        lvl_perm = [order_a.index(s) for s in order_b]
+
+        def permute_levels_rows(a, tail):
+            # torch [out, ...]: out = nH*L*K*tail; reorder the L axis
+            rest = a.shape[1:]
+            x = a.reshape(nH, L, K, tail, *rest)
+            return np.take(x, lvl_perm, axis=1).reshape(a.shape)
+
+        state_b = {}
+        for k, v in state_a.items():
+            m = re.match(
+                r"(sem_seg_head\.pixel_decoder\.input_proj\.)(\d)(\..*)", k
+            )
+            if m:
+                stride = order_a[int(m.group(2))]
+                state_b[m.group(1) + str(order_b.index(stride)) + m.group(3)] = v
+                continue
+            if k.endswith("transformer.level_embed"):
+                state_b[k] = v[np.asarray(lvl_perm)]
+                continue
+            if ".sampling_offsets." in k:
+                state_b[k] = permute_levels_rows(v, 2)
+                continue
+            if ".attention_weights." in k:
+                state_b[k] = permute_levels_rows(v, 1)
+                continue
+            state_b[k] = v
+
+        params_a, _ = convert_openseed(state_a, cfg)
+        params_b, _ = convert_openseed(
+            state_b, cfg,
+            ckpt_level_strides=order_b, ckpt_input_proj_strides=order_b,
+        )
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y)
+            ),
+            params_a, params_b,
+        )
+        # and WITHOUT declaring the order the result must differ (the knob
+        # is load-bearing, not a no-op): level_embed rows come out permuted
+        params_wrong, _ = convert_openseed(
+            state_b, cfg,
+            # keep input_proj declared correctly so shapes still line up;
+            # only the level_embed/msda order knob is "forgotten"
+            ckpt_input_proj_strides=order_b,
+        )
+        assert np.abs(
+            np.asarray(params_a["pixel_decoder"]["level_embed"])
+            - np.asarray(params_wrong["pixel_decoder"]["level_embed"])
+        ).max() > 0
+
+    def test_conversion_report(self):
+        """Load-time sanity report (VERDICT r2 next #6b): one line per
+        level with embed norms / input_proj shapes, key coverage, and the
+        knob pointer."""
+        from openpsg_tpu.models.segmenter.weight_convert import (
+            conversion_report,
+            convert_openseed,
+        )
+
+        cfg = self._cfg()
+        state = synthetic_openseed_state(cfg)
+        params, _ = convert_openseed(state, cfg)
+        rep = conversion_report(params, cfg, state)
+        for s in (8, 16, 32, 64):
+            assert f"stride {s:>3}" in rep
+        assert "checkpoint keys:" in rep and "backbone=" in rep
+        assert "param counts:" in rep
+        assert "ckpt_level_strides" in rep
 
     def test_lang_tower_structure(self):
         from openpsg_tpu.models.commons.text_encoder import (

@@ -54,8 +54,13 @@ def main():
     state = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
              for k, v in state.items()}
 
+    from openpsg_tpu.models.segmenter.weight_convert import conversion_report
+
     cfg = SegmenterConfig(num_queries=args.queries)
     params, lang = convert_openseed(state, cfg)
+    # per-level sanity stats: a wrong level-order assumption is visible
+    # HERE, before anything runs (see VALIDATION.md for the runbook)
+    print(conversion_report(params, cfg, state))
     os.makedirs(args.out, exist_ok=True)
 
     with open(os.path.join(args.out, "segmenter.msgpack"), "wb") as f:

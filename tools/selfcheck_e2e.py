@@ -239,7 +239,30 @@ def main(root="/tmp/psg_selfcheck", seg_steps=900, rel_steps=400):
         im.get("pred_labels") is not None and im.get("gt_labels") is not None
         for im in grade_tool.LAST_IMAGES
     ), "grader did not receive class labels — strict claim would be false"
-    print(f"  strict R@20={scores['R@20']:.1f} mR@20={scores['mR@20']:.1f}")
+
+    # GT-segmenter upper bound alongside (VERDICT r2 next #7): same
+    # relation head, ground-truth masks — isolates relation quality
+    gt_out = os.path.join(root, "out_gt")
+    sys.argv = [
+        "infer.py", "--config", cfg_path, "--checkpoint", ckpt_dir,
+        "--test-file", ann, "--data-dir", root, "--output-dir", gt_out,
+        "--img-scale", str(H), str(H), "--seed", "0", "--gt-masks",
+    ]
+    try:
+        infer_tool.main()
+    finally:
+        sys.argv = argv_save
+    sys.argv = [
+        "grade.py", "--submission", gt_out, "--gt-json", ann,
+        "--data-dir", root, "--ks", "20",
+    ]
+    try:
+        gt_scores = grade_tool.main()
+    finally:
+        sys.argv = argv_save
+
+    print(f"  strict R@20={scores['R@20']:.1f} mR@20={scores['mR@20']:.1f} "
+          f"| GT-mask upper bound R@20={gt_scores['R@20']:.1f}")
     ok = scores["R@20"] > 0
     print("SELFCHECK", "PASS" if ok else "FAIL")
     return 0 if ok else 1

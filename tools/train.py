@@ -36,8 +36,67 @@ def parse_args():
                     help="run panoptic PQ on the val split each epoch "
                          "(the reference's evaluation=dict(metric=['PQ']))")
     ap.add_argument("--val-limit", type=int, default=50)
-    ap.add_argument("--cfg-options", nargs="*", default=[])
+    ap.add_argument("--cfg-options", nargs="*", default=[],
+                    help="k=v config overrides (mmcv DictAction semantics: "
+                         "int/float/bool/None auto-typing, a,b,c lists, "
+                         "nested [..] / (..) brackets)")
+    ap.add_argument("--auto-scale-lr", action="store_true",
+                    help="scale lr by global batch / auto_scale_lr."
+                         "base_batch_size (reference tools/train.py:44-48)")
     return ap.parse_args()
+
+
+def _parse_cfg_value(val: str):
+    """mmcv ``DictAction`` value semantics WITHOUT eval (reference
+    tools/train.py:74-83): int/float/bool/None auto-typing, comma lists,
+    nested ``[..]`` / ``(..)`` brackets."""
+    def atom(s: str):
+        s = s.strip()
+        try:
+            return int(s)
+        except ValueError:
+            pass
+        try:
+            return float(s)
+        except ValueError:
+            pass
+        low = s.lower()
+        if low in ("true", "false"):
+            return low == "true"
+        if low in ("none", "null"):
+            return None
+        if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+            return s[1:-1]
+        return s
+
+    def split_top(s: str):
+        parts, depth, cur = [], 0, ""
+        for ch in s:
+            if ch in "[(":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append(cur)
+                cur = ""
+            else:
+                cur += ch
+        parts.append(cur)
+        return parts
+
+    def parse(s: str):
+        s = s.strip()
+        if s.startswith("[") and s.endswith("]"):
+            inner = s[1:-1].strip()
+            return [parse(p) for p in split_top(inner)] if inner else []
+        if s.startswith("(") and s.endswith(")"):
+            inner = s[1:-1].strip()
+            return tuple(parse(p) for p in split_top(inner)) if inner else ()
+        if "," in s:
+            return [parse(p) for p in split_top(s)]
+        return atom(s)
+
+    return parse(val)
 
 
 def main():
@@ -68,13 +127,30 @@ def main():
     cfg = Config.fromfile(args.config)
     if args.cfg_options:
         opts = dict(kv.split("=", 1) for kv in args.cfg_options)
-        cfg.merge_from_dict({k: eval(v, {}, {}) for k, v in opts.items()})
+        cfg.merge_from_dict({k: _parse_cfg_value(v) for k, v in opts.items()})
 
     work_dir = args.work_dir or cfg.get("work_dir", "./work_dirs/default")
     os.makedirs(work_dir, exist_ok=True)
     cfg.dump(os.path.join(work_dir, os.path.basename(args.config)))
     logger = setup_logger(work_dir)
-    logger.info(f"jax devices: {jax.devices()}")
+    # env-info dump at startup (reference tools/train.py:190-196)
+    import platform
+
+    logger.info(
+        "Environment info:\n"
+        + "\n".join(
+            f"  {k}: {v}"
+            for k, v in (
+                ("python", sys.version.replace("\n", " ")),
+                ("platform", platform.platform()),
+                ("jax", jax.__version__),
+                ("jaxlib", getattr(__import__("jaxlib"), "__version__", "?")),
+                ("numpy", np.__version__),
+                ("devices", ", ".join(str(d) for d in jax.devices())),
+                ("default_backend", jax.default_backend()),
+            )
+        )
+    )
     logger.info(f"config: {args.config} seed: {args.seed}")
 
     rng = jax.random.PRNGKey(args.seed)
@@ -100,8 +176,21 @@ def main():
     steps_per_epoch = max(len(dataset) // batch_size, 1)
     max_epochs = cfg.runner.get("max_epochs", 12)
 
+    base_lr = cfg.optimizer.lr
+    if args.auto_scale_lr:
+        # linear scaling rule (reference --auto-scale-lr → mmdet
+        # auto_scale_lr: lr × global_batch / base_batch_size)
+        asl = dict(cfg.get("auto_scale_lr", {}) or {})
+        base_batch = int(asl.get("base_batch_size", 8))  # 8 GPUs × 1 img
+        scaled = base_lr * batch_size / base_batch
+        logger.info(
+            f"auto-scale-lr: {base_lr} -> {scaled} "
+            f"(batch {batch_size} / base {base_batch})"
+        )
+        base_lr = scaled
+
     sched = make_lr_schedule(
-        base_lr=cfg.optimizer.lr,
+        base_lr=base_lr,
         warmup_iters=cfg.lr_config.get("warmup_iters", 500),
         warmup_ratio=cfg.lr_config.get("warmup_ratio", 1e-3),
         step_epochs=tuple(cfg.lr_config.get("step", [6, 10])),
