@@ -27,7 +27,9 @@ The tiny scratch models make the score sensitive to training length
 with strict grading + tool-path round trip at seg_steps=900:
 R@20 = mR@20 = 83.3 (same as the in-process phase C measured, because
 predicted classes on the held-out images are all correct; the previous
-"strict" claim was grading without labels — VERDICT r2 weak #2/#3).
+"strict" claim was grading without labels — VERDICT r2 weak #2/#3), and
+GT-mask upper bound (tools/infer.py --gt-masks) = 100.0 — the one miss
+is segmentation (two adjacent objects merge), not the relation stage.
 """
 
 from __future__ import annotations
