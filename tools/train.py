@@ -43,6 +43,20 @@ def parse_args():
     ap.add_argument("--auto-scale-lr", action="store_true",
                     help="scale lr by global batch / auto_scale_lr."
                          "base_batch_size (reference tools/train.py:44-48)")
+    # drop-in compatibility with the reference launcher surface
+    # (tools/train.py:84-88): TPU runs have no torchrun; 'jax' initializes
+    # jax.distributed for multi-host, 'none' (default) is single-process
+    # with an in-process device mesh
+    ap.add_argument("--launcher", default="none",
+                    choices=["none", "jax", "pytorch", "slurm", "mpi"])
+    ap.add_argument("--local_rank", "--local-rank", type=int, default=0,
+                    help=argparse.SUPPRESS)   # accepted for CLI compat
+    ap.add_argument("--no-validate", action="store_true",
+                    help="accepted for reference-CLI compat (validation "
+                         "is already opt-in via --validate)")
+    ap.add_argument("--deterministic", action="store_true",
+                    help="accepted for compat; XLA runs are deterministic "
+                         "given a fixed seed")
     return ap.parse_args()
 
 
@@ -105,6 +119,15 @@ def main():
 
     from openpsg_tpu.utils.logging import honor_platform_env
     honor_platform_env()
+    if args.launcher == "jax":
+        # multi-host: coordinator/process env comes from the TPU runtime
+        # (the reference's init_dist analogue, SURVEY.md §2.11)
+        jax.distributed.initialize()
+    elif args.launcher not in ("none",):
+        raise SystemExit(
+            f"--launcher {args.launcher} is a torch runtime; on TPU use "
+            "--launcher jax (multi-host) or none (single-process mesh)"
+        )
     import jax.numpy as jnp
 
     from openpsg_tpu.core.builder import build_detector_from_config
