@@ -77,6 +77,9 @@ def main():
     fusion_candidates = int(os.environ.get("BENCH_FUSION_CANDIDATES", 64))
     eos_boost = float(os.environ.get("BENCH_EOS_BOOST", 12.0))
     skip_pinned = bool(int(os.environ.get("BENCH_SKIP_PINNED", 0)))
+    # opt-in: dynamic int8-activation prefill (quality knob; measured
+    # 1.68x on the FFN prefill matmul — headline keeps parity path OFF)
+    act_int8 = bool(int(os.environ.get("BENCH_ACT_INT8", 0)))
 
     seg_cfg = SegmenterConfig(dtype=jnp.bfloat16)
     if queries:
@@ -90,6 +93,7 @@ def main():
         llm=LlamaConfig(
             n_layers=llm_layers, dim=4096, n_heads=32, n_kv_heads=32,
             ffn_hidden=11008, dtype=jnp.bfloat16, quant=llm_int8,
+            act_int8=act_int8,
         ),
         input_hw=(size, size_w),
         fusion_stride=fusion_stride,
@@ -185,6 +189,8 @@ def main():
         "checksum": checksum,
         "device": str(jax.devices()[0]),
     }
+    if act_int8:
+        detail["prefill"] = "int8_activations"
     if eos_boost > 0:
         detail["decode"] = "eos_early_exit"
         detail["realized_decode_steps"] = realized_steps  # of max 16
@@ -208,6 +214,7 @@ def main():
                 "metric": (
                     f"psg_v4_e2e_infer_img_per_s@{spec}px_llm{llm_layers}L"
                     + ("_int8" if llm_int8 else "")
+                    + ("_w8a8" if act_int8 else "")
                     + ("_eosexit" if eos_boost > 0 else "")
                 ),
                 "value": round(ips, 3),

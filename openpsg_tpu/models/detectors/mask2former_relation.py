@@ -280,13 +280,57 @@ class PSGMask2FormerRelation:
         labels = (sel_oid % INSTANCE_OFFSET).astype(jnp.int32)
         obj_scores = jnp.where(valid, jnp.take(fusion.query_scores, sel), 0.0)
 
-        # mask-pooled object tokens on the stride-4 grid + class embedding
-        mf = seg_out["mask_features"]                       # [H4, W4, D]
-        H4, W4 = mf.shape[:2]
         from openpsg_tpu.ops.mask_ops import downsample_nearest, masks_from_idmap
 
+        mf = seg_out["mask_features"]                       # [H4, W4, D]
+        H4, W4 = mf.shape[:2]
         pan4 = downsample_nearest(fusion.pan_seg, (H4, W4))
         obj_masks = masks_from_idmap(pan4, sel_oid) & valid[:, None, None]
+        return self._relation_tail(
+            params, mf, obj_masks, sel_oid, valid, labels, obj_scores,
+            fusion.pan_seg,
+        )
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _infer_gt_jit(
+        self, params, image_u8, gt_masks, gt_oids, gt_valid,
+    ):
+        """GT-segmenter upper-bound ablation — the reference's commented-
+        out harness lives exactly in this detector family
+        (mask2former_relation.py:380-409): predicted panoptic replaced by
+        GT masks; mask_features still come from the segmenter."""
+        image = normalize_image(image_u8)
+        seg_out = self.segmenter.apply(params["segmenter"], image)
+        mf = seg_out["mask_features"]
+        H4, W4 = mf.shape[:2]
+        Mn = gt_masks.shape[0]
+        masks4 = jax.image.resize(
+            gt_masks.astype(jnp.int32), (Mn, H4, W4), method="nearest"
+        ).astype(bool) & gt_valid[:, None, None]
+        labels = (gt_oids % INSTANCE_OFFSET).astype(jnp.int32)
+        idx = jnp.argmax(gt_masks & gt_valid[:, None, None], axis=0)
+        any_mask = jnp.any(gt_masks & gt_valid[:, None, None], axis=0)
+        pan_full = jnp.where(any_mask, jnp.take(gt_oids, idx), 133)
+        return self._relation_tail(
+            params, mf, masks4, jnp.where(gt_valid, gt_oids, 0), gt_valid,
+            labels, gt_valid.astype(jnp.float32), pan_full,
+        )
+
+    def infer_gt(self, image_u8, gt_masks, gt_oids, gt_valid) -> Dict[str, Any]:
+        dev = self._infer_gt_jit(
+            self.params, jnp.asarray(image_u8),
+            jnp.asarray(gt_masks, bool), jnp.asarray(gt_oids, jnp.int32),
+            jnp.asarray(gt_valid, bool),
+        )
+        return self.postprocess(jax.device_get(dev))
+
+    def _relation_tail(
+        self, params, mf, obj_masks, sel_oid, valid, labels, obj_scores,
+        pan_seg,
+    ):
+        c = self.cfg
+        M = c.max_objects_padded
+        # mask-pooled object tokens on the stride-4 grid + class embedding
         pooled = mask_pool(mf.transpose(2, 0, 1), obj_masks)  # [M, D]
         cls_emb = jnp.take(params["object_cls_embed"], labels, axis=0)
         if c.merge_cls_type == "cat":
@@ -331,7 +375,7 @@ class PSGMask2FormerRelation:
         triplets = jnp.stack([sub, obj, rel], axis=1).astype(jnp.int32)
 
         return {
-            "pan_seg": fusion.pan_seg,
+            "pan_seg": pan_seg,
             "object_ids": jnp.where(valid, sel_oid, -1),
             "object_valid": valid,
             "object_scores": obj_scores,
@@ -348,7 +392,9 @@ class PSGMask2FormerRelation:
         dev = self._infer_jit(
             self.params, jnp.asarray(image_u8), jnp.asarray(img_hw, jnp.int32)
         )
-        dev = jax.device_get(dev)
+        return self.postprocess(jax.device_get(dev))
+
+    def postprocess(self, dev) -> Dict[str, Any]:
         valid = dev["object_valid"]
         object_id_list = [int(x) for x in dev["object_ids"][valid]]
         rel, scores = [], []
@@ -405,18 +451,7 @@ class PSGMask2FormerRelation:
         dev = jax.device_get(dev)
         out = []
         for i in range(images.shape[0]):
-            single = jax.tree_util.tree_map(lambda x: x[i], dev)
-            valid = single["object_valid"]
-            object_id_list = [int(x) for x in single["object_ids"][valid]]
-            rel, scores = [], []
-            for (s, o, r), sc in zip(single["triplets"], single["triplet_scores"]):
-                if sc <= 0:
-                    continue
-                rel.append([int(s), int(o), int(r)])
-                scores.append(float(sc))
-            out.append({
-                "pan_results": single["pan_seg"],
-                "rel_results": {"object_id_list": object_id_list, "relation": rel},
-                "rel_scores": scores,
-            })
+            out.append(
+                self.postprocess(jax.tree_util.tree_map(lambda x: x[i], dev))
+            )
         return out

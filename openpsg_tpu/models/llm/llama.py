@@ -49,6 +49,13 @@ class LlamaConfig:
     # Halves→quarters HBM for the frozen 7B so it fits one v5e chip;
     # activations/cache stay in ``dtype``.
     quant: bool = False
+    # dynamic per-token int8 ACTIVATION quantization for large (prefill-
+    # shaped) matmuls on top of the int8 weights: int8×int8 rides the MXU
+    # at 2× bf16 throughput (measured 1.68× end-to-end on the 1024×4096×
+    # 11008 FFN matmul incl. the quantize step, v5e).  Quality knob —
+    # default OFF for reference parity; decode (few rows, HBM-bound)
+    # always stays on the bf16 path.
+    act_int8: bool = False
     dtype: Any = jnp.bfloat16
 
     @staticmethod
@@ -89,10 +96,19 @@ class QDense(nn.Module):
     """Weight-only int8 linear: kernel_q int8 [in, out] + scale f32 [out].
 
     Param names keep the ``kernel`` substring so the tensor-parallel
-    sharding rules (parallel.sharding) apply unchanged."""
+    sharding rules (parallel.sharding) apply unchanged.
+
+    With ``act_int8`` and ≥``ACT_INT8_MIN_ROWS`` input rows (a static,
+    trace-time property — prefill, not decode), activations are
+    dynamically quantized per token (symmetric, max-abs) and the matmul
+    runs int8×int8→int32 on the MXU at ~2× bf16 throughput; the output
+    is rescaled by ``s_x · scale``."""
 
     features: int
     dtype: Any = jnp.bfloat16
+    act_int8: bool = False
+
+    ACT_INT8_MIN_ROWS = 256
 
     @nn.compact
     def __call__(self, x):
@@ -100,6 +116,22 @@ class QDense(nn.Module):
         scale = self.param(
             "scale", nn.initializers.constant(1.0 / 127.0), (self.features,)
         )
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= int(d)
+        if self.act_int8 and rows >= self.ACT_INT8_MIN_ROWS:
+            xf = x.astype(jnp.float32)
+            s_x = jnp.maximum(
+                jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6
+            ) / 127.0
+            xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+            y = jax.lax.dot_general(
+                xq, kq, (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return (
+                y.astype(jnp.float32) * s_x * scale.astype(jnp.float32)
+            ).astype(self.dtype)
         y = jnp.einsum(
             "...i,io->...o", x, kq.astype(self.dtype),
             preferred_element_type=jnp.float32,
@@ -109,7 +141,9 @@ class QDense(nn.Module):
 
 def _dense(cfg: LlamaConfig, features: int, name: str):
     if cfg.quant:
-        return QDense(features, dtype=cfg.dtype, name=name)
+        return QDense(
+            features, dtype=cfg.dtype, act_int8=cfg.act_int8, name=name
+        )
     return nn.Dense(features, use_bias=False, dtype=cfg.dtype, name=name)
 
 

@@ -219,6 +219,44 @@ class TestInt8Quant:
             np.argmax(np.asarray(got)[0, -1]) == np.argmax(np.asarray(ref)[0, -1])
         )
 
+    def test_act_int8_prefill_path(self):
+        """Dynamic int8-activation QDense (prefill MXU lever): ≥256 input
+        rows take the int8×int8 path and must match the bf16 path within
+        per-token quantization error; fewer rows (decode) must be
+        BIT-IDENTICAL to act_int8=False."""
+        from openpsg_tpu.models.llm.llama import QDense
+
+        rng = np.random.default_rng(0)
+        D, F = 64, 96
+        x_big = jnp.asarray(rng.normal(size=(300, D)), jnp.float32)
+        x_small = jnp.asarray(rng.normal(size=(4, D)), jnp.float32)
+
+        ref = QDense(F, dtype=jnp.float32, act_int8=False)
+        act = QDense(F, dtype=jnp.float32, act_int8=True)
+        params = ref.init(jax.random.PRNGKey(0), x_big)
+        # give the int8 kernel real values
+        params = jax.tree_util.tree_map(lambda p: p, params)
+        params["params"]["kernel_q"] = jnp.asarray(
+            rng.integers(-127, 128, (D, F)), jnp.int8
+        )
+        params["params"]["scale"] = jnp.asarray(
+            rng.uniform(0.005, 0.02, (F,)), jnp.float32
+        )
+
+        y_ref = ref.apply(params, x_big)
+        y_act = act.apply(params, x_big)
+        # per-token symmetric int8: relative error bounded by ~1/127 of
+        # the token's max-abs amplification through the kernel
+        denom = np.maximum(np.abs(np.asarray(y_ref)), 1e-3)
+        rel = np.abs(np.asarray(y_act) - np.asarray(y_ref)) / denom
+        assert np.median(rel) < 0.02 and np.mean(rel) < 0.2
+
+        # decode-shaped inputs: act_int8 must be a no-op
+        np.testing.assert_array_equal(
+            np.asarray(ref.apply(params, x_small)),
+            np.asarray(act.apply(params, x_small)),
+        )
+
     def test_quant_greedy_decode(self):
         import dataclasses as dc
 

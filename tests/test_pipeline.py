@@ -212,6 +212,57 @@ class TestInference:
         np.testing.assert_array_equal(r1["pan_results"], r2["pan_results"])
         assert r1["rel_results"]["relation"] == r2["rel_results"]["relation"]
 
+    def test_infer_gt_masks(self, tiny_pipeline):
+        """GT-masks ablation: the object list IS the provided GT set and
+        the emitted pan map paints exactly those masks."""
+        p = tiny_pipeline
+        M = p.cfg.head.max_objects_padded
+        H = W = 64
+        masks = np.zeros((M, H, W), bool)
+        masks[0, :32, :] = True
+        masks[1, 32:, :32] = True
+        masks[2, 32:, 32:] = True
+        oids = np.zeros((M,), np.int64)
+        oids[:3] = [7, 16 + 1000, 119]
+        valid = np.zeros((M,), bool)
+        valid[:3] = True
+        res = p.infer_gt(_fake_image(), masks, oids, valid)
+        assert res["rel_results"]["object_id_list"] == [7, 1016, 119]
+        pan = res["pan_results"]
+        np.testing.assert_array_equal(pan[:32, :], 7)
+        np.testing.assert_array_equal(pan[32:, :32], 1016)
+        np.testing.assert_array_equal(pan[32:, 32:], 119)
+        for s, o, r in res["rel_results"]["relation"]:
+            assert 0 <= s < M and 0 <= o < M
+
+
+class TestM2FInferGT:
+    def test_infer_gt_masks_m2f(self):
+        from openpsg_tpu.models.detectors.mask2former_relation import (
+            M2FRelationConfig,
+            PSGMask2FormerRelation,
+        )
+
+        cfg = M2FRelationConfig.tiny_test("v1")
+        m = PSGMask2FormerRelation(cfg, jax.random.PRNGKey(0))
+        M = cfg.max_objects_padded
+        H = W = 64
+        masks = np.zeros((M, H, W), bool)
+        masks[0, :32] = True
+        masks[1, 32:] = True
+        oids = np.zeros((M,), np.int64)
+        oids[:2] = [5, 119]
+        valid = np.zeros((M,), bool)
+        valid[:2] = True
+        res = m.infer_gt(_fake_image(), masks, oids, valid)
+        assert res["rel_results"]["object_id_list"] == [5, 119]
+        pan = res["pan_results"]
+        np.testing.assert_array_equal(pan[:32], 5)
+        np.testing.assert_array_equal(pan[32:], 119)
+        # triplets only among the two GT objects
+        for s, o, r in res["rel_results"]["relation"]:
+            assert s in (0, 1) and o in (0, 1) and s != o
+
 
 class TestSamplers:
     def test_qformer_sampler_ratios(self):
