@@ -80,12 +80,85 @@ def make_lr_schedule(
     return schedule
 
 
-def make_optimizer(schedule, max_norm: float = 0.01, weight_decay: float = 0.05):
-    return optax.chain(
+def paramwise_multipliers(params, custom_keys, norm_decay_mult=None):
+    """mmcv ``paramwise_cfg`` semantics over a flax param tree (reference
+    baseline_r50.py:277-291: backbone lr×0.1, query/level embeds
+    decay_mult=0, norm_decay_mult=0).
+
+    ``custom_keys``: {substring: {lr_mult, decay_mult}} — matched against
+    the '/'-joined param path, LONGEST matching key wins (mmcv's
+    sorted-by-length rule).  ``norm_decay_mult`` applies to LayerNorm/
+    GroupNorm leaves (a path component containing 'norm'/'ln') when no
+    custom key set a decay_mult.  → (lr_mult tree, decay_mult tree)."""
+
+    def classify(path, leaf):
+        parts = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
+        s = "/".join(parts)
+        lr, dec, best = 1.0, None, -1
+        for key, d in (custom_keys or {}).items():
+            if key in s and len(key) > best:
+                best = len(key)
+                lr = float(d.get("lr_mult", 1.0))
+                dec = d.get("decay_mult", None)
+                dec = None if dec is None else float(dec)
+        if dec is None:
+            is_norm = any(
+                ("norm" in p.lower()) or ("ln" in p.lower().split("_"))
+                or p.lower().endswith("_ln") or p.lower().startswith("ln")
+                for p in parts[:-1]
+            )
+            if norm_decay_mult is not None and is_norm:
+                dec = float(norm_decay_mult)
+            else:
+                dec = 1.0
+        return lr, dec
+
+    lr_tree = jax.tree_util.tree_map_with_path(
+        lambda p, l: classify(p, l)[0], params
+    )
+    dec_tree = jax.tree_util.tree_map_with_path(
+        lambda p, l: classify(p, l)[1], params
+    )
+    return lr_tree, dec_tree
+
+
+def _scale_updates_by(mult_tree):
+    """Per-leaf update scaling (applies lr_mult AFTER adamw's global lr)."""
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        return (
+            jax.tree_util.tree_map(lambda u, m: u * m, updates, mult_tree),
+            state,
+        )
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_optimizer(
+    schedule,
+    max_norm: float = 0.01,
+    weight_decay: float = 0.05,
+    lr_mult_tree=None,
+    decay_mult_tree=None,
+):
+    """AdamW + global-norm clip (baseline_v4_ov.py:150-156).  Optional
+    paramwise trees from :func:`paramwise_multipliers`: per-leaf lr
+    multipliers and weight-decay multipliers (0 disables decay for that
+    leaf — the embeds/norm no-decay rule)."""
+    wd_mask = None
+    if decay_mult_tree is not None:
+        wd_mask = jax.tree_util.tree_map(lambda d: d > 0, decay_mult_tree)
+    tx = [
         optax.clip_by_global_norm(max_norm),
         optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
-                    weight_decay=weight_decay),
-    )
+                    weight_decay=weight_decay, mask=wd_mask),
+    ]
+    if lr_mult_tree is not None:
+        tx.append(_scale_updates_by(lr_mult_tree))
+    return optax.chain(*tx)
 
 
 @dataclasses.dataclass

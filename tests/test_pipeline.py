@@ -382,6 +382,53 @@ class TestTrainStep:
         assert float(s(650)) == pytest.approx(1e-5, rel=1e-4)   # epoch 6 → ×0.1
         assert float(s(1050)) == pytest.approx(1e-6, rel=1e-4)  # epoch 10 → ×0.01
 
+    def test_paramwise_cfg_semantics(self):
+        """mmcv paramwise_cfg (reference baseline_r50.py:277-291):
+        backbone lr ×0.1, embeds decay_mult=0, norms no-decay; longest
+        custom key wins."""
+        from openpsg_tpu.train.trainer import paramwise_multipliers
+
+        params = {
+            "backbone": {"stage0_block0": {"attn": {"qkv": {
+                "kernel": jnp.ones((4, 4))}}}},
+            "decoder": {
+                "query_embed": {"embedding": jnp.ones((4, 4))},
+                "norm1": {"scale": jnp.ones((4,)), "bias": jnp.ones((4,))},
+                "proj": {"kernel": jnp.ones((4, 4))},
+            },
+        }
+        lr, dec = paramwise_multipliers(
+            params,
+            custom_keys={
+                "backbone": dict(lr_mult=0.1, decay_mult=1.0),
+                "query_embed": dict(lr_mult=1.0, decay_mult=0.0),
+            },
+            norm_decay_mult=0.0,
+        )
+        assert lr["backbone"]["stage0_block0"]["attn"]["qkv"]["kernel"] == 0.1
+        assert dec["backbone"]["stage0_block0"]["attn"]["qkv"]["kernel"] == 1.0
+        assert dec["decoder"]["query_embed"]["embedding"] == 0.0
+        assert dec["decoder"]["norm1"]["scale"] == 0.0      # norm_decay_mult
+        assert dec["decoder"]["proj"]["kernel"] == 1.0
+        assert lr["decoder"]["proj"]["kernel"] == 1.0
+
+        # end-to-end through the optimizer: lr_mult scales the update,
+        # decay_mult=0 disables weight decay for that leaf
+        opt = make_optimizer(
+            lambda c: 1e-2, max_norm=1e9, weight_decay=0.5,
+            lr_mult_tree=lr, decay_mult_tree=dec,
+        )
+        st = opt.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        upd, _ = opt.update(grads, st, params)
+        u_bb = float(upd["backbone"]["stage0_block0"]["attn"]["qkv"]["kernel"][0, 0])
+        u_proj = float(upd["decoder"]["proj"]["kernel"][0, 0])
+        assert u_bb == pytest.approx(0.1 * u_proj, rel=1e-3)
+        # no-decay leaf: update has NO -lr*wd*param term
+        u_embed = float(upd["decoder"]["query_embed"]["embedding"][0, 0])
+        # proj decays (param=1, wd=0.5, lr=1e-2): differs from embed by lr*wd
+        assert u_proj == pytest.approx(u_embed - 1e-2 * 0.5 * 1.0, rel=1e-3)
+
 
 class TestBatchedInference:
     def test_batch_matches_single(self, tiny_pipeline):

@@ -219,12 +219,6 @@ def main():
         step_epochs=tuple(cfg.lr_config.get("step", [6, 10])),
         steps_per_epoch=steps_per_epoch,
     )
-    opt = make_optimizer(
-        sched,
-        max_norm=cfg.optimizer_config.grad_clip.get("max_norm", 0.01),
-        weight_decay=cfg.optimizer.get("weight_decay", 0.05),
-    )
-
     from openpsg_tpu.models.detectors.psg_v4 import PSGv4
 
     is_v4 = isinstance(model, PSGv4)
@@ -236,6 +230,34 @@ def main():
     trainable = {k: v for k, v in model.params.items() if k not in freeze_keys}
     frozen = {k: v for k, v in model.params.items() if k in freeze_keys}
     logger.info(f"trainable groups: {sorted(trainable)} frozen: {sorted(frozen)}")
+
+    # paramwise_cfg: per-key lr/decay multipliers + norm no-decay
+    # (reference baseline_r50.py:277-291)
+    lr_mult_tree = decay_mult_tree = None
+    pw = dict(cfg.optimizer.get("paramwise_cfg", {}) or {})
+    if pw:
+        from openpsg_tpu.train.trainer import paramwise_multipliers
+
+        lr_mult_tree, decay_mult_tree = paramwise_multipliers(
+            trainable,
+            custom_keys=dict(pw.get("custom_keys", {}) or {}),
+            norm_decay_mult=pw.get("norm_decay_mult"),
+        )
+        n_lr = sum(
+            float(m) != 1.0 for m in jax.tree_util.tree_leaves(lr_mult_tree)
+        )
+        n_wd = sum(
+            float(m) == 0.0 for m in jax.tree_util.tree_leaves(decay_mult_tree)
+        )
+        logger.info(f"paramwise_cfg: {n_lr} leaves lr-scaled, "
+                    f"{n_wd} leaves no-decay")
+    opt = make_optimizer(
+        sched,
+        max_norm=cfg.optimizer_config.grad_clip.get("max_norm", 0.01),
+        weight_decay=cfg.optimizer.get("weight_decay", 0.05),
+        lr_mult_tree=lr_mult_tree,
+        decay_mult_tree=decay_mult_tree,
+    )
 
     # honor cfg.tpu.mesh (dp×tp): batch sharded over dp, frozen LLM
     # tensor-sharded over tp, trainable + small frozen groups replicated
