@@ -29,6 +29,21 @@ def _enable_compile_cache():
             # partition by platform: AOT artifacts are not portable across
             # backends/machine feature sets (CPU loader SIGILL risk)
             plat = (_os.environ.get("JAX_PLATFORMS") or "default").replace(",", "_")
+            if plat in ("cpu", "default"):
+                # CPU AOT executables embed host ISA; loading a blob cached
+                # by a machine with different CPU features segfaults inside
+                # compilation_cache.get_executable_and_time.  Key the dir by
+                # the host's feature flags so each machine gets its own.
+                try:
+                    import hashlib
+
+                    with open("/proc/cpuinfo") as f:
+                        flags = next(
+                            (ln for ln in f if ln.startswith("flags")), ""
+                        )
+                    plat += "-" + hashlib.md5(flags.encode()).hexdigest()[:10]
+                except OSError:
+                    pass
             jax.config.update(
                 "jax_compilation_cache_dir",
                 _os.path.join(_os.path.dirname(_os.path.dirname(

@@ -56,6 +56,15 @@ class LlamaConfig:
     # default OFF for reference parity; decode (few rows, HBM-bound)
     # always stays on the bf16 path.
     act_int8: bool = False
+    # rematerialize each scanned layer in the backward pass (training-path
+    # knob).  Without it, grads flowing THROUGH the frozen stack (Q-Former
+    # trains on the teacher-forcing loss, reference head_v4 :293-341) make
+    # the layer scan save per-layer residuals — including the DEQUANTIZED
+    # bf16 int8 kernels, ~0.4 GB × n_layers at 7B — which OOMs a 16 GB
+    # v5e chip.  Remat re-runs each layer's forward during backward
+    # instead; the teacher-forcing sequences are tiny (≤4 pairs × ~80
+    # tokens) so the recompute is noise.
+    remat: bool = False
     dtype: Any = jnp.bfloat16
 
     @staticmethod
@@ -332,8 +341,11 @@ class Llama(nn.Module):
             )
             mask_cur = mask_cur & cur_valid[:, None, :]
 
+        block_cls = (
+            nn.remat(LlamaBlock, prevent_cse=False) if c.remat else LlamaBlock
+        )
         block = nn.scan(
-            LlamaBlock,
+            block_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=0,

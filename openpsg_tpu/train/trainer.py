@@ -175,6 +175,19 @@ class V4Trainer:
     pipeline: Any                 # PSGv4
     rel_cls_loss_weight: float = 50.0
 
+    def __post_init__(self):
+        # Gradients flow THROUGH the (usually frozen) LLM to reach the
+        # Q-Former; remat the layer scan so the backward pass recomputes
+        # each layer instead of saving per-layer residuals — without this
+        # the saved dequantized int8 kernels alone (~0.4 GB × 32 layers at
+        # 7B) OOM a 16 GB chip.  Same params tree: nn.remat is a lifted
+        # transform that preserves variable structure.
+        from openpsg_tpu.models.llm.llama import LlamaWithEmbeddings
+
+        self._llm_train = LlamaWithEmbeddings(
+            dataclasses.replace(self.pipeline.cfg.llm, remat=True)
+        )
+
     def loss_single(self, trainable, frozen, batch_i: TrainBatch) -> Dict[str, jnp.ndarray]:
         """Losses for ONE image (no batch dim); vmapped by train_step."""
         p = self.pipeline
@@ -270,7 +283,7 @@ class V4Trainer:
         positions = jnp.maximum(
             jnp.cumsum(full_mask.astype(jnp.int32), axis=1) - 1, 0
         )
-        logits, _ = p.llm.apply(
+        logits, _ = self._llm_train.apply(
             params["llm"],
             input_embeds=full_embeds,
             attention_mask=full_mask,

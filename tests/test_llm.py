@@ -398,3 +398,40 @@ class TestEarlyExitDecode:
             (t1, s1), (t2, s2) = self._decode_both(m, p, eos_id=eos)
             np.testing.assert_array_equal(t1, t2)
             np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+class TestRemat:
+    def test_remat_matches_plain_forward_and_grad(self, tiny_llm):
+        """cfg.remat must be a pure memory knob: identical params tree,
+        identical logits, identical input-gradients (the path the trainer
+        uses — grads flow THROUGH the frozen LLM to the Q-Former)."""
+        cfg, model, params = tiny_llm
+        import dataclasses
+
+        rmodel = LlamaWithEmbeddings(dataclasses.replace(cfg, remat=True))
+        B, L, D = 2, 9, cfg.dim
+        emb = jax.random.normal(jax.random.PRNGKey(3), (B, L, D), jnp.float32)
+        mask = jnp.ones((B, L), bool)
+        pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None], (B, L))
+
+        def loss(m, e):
+            logits, _ = m.apply(
+                params, input_embeds=e, attention_mask=mask, positions=pos
+            )
+            return jnp.sum(logits.astype(jnp.float32) ** 2), logits
+
+        (l0, g0), (l1, g1) = (
+            jax.value_and_grad(lambda e: loss(m, e)[0])(emb) for m in (model, rmodel)
+        )
+        np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), rtol=1e-6)
+        # recompute reorders float ops — compare by relative L2 error
+        g0, g1 = np.asarray(g0), np.asarray(g1)
+        rel = np.linalg.norm(g0 - g1) / max(np.linalg.norm(g0), 1e-9)
+        assert rel < 1e-5, rel
+        # param structure unchanged: rmodel consumes the plain params as-is
+        jax.eval_shape(
+            lambda p: rmodel.apply(
+                p, input_embeds=emb, attention_mask=mask, positions=pos
+            ),
+            params,
+        )
