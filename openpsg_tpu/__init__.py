@@ -29,21 +29,15 @@ def _enable_compile_cache():
             # partition by platform: AOT artifacts are not portable across
             # backends/machine feature sets (CPU loader SIGILL risk)
             plat = (_os.environ.get("JAX_PLATFORMS") or "default").replace(",", "_")
-            if plat in ("cpu", "default"):
-                # CPU AOT executables embed host ISA; loading a blob cached
-                # by a machine with different CPU features segfaults inside
-                # compilation_cache.get_executable_and_time.  Key the dir by
-                # the host's feature flags so each machine gets its own.
-                try:
-                    import hashlib
-
-                    with open("/proc/cpuinfo") as f:
-                        flags = next(
-                            (ln for ln in f if ln.startswith("flags")), ""
-                        )
-                    plat += "-" + hashlib.md5(flags.encode()).hexdigest()[:10]
-                except OSError:
-                    pass
+            if "cpu" in plat or plat == "default":
+                # NO persistent cache for the CPU backend: jaxlib's
+                # executable (de)serialization segfaults on some hosts for
+                # the large segmenter programs (observed on BOTH the read
+                # and the write path — host-ISA-dependent codegen, same
+                # family as the '+prefer-no-scatter ... SIGILL' warnings).
+                # CPU compiles are local anyway; the cache only pays off
+                # for the remote-compiled TPU (axon) backend.
+                return
             jax.config.update(
                 "jax_compilation_cache_dir",
                 _os.path.join(_os.path.dirname(_os.path.dirname(

@@ -74,7 +74,19 @@ def _backbone_preset(model_cfg: Dict[str, Any]) -> str:
     with no `tpu` section)."""
     bb = dict(model_cfg.get("backbone", {}) or {})
     if bb.get("type") == "SwinTransformer":
-        return "swin_b" if int(bb.get("embed_dims", 96)) >= 128 else "swin_t"
+        ed = int(bb.get("embed_dims", 96))
+        # exact geometries only: guessing would build the WRONG model
+        # silently (e.g. Swin-L embed_dims=192 must not get Swin-B widths
+        # and then shape-error at weight-load time)
+        if ed == 96:
+            return "swin_t"
+        if ed == 128:
+            return "swin_b"
+        raise ValueError(
+            f"unsupported SwinTransformer embed_dims={ed}: known presets "
+            "are swin_t (96) and swin_b (128); set tpu.segmenter_preset "
+            "explicitly for other geometries"
+        )
     return "r50"
 
 

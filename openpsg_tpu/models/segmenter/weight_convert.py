@@ -527,8 +527,12 @@ def conversion_report(
     off_bias = np.asarray(
         pdp["layers"]["layer"]["self_attn"]["sampling_offsets"]["bias"]
     )  # [enc_layers, nH*L*K*2]
-    nH = 8
-    K = off_bias.shape[-1] // (nH * L * 2)
+    # derive the MSDA head count from the bias length and the config's
+    # points-per-level (hardcoding nH=8 would mis-group the per-level
+    # stats for any non-default geometry — the exact numbers this report
+    # exists to make a wrong level-order assumption visible)
+    K = cfg.num_points
+    nH = off_bias.shape[-1] // (K * L * 2)
     off0 = np.abs(off_bias[0].reshape(nH, L, K, 2)).mean(axis=(0, 2, 3))
     for i, s in enumerate(strides):
         k = np.asarray(pdp[f"input_proj{i}"]["kernel"])

@@ -26,6 +26,7 @@ TPU design:
 from __future__ import annotations
 
 import dataclasses
+import re
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
@@ -102,9 +103,13 @@ def paramwise_multipliers(params, custom_keys, norm_decay_mult=None):
                 dec = d.get("decay_mult", None)
                 dec = None if dec is None else float(dec)
         if dec is None:
+            # a component is a norm if it contains 'norm' or is/ends with
+            # an 'ln' token, with or without a layer index — this repo's
+            # own modules use digit-suffixed names (self_ln0, cross_ln0,
+            # ffn_q_ln{i}) that a bare token match would miss
             is_norm = any(
-                ("norm" in p.lower()) or ("ln" in p.lower().split("_"))
-                or p.lower().endswith("_ln") or p.lower().startswith("ln")
+                ("norm" in p.lower())
+                or re.fullmatch(r"(?:.*_)?ln\d*", p.lower()) is not None
                 for p in parts[:-1]
             )
             if norm_decay_mult is not None and is_norm:
@@ -120,6 +125,26 @@ def paramwise_multipliers(params, custom_keys, norm_decay_mult=None):
         lambda p, l: classify(p, l)[1], params
     )
     return lr_tree, dec_tree
+
+
+def _add_decayed_weights_scaled(weight_decay, mult_tree):
+    """add_decayed_weights with a per-leaf multiplier: u += wd·mult·p."""
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("weight decay requires params")
+        return (
+            jax.tree_util.tree_map(
+                lambda u, p, m: u + weight_decay * m * p,
+                updates, params, mult_tree,
+            ),
+            state,
+        )
+
+    return optax.GradientTransformation(init, update)
 
 
 def _scale_updates_by(mult_tree):
@@ -148,13 +173,20 @@ def make_optimizer(
     paramwise trees from :func:`paramwise_multipliers`: per-leaf lr
     multipliers and weight-decay multipliers (0 disables decay for that
     leaf — the embeds/norm no-decay rule)."""
-    wd_mask = None
+    # adamw decomposed (scale_by_adam → add_decayed_weights → lr) so the
+    # decay term can honor FRACTIONAL decay_mult values (mmcv paramwise
+    # semantics, e.g. decay_mult=0.1 → wd 0.005): a boolean mask would
+    # silently coerce them to full decay.  For mult ∈ {0, 1} this is
+    # bit-identical to optax.adamw(mask=d>0).
     if decay_mult_tree is not None:
-        wd_mask = jax.tree_util.tree_map(lambda d: d > 0, decay_mult_tree)
+        decay = _add_decayed_weights_scaled(weight_decay, decay_mult_tree)
+    else:
+        decay = optax.add_decayed_weights(weight_decay)
     tx = [
         optax.clip_by_global_norm(max_norm),
-        optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
-                    weight_decay=weight_decay, mask=wd_mask),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        decay,
+        optax.scale_by_learning_rate(schedule),
     ]
     if lr_mult_tree is not None:
         tx.append(_scale_updates_by(lr_mult_tree))

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -32,7 +32,10 @@ class SubmissionWriter:
         self.panseg_dir = os.path.join(output_dir, "submission", "panseg")
         self.json_dir = os.path.join(output_dir, "submission")
         os.makedirs(self.panseg_dir, exist_ok=True)
-        self.results: List[Dict[str, Any]] = []
+        # (test_idx, record) pairs; finalize() sorts by test_idx so
+        # out-of-order add() calls (batched/prefetched inference) still
+        # write the grader's expected order
+        self.results: List[Tuple[int, Dict[str, Any]]] = []
         self.seed = seed
         self._counter = 0
 

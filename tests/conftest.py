@@ -19,14 +19,8 @@ import jax  # noqa: E402
 # env var — force CPU via the config API so the 8-device virtual mesh works.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-# This VM has ONE cpu core and ~1.3s per-op XLA compile latency: always jit
-# whole model fns (never eager init) and persist compiled programs across
-# test runs.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache", "cpu",
-    ),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compile cache on CPU: jaxlib's executable
+# (de)serialization segfaults on some hosts for the large segmenter
+# programs — observed on both the read and the write path (full trace in
+# openpsg_tpu/__init__.py).  Cold compiles cost the suite ~2x wall time
+# but never crash it.

@@ -181,6 +181,57 @@ class TestShardingRules:
         with pytest.raises(AssertionError, match="not tensor-sharded"):
             assert_llm_sharded(bad, mesh)
 
+    def test_scratch_recipe_optimizer_state_inherits_tp_sharding(self):
+        """tools/train.py tp-shards a TRAINABLE llm (scratch recipe) and
+        relies on optax initializing moments with zeros_like — which
+        preserves the params' committed shardings — so 7B AdamW m+v
+        never materialize replicated.  Pin that contract here."""
+        from openpsg_tpu.parallel.mesh import make_mesh
+        from openpsg_tpu.parallel.sharding import (
+            assert_llm_sharded,
+            shard_params,
+        )
+        from openpsg_tpu.train.trainer import make_lr_schedule, make_optimizer
+
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 devices")
+        mesh = make_mesh(dp=2, tp=4)
+        params = {
+            "llm": shard_params(
+                {
+                    "core": {
+                        "layers": {
+                            "wq": {"kernel": jnp.zeros((2, 64, 64))},
+                            "w_down": {"kernel": jnp.zeros((2, 128, 64))},
+                        },
+                    },
+                    "tok_embed": {"embedding": jnp.zeros((64, 64))},
+                },
+                mesh,
+            )
+        }
+        opt = make_optimizer(make_lr_schedule(steps_per_epoch=10))
+        opt_state = opt.init(params)
+        specs = {
+            leaf.sharding.spec
+            for leaf in jax.tree_util.tree_leaves(opt_state)
+            if hasattr(leaf, "sharding") and leaf.ndim >= 2
+        }
+        # every param-shaped moment must carry the SAME tp specs the
+        # params do — count them via the same guard the dryrun uses
+        wq_spec = params["llm"]["core"]["layers"]["wq"]["kernel"].sharding.spec
+        assert wq_spec in specs
+        n_moment_trees = 0
+        for leaf in jax.tree_util.tree_leaves(
+            opt_state,
+            is_leaf=lambda x: isinstance(x, dict) and "llm" in x,
+        ):
+            if isinstance(leaf, dict):
+                # tiny tree: only 3 shardable leaves (wq, w_down, embed)
+                assert_llm_sharded(leaf["llm"], mesh, min_sharded=3)
+                n_moment_trees += 1
+        assert n_moment_trees >= 2  # at least adam's mu and nu
+
     def test_batch_sharding(self):
         from jax.sharding import PartitionSpec as P
 

@@ -429,6 +429,30 @@ class TestTrainStep:
         # proj decays (param=1, wd=0.5, lr=1e-2): differs from embed by lr*wd
         assert u_proj == pytest.approx(u_embed - 1e-2 * 0.5 * 1.0, rel=1e-3)
 
+    def test_fractional_decay_mult_scales_decay(self):
+        """mmcv allows decay_mult between 0 and 1 (e.g. backbone 0.1 →
+        wd 0.005, not 0.05): the decay term must SCALE, not coerce to a
+        boolean mask (r3 review finding)."""
+        from openpsg_tpu.train.trainer import make_optimizer
+
+        params = {
+            "a": {"kernel": jnp.ones((4, 4))},
+            "b": {"kernel": jnp.ones((4, 4))},
+        }
+        dec = {"a": {"kernel": 0.1}, "b": {"kernel": 1.0}}
+        opt = make_optimizer(
+            lambda c: 1e-2, max_norm=1e9, weight_decay=0.5,
+            decay_mult_tree=dec,
+        )
+        st = opt.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        upd, _ = opt.update(grads, st, params)
+        u_a = float(upd["a"]["kernel"][0, 0])
+        u_b = float(upd["b"]["kernel"][0, 0])
+        # identical grads → the adam part cancels; the decay difference is
+        # lr * wd * (1.0 - 0.1) * param
+        assert u_a - u_b == pytest.approx(1e-2 * 0.5 * 0.9, rel=1e-3)
+
 
 class TestBatchedInference:
     def test_batch_matches_single(self, tiny_pipeline):

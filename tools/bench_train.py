@@ -65,7 +65,11 @@ def main():
         ),
         llm=LlamaConfig(
             n_layers=llm_layers, dim=4096, n_heads=32, n_kv_heads=32,
-            ffn_hidden=11008, dtype=jnp.bfloat16, quant=True,
+            ffn_hidden=11008, dtype=jnp.bfloat16,
+            # a TRAINABLE llm must be bf16 — int8 kernel_q leaves are not
+            # differentiable (and AdamW moments on int8 are meaningless);
+            # the frozen reference recipe keeps the int8 deployment config
+            quant=not train_llm,
         ),
         input_hw=(size, size_w),
     )

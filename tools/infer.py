@@ -191,7 +191,9 @@ def main():
         from openpsg_tpu.data.vocab import INSTANCE_OFFSET
         from openpsg_tpu.utils.panoptic import rgb2id
 
-        M = model.cfg.head.max_objects_padded
+        # PSGv4Config nests head config; M2FRelationConfig keeps the
+        # field at top level
+        M = getattr(model.cfg, "head", model.cfg).max_objects_padded
         pan_rgb = load_image_rgb(os.path.join(data_dir, rec["pan_seg_file_name"]))
         pan_id = rgb2id(pan_rgb)
         nh, nw = ex["img_shape"]

@@ -277,6 +277,12 @@ def main():
 
             mesh = make_mesh(dp=dp_n, tp=tp_n)
             logger.info(f"mesh: {dict(mesh.shape)}")
+            # the LLM is tensor-sharded over tp wherever it lives: frozen
+            # (reference recipe) or trainable (scratch recipe).  For the
+            # trainable case the optimizer state inherits the shardings —
+            # optax inits moments with zeros_like, which preserves the
+            # input arrays' shardings — so 7B AdamW m+v (~56 GB f32)
+            # never materializes replicated.
             if "llm" in frozen:
                 frozen["llm"] = shard_params(frozen["llm"], mesh)
             for k in frozen:
@@ -284,9 +290,16 @@ def main():
                     frozen[k] = jax.tree_util.tree_map(
                         lambda x: jax.device_put(x, replicated(mesh)), frozen[k]
                     )
-            trainable = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, replicated(mesh)), trainable
-            )
+            trainable = {
+                k: (
+                    shard_params(v, mesh)
+                    if k == "llm"
+                    else jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x, replicated(mesh)), v
+                    )
+                )
+                for k, v in trainable.items()
+            }
             batch_shard = batch_sharding(mesh)
         elif dp_n * tp_n > jax.device_count():
             logger.info(
