@@ -73,6 +73,28 @@ def test_infer_multibucket_batched(mixed_fixture, tmp_path, capsys, monkeypatch)
         assert len(r["segments_info"]) >= 1
 
 
+def test_infer_gt_masks_m2f_family(mixed_fixture, tmp_path, monkeypatch):
+    """--gt-masks must also run for the Mask2Former family through the
+    TOOL surface (r3 review: M2FRelationConfig keeps max_objects_padded
+    at top level, and _load_gt_objects crashed on cfg.head before any
+    image — tests that called infer_gt directly never saw it)."""
+    root, ann = mixed_fixture
+    import infer as infer_tool
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["infer.py", "--config", os.path.join(REPO, "configs/psg/tiny_r50.py"),
+         "--test-file", ann, "--data-dir", root,
+         "--output-dir", str(tmp_path),
+         "--img-scale", "64", "64", "--single-bucket", "--gt-masks"],
+    )
+    infer_tool.main()
+    recs = json.load(open(tmp_path / "submission" / "relation.json"))
+    assert len(recs) == 4
+    for r in recs:
+        assert len(r["segments_info"]) == 3  # the GT segments survived
+
+
 def test_infer_gt_masks_ablation(mixed_fixture, tmp_path, monkeypatch):
     """--gt-masks upper-bound ablation (reference's commented-out harness,
     tools/infer.py:102-147): predicted panoptic replaced by ground truth;
