@@ -27,9 +27,20 @@ def _enable_compile_cache():
 
         if jax.config.jax_compilation_cache_dir is None:
             # partition by platform: AOT artifacts are not portable across
-            # backends/machine feature sets (CPU loader SIGILL risk)
-            plat = (_os.environ.get("JAX_PLATFORMS") or "default").replace(",", "_")
-            if "cpu" in plat or plat == "default":
+            # backends/machine feature sets (CPU loader SIGILL risk).
+            # IMPORTANT: consult jax.config FIRST — the axon sitecustomize
+            # exports JAX_PLATFORMS=axon globally, so a test process that
+            # forced CPU via jax.config.update (the only way that works
+            # here, see tests/conftest.py) still has the axon env var.
+            plats = (
+                getattr(jax.config, "jax_platforms", None)
+                or _os.environ.get("JAX_PLATFORMS")
+                or "default"
+            )
+            # the sitecustomize sets 'axon,cpu' — the FIRST entry is the
+            # platform that actually executes (the rest are fallbacks)
+            plat = plats.split(",")[0].strip()
+            if plat in ("cpu", "default"):
                 # NO persistent cache for the CPU backend: jaxlib's
                 # executable (de)serialization segfaults on some hosts for
                 # the large segmenter programs (observed on BOTH the read
