@@ -114,6 +114,29 @@ def freeze_keys_from_config(cfg, params: Dict[str, Any], is_v4: bool):
     return freeze_keys
 
 
+def restore_trainable_for_inference(
+    model, cfg, ckpt_dir: str, epoch: Optional[int] = None, is_v4: bool = False
+):
+    """Restore a part-checkpoint's trainable groups into ``model.params``
+    in place (the reference ``epoch_N.pth`` surface: checkpoints are keyed
+    by global_step, the CLI takes an EPOCH — mapped via the saved meta).
+    Shared by tools/infer.py and tools/serve.py.  → (step, meta)."""
+    ckpt = PartCheckpointer(ckpt_dir)
+    step = None
+    if epoch is not None:
+        step = ckpt.step_for_epoch(epoch)
+        if step is None:
+            raise FileNotFoundError(
+                f"no checkpoint for epoch {epoch} in {ckpt_dir}"
+            )
+    # part-checkpoints hold exactly the groups the config trains
+    freeze = freeze_keys_from_config(cfg, model.params, is_v4)
+    like = {k: v for k, v in model.params.items() if k not in freeze}
+    params, _, meta, step = ckpt.restore(step=step, like_params=like)
+    model.params.update(params)
+    return step, meta
+
+
 def split_trainable(params: Dict[str, Any], freeze_keys: Tuple[str, ...]):
     """Split a top-level params dict into (trainable, frozen) by key —
     the freeze_layers prefix-match contract (openseed_relation_v2.py:71-79)

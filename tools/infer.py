@@ -70,7 +70,6 @@ def main():
     from openpsg_tpu.core.config import Config
     from openpsg_tpu.core.builder import build_detector_from_config
     from openpsg_tpu.data.preprocess import Preprocessor, load_image_rgb
-    from openpsg_tpu.train.checkpoint import PartCheckpointer
     from openpsg_tpu.utils.submission import SubmissionWriter
 
     if args.config is None:
@@ -86,23 +85,12 @@ def main():
     model = build_detector_from_config(cfg, jax.random.PRNGKey(args.seed))
     if args.checkpoint and os.path.isdir(args.checkpoint):
         from openpsg_tpu.models.detectors.psg_v4 import PSGv4
-        from openpsg_tpu.train.checkpoint import freeze_keys_from_config
+        from openpsg_tpu.train.checkpoint import restore_trainable_for_inference
 
-        ckpt = PartCheckpointer(args.checkpoint)
-        # checkpoints are keyed by global_step; the CLI takes an EPOCH
-        # (reference epoch_N.pth surface) — map via the saved meta
-        step = None
-        if args.epoch is not None:
-            step = ckpt.step_for_epoch(args.epoch)
-            if step is None:
-                raise FileNotFoundError(
-                    f"no checkpoint for epoch {args.epoch} in {args.checkpoint}"
-                )
-        # part-checkpoints hold exactly the groups the config trains
-        freeze = freeze_keys_from_config(cfg, model.params, isinstance(model, PSGv4))
-        like = {k: v for k, v in model.params.items() if k not in freeze}
-        params, _, meta, step = ckpt.restore(step=step, like_params=like)
-        model.params.update(params)
+        step, meta = restore_trainable_for_inference(
+            model, cfg, args.checkpoint, epoch=args.epoch,
+            is_v4=isinstance(model, PSGv4),
+        )
         print(f"restored trainable params from step {step} "
               f"(epoch {meta.get('epoch')})")
 
