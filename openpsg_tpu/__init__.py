@@ -63,6 +63,9 @@ def _route_compiles_to_big_stack_thread():
         lock = threading.Lock()
 
         def patched(*args, **kwargs):
+            backend = kwargs.get("backend", args[0] if args else None)
+            if backend is not None:
+                _ensure_cache_dir(backend)
             result, error = [], []
 
             def run():
@@ -92,52 +95,79 @@ def _route_compiles_to_big_stack_thread():
         pass
 
 
+_CACHE_ROOT = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    ".jax_cache",
+)
+# True iff the cache dir is ours to manage (the user/env didn't set one);
+# decided once at import so we never clobber an explicit user dir.
+_MANAGE_CACHE_DIR = False
+
+
+def _cache_dir_for_platform(plat):
+    """Per-platform persistent cache dir.  AOT artifacts are not portable
+    across backends/machine feature sets (CPU loader SIGILL risk)."""
+    if plat == "tpu" and not _os.path.isdir(
+        _os.path.join(_CACHE_ROOT, "tpu")
+    ) and _os.path.isdir(_os.path.join(_CACHE_ROOT, "axon")):
+        # legacy dir name from when the dir was keyed off the JAX_PLATFORMS
+        # env var ('axon') rather than the backend ('tpu'); keep the warm
+        # multi-GB cache rather than recompiling everything.
+        plat = "axon"
+    if plat == "cpu":
+        # CPU AOT executables embed host ISA; loading a blob cached by a
+        # machine with different CPU features segfaults inside
+        # compilation_cache reads (observed: driver machine ≠ session
+        # host).  Key the dir by the host's feature flags so each machine
+        # gets its own.  The (de)serialization stack overflows that
+        # previously forced the CPU cache OFF are gone now that
+        # compile_or_get_cached runs on the explicit 1 GB stack thread
+        # (see _route_compiles_to_big_stack_thread).
+        try:
+            import hashlib
+
+            with open("/proc/cpuinfo") as f:
+                flags = next((ln for ln in f if ln.startswith("flags")), "")
+            plat += "-" + hashlib.md5(flags.encode()).hexdigest()[:10]
+        except OSError:
+            pass
+    return _os.path.join(_CACHE_ROOT, plat)
+
+
+def _ensure_cache_dir(backend):
+    """Point the persistent compile cache at the dir for the EXECUTING
+    backend.  Called from the compile choke point (below) on every compile:
+    the platform is only known then — tools import this package first and
+    flip jax to CPU afterwards (utils.logging.honor_platform_env), so an
+    import-time decision reads the wrong platform and cross-pollutes the
+    cache dirs (host-ISA CPU blobs in the shared 'axon' dir → SIGSEGV on
+    the next machine)."""
+    if not _MANAGE_CACHE_DIR:
+        return
+    try:
+        import jax
+        from jax._src import compilation_cache as _cc
+
+        want = _cache_dir_for_platform(backend.platform)
+        if jax.config.jax_compilation_cache_dir != want:
+            jax.config.update("jax_compilation_cache_dir", want)
+            # the cache is a read-once singleton; re-init it against the
+            # new dir (no-op if it was never initialized)
+            _cc.reset_cache()
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
 def _enable_compile_cache():
     """Persist XLA programs across processes (first compile on the 1-core
-    host / tunneled TPU is minutes; cached reloads are seconds)."""
+    host / tunneled TPU is minutes; cached reloads are seconds).  The dir
+    itself is resolved lazily per-backend in _ensure_cache_dir."""
+    global _MANAGE_CACHE_DIR
     try:
         import jax
 
         if jax.config.jax_compilation_cache_dir is None:
-            # partition by platform: AOT artifacts are not portable across
-            # backends/machine feature sets (CPU loader SIGILL risk).
-            # IMPORTANT: consult jax.config FIRST — the axon sitecustomize
-            # exports JAX_PLATFORMS=axon globally, so a test process that
-            # forced CPU via jax.config.update (the only way that works
-            # here, see tests/conftest.py) still has the axon env var.
-            plats = (
-                getattr(jax.config, "jax_platforms", None)
-                or _os.environ.get("JAX_PLATFORMS")
-                or "default"
-            )
-            # the sitecustomize sets 'axon,cpu' — the FIRST entry is the
-            # platform that actually executes (the rest are fallbacks)
-            plat = plats.split(",")[0].strip()
-            if plat in ("cpu", "default"):
-                # CPU AOT executables embed host ISA; loading a blob
-                # cached by a machine with different CPU features
-                # segfaults inside compilation_cache reads (observed:
-                # driver machine ≠ session host).  Key the dir by the
-                # host's feature flags so each machine gets its own.
-                # The (de)serialization stack overflows that previously
-                # forced the CPU cache OFF are gone now that
-                # compile_or_get_cached runs on the explicit 1 GB stack
-                # thread (see _route_compiles_to_big_stack_thread).
-                try:
-                    import hashlib
-
-                    with open("/proc/cpuinfo") as f:
-                        flags = next(
-                            (ln for ln in f if ln.startswith("flags")), ""
-                        )
-                    plat += "-" + hashlib.md5(flags.encode()).hexdigest()[:10]
-                except OSError:
-                    pass
-            jax.config.update(
-                "jax_compilation_cache_dir",
-                _os.path.join(_os.path.dirname(_os.path.dirname(
-                    _os.path.abspath(__file__))), ".jax_cache", plat),
-            )
+            _MANAGE_CACHE_DIR = True
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass

@@ -62,10 +62,15 @@ def get_descriptions(
                 return list(desc)
             if relation_names is None:
                 raise AssertionError((len(desc), len(names)))
-            # Truncated/custom vocabulary: pick the matching entries when the
-            # names are a subset of the canonical vocabulary.
+            # Truncated vocabulary: pick matching entries by canonical
+            # index — only meaningful when the asset IS the canonical
+            # 56-entry list (a custom-length asset has its own unknown
+            # ordering; indexing it with canonical positions would crash
+            # or silently return another vocabulary's descriptions).
             idx = {n: i for i, n in enumerate(RELATION_CLASSES)}
-            if all(n in idx for n in names):
+            if len(desc) == len(RELATION_CLASSES) and all(
+                n in idx for n in names
+            ):
                 return [desc[idx[n]] for n in names]
         return [_FALLBACK_TEMPLATE.format(name=n) for n in names]
     raise KeyError(semantic_type)

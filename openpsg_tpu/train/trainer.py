@@ -118,11 +118,16 @@ def paramwise_multipliers(params, custom_keys, norm_decay_mult=None):
                 dec = 1.0
         return lr, dec
 
-    lr_tree = jax.tree_util.tree_map_with_path(
-        lambda p, l: classify(p, l)[0], params
+    # one walk: classify() substring-scans every custom key per leaf, so
+    # build (lr, dec) pairs in a single pass and split them after
+    pair_tree = jax.tree_util.tree_map_with_path(classify, params)
+    lr_tree = jax.tree_util.tree_map(
+        lambda pair: pair[0], pair_tree,
+        is_leaf=lambda x: isinstance(x, tuple),
     )
-    dec_tree = jax.tree_util.tree_map_with_path(
-        lambda p, l: classify(p, l)[1], params
+    dec_tree = jax.tree_util.tree_map(
+        lambda pair: pair[1], pair_tree,
+        is_leaf=lambda x: isinstance(x, tuple),
     )
     return lr_tree, dec_tree
 

@@ -27,6 +27,44 @@ from openpsg_tpu.data.vocab import INSTANCE_OFFSET
 from openpsg_tpu.utils.panoptic import random_colors, rgb2id
 
 
+def paint_panoptic(
+    pan_results: np.ndarray,
+    object_id_list: List[int],
+    seed: Optional[int] = None,
+) -> Tuple[np.ndarray, List[Dict[str, Any]], List[int], np.ndarray]:
+    """Shared record-painting core for every output surface
+    (``SubmissionWriter.add``, tools/predict.py, tools/serve.py): color
+    each non-background object (id != 133) a distinct random RGB and build
+    the matching ``segments_info`` (1-indexed ``category_id =
+    oid % INSTANCE_OFFSET + 1``, ``id = rgb2id(color)`` — reference
+    tools/infer.py:160-176).
+
+    Returns ``(out_bgr, segments_info, kept_oids, colors)``; ``out_bgr``
+    is BGR for cv2 writers, and ``colors`` always has >= 1 entry (the
+    empty-image dummy-fill path needs one).
+    """
+    H, W = pan_results.shape
+    kept = [int(oid) for oid in object_id_list if oid != 133]
+    colors = random_colors(max(len(kept), 1), seed=seed)
+    out_bgr = np.zeros((H, W, 3), np.uint8)
+    segments_info: List[Dict[str, Any]] = []
+    for i, oid in enumerate(kept):
+        r, g, b = (int(x) for x in colors[i])
+        out_bgr[pan_results == oid] = (b, g, r)  # cv2 BGR; file RGB=(r,g,b)
+        segments_info.append(
+            dict(
+                category_id=int(oid % INSTANCE_OFFSET) + 1,
+                id=int(rgb2id(np.asarray([r, g, b], np.uint8))),
+            )
+        )
+    return out_bgr, segments_info, kept, colors
+
+
+def relations_1indexed(relation) -> List[List[int]]:
+    """``[[sub, obj, rel+1], ...]`` — submission predicates are 1-indexed."""
+    return [[int(s), int(o), int(r) + 1] for s, o, r in relation]
+
+
 class SubmissionWriter:
     def __init__(self, output_dir: str, seed: Optional[int] = None):
         self.panseg_dir = os.path.join(output_dir, "submission", "panseg")
@@ -51,24 +89,10 @@ class SubmissionWriter:
         test_idx = self._counter if test_idx is None else test_idx
         self._counter += 1
 
-        H, W = pan_results.shape
-        out_bgr = np.zeros((H, W, 3), np.uint8)
-        kept = [oid for oid in object_id_list if oid != 133]
-        colors = random_colors(
-            max(len(kept), 1),
+        out_bgr, segments_info, _, colors = paint_panoptic(
+            pan_results, object_id_list,
             seed=None if self.seed is None else self.seed + test_idx,
         )
-        segments_info = []
-        for i, oid in enumerate(kept):
-            r, g, b = (int(x) for x in colors[i])
-            mask = pan_results == oid
-            out_bgr[mask] = (b, g, r)  # cv2 writes BGR; file RGB = (r, g, b)
-            segments_info.append(
-                dict(
-                    category_id=int(oid % INSTANCE_OFFSET) + 1,
-                    id=int(rgb2id(np.asarray([r, g, b], np.uint8))),
-                )
-            )
 
         cv2.imwrite(os.path.join(self.panseg_dir, f"{test_idx}.png"), out_bgr)
 
@@ -83,7 +107,7 @@ class SubmissionWriter:
             (
                 test_idx,
                 dict(
-                    relations=[[int(s), int(o), int(r) + 1] for s, o, r in relation],
+                    relations=relations_1indexed(relation),
                     segments_info=segments_info,
                     pan_seg_file_name=f"{test_idx}.png",
                 ),

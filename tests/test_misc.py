@@ -270,6 +270,12 @@ class TestTrainCLI:
         assert p("[]") == []
         # eval() would have executed this; the parser must treat it as text
         assert p("__import__('os')") == "__import__('os')"
+        # top-level tuple lists (mmdet multi-scale img_scale overrides):
+        # '(a,b),(c,d)' is NOT one bracket group — stripping its outer
+        # chars used to recurse forever (r3 review fix)
+        assert p("(1333,800),(1333,1200)") == [(1333, 800), (1333, 1200)]
+        assert p("[(1,2),(3,4)]") == [(1, 2), (3, 4)]
+        p("a,b)")  # malformed input must terminate, whatever it yields
 
 
 class TestProfiling:

@@ -40,9 +40,8 @@ def main():
     from openpsg_tpu.core.builder import build_detector_from_config
     from openpsg_tpu.core.config import Config
     from openpsg_tpu.data.preprocess import Preprocessor, load_image_rgb
-    from openpsg_tpu.data.vocab import INSTANCE_OFFSET
     from openpsg_tpu.train.checkpoint import PartCheckpointer
-    from openpsg_tpu.utils.panoptic import random_colors, rgb2id
+    from openpsg_tpu.utils.submission import paint_panoptic, relations_1indexed
 
     cfg = Config.fromfile(args.config)
     model = build_detector_from_config(cfg, jax.random.PRNGKey(args.seed))
@@ -76,23 +75,14 @@ def main():
         ).astype(np.int64)
 
         stem = os.path.splitext(os.path.basename(d["file_name"]))[0]
-        oids = [o for o in res["rel_results"]["object_id_list"] if o != 133]
-        colors = random_colors(max(len(oids), 1), seed=args.seed + i)
-        out_bgr = np.zeros((img.shape[0], img.shape[1], 3), np.uint8)
-        segments_info = []
-        for j, oid in enumerate(oids):
-            r, g, b = (int(x) for x in colors[j])
-            out_bgr[pan_ori == oid] = (b, g, r)
-            segments_info.append(
-                dict(category_id=int(oid % INSTANCE_OFFSET) + 1,
-                     id=int(rgb2id(np.asarray([r, g, b], np.uint8))))
-            )
+        out_bgr, segments_info, _, _ = paint_panoptic(
+            pan_ori, res["rel_results"]["object_id_list"], seed=args.seed + i
+        )
         cv2.imwrite(os.path.join(panseg_dir, f"{stem}.png"), out_bgr)
 
         rec = dict(d)
         rec.update(
-            relations=[[int(s), int(o), int(r) + 1]
-                       for s, o, r in res["rel_results"]["relation"]],
+            relations=relations_1indexed(res["rel_results"]["relation"]),
             relation_scores=[float(s) for s in res["rel_scores"]],
             segments_info=segments_info,
             pan_seg_file_name=f"{stem}.png",

@@ -68,12 +68,15 @@ def parse_args(argv=None):
 
 
 class _Job:
-    __slots__ = ("ex", "bucket", "event", "result", "error")
+    __slots__ = ("ex", "bucket", "event", "result", "error", "cancelled")
 
     def __init__(self, ex, bucket):
         self.ex, self.bucket = ex, bucket
         self.event = threading.Event()
         self.result = self.error = None
+        self.cancelled = False  # set by submit() on timeout; the device
+        #                         loop drops the job instead of burning a
+        #                         full inference step on a dead request
 
 
 class InferenceService:
@@ -104,6 +107,7 @@ class InferenceService:
         job = self._make_job(image_rgb)
         self.queue.put(job)
         if not job.event.wait(timeout):
+            job.cancelled = True
             raise TimeoutError("inference timed out")
         if job.error is not None:
             raise job.error
@@ -128,11 +132,15 @@ class InferenceService:
                     break
             groups = {}
             for job in batch:
-                groups.setdefault(job.bucket, []).append(job)
+                if not job.cancelled:
+                    groups.setdefault(job.bucket, []).append(job)
             for jobs in groups.values():
                 self._run_group(jobs)
 
     def _run_group(self, jobs):
+        jobs = [j for j in jobs if not j.cancelled]
+        if not jobs:
+            return
         try:
             if len(jobs) == 1:
                 for job in jobs:
@@ -187,13 +195,12 @@ class InferenceService:
 
 
 def _record_for(res, ex, seed: int):
-    """tools/predict.py-shaped output record for one inference result
-    (1-indexed relations, random-color panseg PNG with rgb2id segment
-    ids, background object_id 133 skipped — reference predict.py:34-102)."""
+    """tools/predict.py-shaped output record for one inference result;
+    painting/segments_info/1-indexing shared with predict.py and
+    SubmissionWriter via utils.submission.paint_panoptic."""
     import cv2
 
-    from openpsg_tpu.data.vocab import INSTANCE_OFFSET
-    from openpsg_tpu.utils.panoptic import random_colors, rgb2id
+    from openpsg_tpu.utils.submission import paint_panoptic, relations_1indexed
 
     nh, nw = ex["img_shape"]
     oh, ow = ex["ori"]
@@ -201,23 +208,14 @@ def _record_for(res, ex, seed: int):
         res["pan_results"][:nh, :nw].astype(np.float64), (ow, oh),
         interpolation=cv2.INTER_NEAREST,
     ).astype(np.int64)
-    oids = [o for o in res["rel_results"]["object_id_list"] if o != 133]
-    colors = random_colors(max(len(oids), 1), seed=seed)
-    out_bgr = np.zeros((oh, ow, 3), np.uint8)
-    segments_info = []
-    for j, oid in enumerate(oids):
-        r, g, b = (int(x) for x in colors[j])
-        out_bgr[pan_ori == oid] = (b, g, r)
-        segments_info.append(
-            dict(category_id=int(oid % INSTANCE_OFFSET) + 1,
-                 id=int(rgb2id(np.asarray([r, g, b], np.uint8))))
-        )
+    out_bgr, segments_info, kept, _ = paint_panoptic(
+        pan_ori, res["rel_results"]["object_id_list"], seed=seed
+    )
     ok, png = cv2.imencode(".png", out_bgr)
     assert ok
     return dict(
-        object_id_list=[int(o) for o in oids],
-        relations=[[int(s), int(o), int(r) + 1]
-                   for s, o, r in res["rel_results"]["relation"]],
+        object_id_list=kept,
+        relations=relations_1indexed(res["rel_results"]["relation"]),
         relation_scores=[float(s) for s in res.get("rel_scores", [])],
         segments_info=segments_info,
         pan_seg_png=base64.b64encode(png.tobytes()).decode("ascii"),

@@ -98,16 +98,33 @@ def _parse_cfg_value(val: str):
         parts.append(cur)
         return parts
 
+    def outer_pair(s: str) -> bool:
+        # True iff s is ONE bracket group: the bracket opened at s[0]
+        # closes exactly at s[-1].  '(1,2),(3,4)' is NOT (its first group
+        # closes mid-string) — stripping its outer chars would leave the
+        # unbalanced '1,2),(3,4' and recurse forever.
+        depth = 0
+        for i, ch in enumerate(s):
+            if ch in "[(":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+                if depth == 0:
+                    return i == len(s) - 1
+        return False
+
     def parse(s: str):
         s = s.strip()
-        if s.startswith("[") and s.endswith("]"):
+        if s.startswith("[") and s.endswith("]") and outer_pair(s):
             inner = s[1:-1].strip()
             return [parse(p) for p in split_top(inner)] if inner else []
-        if s.startswith("(") and s.endswith(")"):
+        if s.startswith("(") and s.endswith(")") and outer_pair(s):
             inner = s[1:-1].strip()
             return tuple(parse(p) for p in split_top(inner)) if inner else ()
         if "," in s:
-            return [parse(p) for p in split_top(s)]
+            parts = split_top(s)
+            if len(parts) > 1:
+                return [parse(p) for p in parts]
         return atom(s)
 
     return parse(val)
