@@ -34,6 +34,68 @@ class TestMSDeformAttn:
         want = ms_deform_attn_reference(value, shapes, locs, wts)
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_matches_torch_grid_sample(self, seed):
+        """Independent semantic contract check: the CUDA MSDA kernel the
+        reference depends on (mmcv multi_scale_deform_attn, SURVEY §2.9)
+        is defined as per-level bilinear ``grid_sample`` with zero padding
+        and ``align_corners=False``, weighted-summed over (level, point).
+        Build that directly from torch.nn.functional.grid_sample and
+        compare — validating our op (and transitively the numpy golden)
+        against PyTorch's sampling semantics rather than our own math."""
+        import torch
+        import torch.nn.functional as F
+
+        rng = np.random.default_rng(seed)
+        B, nH, hd, K = 2, 2, 4, 4
+        shapes = [(5, 7), (3, 4), (2, 2)]
+        L = len(shapes)
+        Lv = sum(h * w for h, w in shapes)
+        Lq = 6
+        value = rng.normal(size=(B, Lv, nH, hd)).astype(np.float32)
+        locs = rng.uniform(
+            -0.2, 1.2, size=(B, Lq, nH, L, K, 2)
+        ).astype(np.float32)
+        wts = rng.uniform(size=(B, Lq, nH, L, K)).astype(np.float32)
+        wts /= wts.reshape(B, Lq, nH, -1).sum(-1)[..., None, None]
+
+        # torch reference: split levels, grid_sample each, weighted sum
+        v_t = torch.tensor(value)
+        starts = np.cumsum([0] + [h * w for h, w in shapes])
+        out_t = torch.zeros(B, Lq, nH, hd)
+        for lvl, (h, w) in enumerate(shapes):
+            # [B, Lv_l, nH, hd] -> [B*nH, hd, h, w]
+            vl = (
+                v_t[:, starts[lvl]:starts[lvl + 1]]
+                .permute(0, 2, 3, 1)
+                .reshape(B * nH, hd, h, w)
+            )
+            # normalized [0,1] -> grid_sample's [-1,1] (align_corners=False)
+            g = torch.tensor(locs[:, :, :, lvl]) * 2.0 - 1.0  # [B,Lq,nH,K,2]
+            g = g.permute(0, 2, 1, 3, 4).reshape(B * nH, Lq, K, 2)
+            s = F.grid_sample(
+                vl, g, mode="bilinear", padding_mode="zeros",
+                align_corners=False,
+            )  # [B*nH, hd, Lq, K]
+            wl = (
+                torch.tensor(wts[:, :, :, lvl])
+                .permute(0, 2, 1, 3)
+                .reshape(B * nH, 1, Lq, K)
+            )
+            out_t += (
+                (s * wl).sum(-1)
+                .reshape(B, nH, hd, Lq)
+                .permute(0, 3, 1, 2)
+            )
+        want = out_t.reshape(B, Lq, nH * hd).numpy()
+
+        got = np.asarray(
+            jax.jit(lambda v, l, w: ms_deform_attn(v, shapes, l, w))(
+                value, locs, wts
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
     def test_center_sample_identity(self):
         """Sampling exactly at a pixel center returns that pixel's value."""
         h, w, hd = 4, 4, 8

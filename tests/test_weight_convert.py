@@ -530,6 +530,317 @@ class TestOpenSeedConvert:
         assert "param counts:" in rep
         assert "ckpt_level_strides" in rep
 
+    def test_encoder_layer_matches_torch_golden(self):
+        """VALUE-level converter parity for the riskiest piece: one
+        deformable encoder layer.  An independent torch mirror of the
+        canonical Deformable-DETR encoder layer (grid_sample-based MSDA,
+        post-norm residuals — the semantics of the CUDA module the
+        reference depends on, SURVEY §2.9) consumes the synthetic
+        checkpoint tensors directly in CHECKPOINT level order
+        (32, 16, 8, 64); our flax layer consumes them through
+        ``convert_openseed`` in internal order (8, 16, 32, 64).  Outputs
+        must agree token-for-token after level-block reordering — this
+        exercises `_msda`'s level permutation, every weight transpose,
+        bias mapping, softmax-over-(L·K), offset normalization, and the
+        LayerNorm placements, none of which the structural tests see."""
+        import torch
+        import torch.nn.functional as F
+
+        from openpsg_tpu.models.segmenter.deform_layers import (
+            DeformableEncoderLayer,
+            make_reference_points,
+        )
+        from openpsg_tpu.models.segmenter.weight_convert import convert_openseed
+
+        cfg = self._cfg()
+        nH, K, C = 8, cfg.num_points, cfg.dim
+        state = synthetic_openseed_state(cfg)
+
+        # randomize the encoder-layer tensors the synthetic state zeros/ones
+        # out (biases, norm scales): zeros can't catch a dropped or
+        # transposed bias/scale mapping
+        rng = np.random.default_rng(7)
+        base = "sem_seg_head.pixel_decoder.transformer.encoder.layers.0"
+        for k in list(state):
+            if k.startswith(base) and (
+                k.endswith(".bias")
+                or ".norm" in k and k.endswith(".weight")
+            ):
+                state[k] = rng.normal(
+                    scale=0.5, size=state[k].shape
+                ).astype(np.float32)
+        # keep sampling offsets small so samples stay mostly in-bounds
+        state[base + ".self_attn.sampling_offsets.weight"] *= 0.05
+        state[base + ".self_attn.sampling_offsets.bias"] *= 0.2
+
+        params, _ = convert_openseed(state, cfg)
+        layer0 = jax.tree_util.tree_map(
+            lambda a: a[0], params["pixel_decoder"]["layers"]["layer"]
+        )
+
+        # geometry: image 96x128 -> internal strides (8, 16, 32, 64)
+        shapes_int = [(12, 16), (6, 8), (3, 4), (2, 2)]
+        stride_of = {(12, 16): 8, (6, 8): 16, (3, 4): 32, (2, 2): 64}
+        ckpt_strides = (32, 16, 8, 64)
+        shapes_ckpt = [
+            next(s for s in shapes_int if stride_of[s] == st)
+            for st in ckpt_strides
+        ]
+        L = len(shapes_int)
+
+        # per-level src/pos token blocks, shared between both orders
+        blocks = {
+            stride_of[s]: (
+                rng.normal(size=(s[0] * s[1], C)).astype(np.float32),
+                rng.normal(size=(s[0] * s[1], C)).astype(np.float32),
+                np.asarray(make_reference_points([s])),
+            )
+            for s in shapes_int
+        }
+        cat = lambda shapes, i: np.concatenate(
+            [blocks[stride_of[s]][i] for s in shapes], 0
+        )
+        src_int, pos_int, ref_int = (cat(shapes_int, i) for i in range(3))
+        src_ck, pos_ck, ref_ck = (cat(shapes_ckpt, i) for i in range(3))
+
+        # ---- torch mirror (checkpoint level order) ----
+        tt = lambda k: torch.tensor(state[base + k])
+        lin = lambda x, k: x @ tt(k + ".weight").T + tt(k + ".bias")
+        ln = lambda x, k: F.layer_norm(
+            x, (C,), tt(k + ".weight"), tt(k + ".bias"), eps=1e-5
+        )
+        src_t = torch.tensor(src_ck)
+        q = src_t + torch.tensor(pos_ck)
+        Lq = src_t.shape[0]
+        hd = C // nH
+        v = lin(src_t, ".self_attn.value_proj")
+        off = lin(q, ".self_attn.sampling_offsets").reshape(Lq, nH, L, K, 2)
+        att = lin(q, ".self_attn.attention_weights").reshape(Lq, nH, L * K)
+        att = torch.softmax(att, -1).reshape(Lq, nH, L, K)
+        normalizer = torch.tensor(
+            [(w, h) for (h, w) in shapes_ckpt], dtype=torch.float32
+        )
+        ref_t = torch.tensor(ref_ck)
+        loc = (
+            ref_t[:, None, None, None, :]
+            + off / normalizer[None, None, :, None, :]
+        )
+        starts = np.cumsum([0] + [h * w for h, w in shapes_ckpt])
+        attn_out = torch.zeros(Lq, nH, hd)
+        for lvl, (h, w) in enumerate(shapes_ckpt):
+            vl = (
+                v[starts[lvl]:starts[lvl + 1]]
+                .reshape(h, w, nH, hd)
+                .permute(2, 3, 0, 1)
+            )                                             # [nH, hd, h, w]
+            g = (loc[:, :, lvl] * 2.0 - 1.0).permute(1, 0, 2, 3)  # [nH,Lq,K,2]
+            sm = F.grid_sample(
+                vl, g, mode="bilinear", padding_mode="zeros",
+                align_corners=False,
+            )                                             # [nH, hd, Lq, K]
+            wl = att[:, :, lvl].permute(1, 0, 2)[:, None]  # [nH, 1, Lq, K]
+            attn_out += (sm * wl).sum(-1).permute(2, 0, 1)
+        h1 = ln(src_t + lin(attn_out.reshape(Lq, C), ".self_attn.output_proj"),
+                ".norm1")
+        h2 = ln(h1 + lin(torch.relu(lin(h1, ".linear1")), ".linear2"), ".norm2")
+        want_ck = h2.numpy()
+
+        # ---- our layer (internal order, converted weights) ----
+        layer = DeformableEncoderLayer(C, nH, L, K, cfg.ffn_hidden)
+        got_int = np.asarray(
+            jax.jit(
+                lambda p, s, r, pe: layer.apply(
+                    {"params": p}, s, tuple(shapes_int), r, pe
+                )
+            )(layer0, src_int, ref_int, pos_int)
+        )
+
+        # reorder our internal-order output into checkpoint level order
+        starts_int = np.cumsum([0] + [h * w for h, w in shapes_int])
+        idx_of = {stride_of[s]: i for i, s in enumerate(shapes_int)}
+        got_ck = np.concatenate(
+            [
+                got_int[starts_int[idx_of[st]]:starts_int[idx_of[st] + 1]]
+                for st in ckpt_strides
+            ],
+            0,
+        )
+        np.testing.assert_allclose(got_ck, want_ck, rtol=2e-4, atol=2e-4)
+
+    def test_decoder_layer_matches_torch_golden(self):
+        """Same VALUE-level torch-mirror treatment for one query-decoder
+        refinement round (deformable-DETR/MaskDINO DecoderLayer order:
+        self-attn→norm2, box-scaled deformable cross-attn→norm1,
+        FFN→norm3, bbox delta on inverse-sigmoid boxes).  Exercises
+        `_mha_from_inproj` (in_proj q/k/v split + head reshapes), the
+        off/K*wh*0.5 box-reference scaling, gen_sineembed([y,x,w,h]) +
+        shared ref_point_head tiling, and the per-layer bbox MLP map."""
+        import torch
+        import torch.nn.functional as F
+
+        from openpsg_tpu.models.segmenter.decoder import DecoderLayer
+        from openpsg_tpu.models.segmenter.weight_convert import convert_openseed
+
+        cfg = self._cfg()
+        nH, K, C = 8, cfg.num_points, cfg.dim
+        state = synthetic_openseed_state(cfg)
+
+        rng = np.random.default_rng(11)
+        pr = "sem_seg_head.predictor."
+        base = pr + "decoder.layers.0"
+        for k in list(state):
+            if (
+                k.startswith(base)
+                or k.startswith(pr + "decoder.ref_point_head")
+                or k.startswith(pr + "bbox_embed.0")
+            ) and (
+                k.endswith(".bias") or k.endswith("_bias")
+                or ".norm" in k and k.endswith(".weight")
+            ):
+                state[k] = rng.normal(
+                    scale=0.5, size=state[k].shape
+                ).astype(np.float32)
+        state[base + ".cross_attn.sampling_offsets.weight"] *= 0.05
+        state[base + ".cross_attn.sampling_offsets.bias"] *= 0.2
+        # keep the box delta small so refined boxes stay interior (the
+        # inverse-sigmoid clip at 1e-5 never engages on either side)
+        state[pr + "bbox_embed.0.layers.2.weight"] *= 0.1
+
+        params, _ = convert_openseed(state, cfg)
+        layer0 = jax.tree_util.tree_map(
+            lambda a: a[0], params["decoder"]["layers"]
+        )
+
+        shapes_int = [(12, 16), (6, 8), (3, 4), (2, 2)]
+        stride_of = {(12, 16): 8, (6, 8): 16, (3, 4): 32, (2, 2): 64}
+        ckpt_strides = (32, 16, 8, 64)
+        shapes_ckpt = [
+            next(s for s in shapes_int if stride_of[s] == st)
+            for st in ckpt_strides
+        ]
+        L = len(shapes_int)
+        mem_blocks = {
+            stride_of[s]: rng.normal(size=(s[0] * s[1], C)).astype(np.float32)
+            for s in shapes_int
+        }
+        mem_int = np.concatenate([mem_blocks[stride_of[s]] for s in shapes_int], 0)
+        mem_ck = np.concatenate([mem_blocks[stride_of[s]] for s in shapes_ckpt], 0)
+
+        Q = 10
+        queries = rng.normal(size=(Q, C)).astype(np.float32)
+        boxes = np.concatenate(
+            [
+                rng.uniform(0.3, 0.7, size=(Q, 2)),
+                rng.uniform(0.1, 0.3, size=(Q, 2)),
+            ],
+            -1,
+        ).astype(np.float32)
+
+        # ---- torch mirror ----
+        tq = torch.tensor(queries)
+        tb = torch.tensor(boxes)
+        tt = lambda k: torch.tensor(state[pr + k])
+        lin = lambda x, k: x @ tt(k + ".weight").T + tt(k + ".bias")
+        ln = lambda x, k: F.layer_norm(
+            x, (C,), tt(k + ".weight"), tt(k + ".bias"), eps=1e-5
+        )
+
+        def sine1d(v, half):  # DAB gen_sineembed: interleaved sin/cos
+            dim_t = 10000.0 ** (
+                2.0 * (torch.arange(half, dtype=torch.float64) // 2) / half
+            )
+            ang = (v.double() * 2.0 * np.pi) / dim_t
+            out = torch.empty(v.shape[0], half, dtype=torch.float64)
+            out[:, 0::2] = torch.sin(ang[:, 0::2])
+            out[:, 1::2] = torch.cos(ang[:, 1::2])
+            return out
+
+        half = C // 2
+        sine = torch.cat(
+            [sine1d(tb[:, i:i + 1], half) for i in (1, 0, 2, 3)], -1
+        ).float()                                          # [Q, 2C] (y,x,w,h)
+        qpos = lin(
+            torch.relu(lin(sine, "decoder.ref_point_head.layers.0")),
+            "decoder.ref_point_head.layers.1",
+        )
+
+        # self-attention (torch nn.MultiheadAttention semantics)
+        inw, inb = tt("decoder.layers.0.self_attn.in_proj_weight"), tt(
+            "decoder.layers.0.self_attn.in_proj_bias"
+        )
+        qk = tq + qpos
+        qh = (qk @ inw[:C].T + inb[:C]).reshape(Q, nH, C // nH)
+        kh = (qk @ inw[C:2 * C].T + inb[C:2 * C]).reshape(Q, nH, C // nH)
+        vh = (tq @ inw[2 * C:].T + inb[2 * C:]).reshape(Q, nH, C // nH)
+        att = torch.softmax(
+            torch.einsum("qhd,khd->hqk", qh, kh) / np.sqrt(C // nH), -1
+        )
+        sa = torch.einsum("hqk,khd->qhd", att, vh).reshape(Q, C)
+        sa = lin(sa, "decoder.layers.0.self_attn.out_proj")
+        tq1 = ln(tq + sa, "decoder.layers.0.norm2")
+
+        # deformable cross-attention with box references
+        q2 = tq1 + qpos
+        v = lin(torch.tensor(mem_ck), "decoder.layers.0.cross_attn.value_proj")
+        off = lin(q2, "decoder.layers.0.cross_attn.sampling_offsets").reshape(
+            Q, nH, L, K, 2
+        )
+        aw = lin(q2, "decoder.layers.0.cross_attn.attention_weights").reshape(
+            Q, nH, L * K
+        )
+        aw = torch.softmax(aw, -1).reshape(Q, nH, L, K)
+        loc = (
+            tb[:, None, None, None, :2]
+            + off / K * tb[:, None, None, None, 2:] * 0.5
+        )
+        starts = np.cumsum([0] + [h * w for h, w in shapes_ckpt])
+        hd = C // nH
+        ca = torch.zeros(Q, nH, hd)
+        for lvl, (h, w) in enumerate(shapes_ckpt):
+            vl = (
+                v[starts[lvl]:starts[lvl + 1]]
+                .reshape(h, w, nH, hd)
+                .permute(2, 3, 0, 1)
+            )
+            g = (loc[:, :, lvl] * 2.0 - 1.0).permute(1, 0, 2, 3)
+            sm = F.grid_sample(
+                vl, g, mode="bilinear", padding_mode="zeros",
+                align_corners=False,
+            )
+            wl = aw[:, :, lvl].permute(1, 0, 2)[:, None]
+            ca += (sm * wl).sum(-1).permute(2, 0, 1)
+        ca = lin(ca.reshape(Q, C), "decoder.layers.0.cross_attn.output_proj")
+        tq2 = ln(tq1 + ca, "decoder.layers.0.norm1")
+
+        ff = lin(torch.relu(lin(tq2, "decoder.layers.0.linear1")),
+                 "decoder.layers.0.linear2")
+        tq3 = ln(tq2 + ff, "decoder.layers.0.norm3")
+
+        delta = lin(
+            torch.relu(
+                lin(torch.relu(lin(tq3, "bbox_embed.0.layers.0")),
+                    "bbox_embed.0.layers.1")
+            ),
+            "bbox_embed.0.layers.2",
+        )
+        want_boxes = torch.sigmoid(
+            torch.log(tb / (1.0 - tb)) + delta
+        ).numpy()
+        want_q = tq3.numpy()
+
+        # ---- ours ----
+        layer = DecoderLayer(
+            C, nH, L, K, cfg.ffn_hidden, spatial_shapes=tuple(shapes_int)
+        )
+        (got_q, got_boxes, _), _ = jax.jit(
+            lambda p, q, b, m: layer.apply({"params": p}, (q, b, m), None)
+        )(layer0, queries, boxes, mem_int)
+
+        np.testing.assert_allclose(np.asarray(got_q), want_q, rtol=3e-4, atol=3e-4)
+        np.testing.assert_allclose(
+            np.asarray(got_boxes), want_boxes, rtol=3e-4, atol=3e-4
+        )
+
     def test_lang_tower_structure(self):
         from openpsg_tpu.models.commons.text_encoder import (
             BertStyleConfig,
