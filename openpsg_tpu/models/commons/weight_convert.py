@@ -87,9 +87,20 @@ def convert_bert(
         "bias": stack(lambda i: lw(i, "output.LayerNorm.bias")),
     }
 
+    pos = g("embeddings.position_embeddings.weight")[: cfg.max_len]
+    tt_key = prefix + "embeddings.token_type_embeddings.weight"
+    if tt_key in state:
+        # HF BERT adds token_type_embeddings[token_type_ids] alongside the
+        # position table before the embedding LayerNorm.  The reference only
+        # ever feeds single-segment input (token_type_ids = 0 throughout
+        # bert_wrapper.py), so fold segment-0's row into the position table —
+        # exactly equivalent there, and required for value parity: row 0 of a
+        # trained BERT's token-type table is NOT zero.
+        pos = pos + np.asarray(state[tt_key])[0][None]
+
     return {
         "word_embed": {"embedding": g("embeddings.word_embeddings.weight")},
-        "pos_embed": g("embeddings.position_embeddings.weight")[: cfg.max_len],
+        "pos_embed": pos,
         "embed_ln": {
             "scale": g("embeddings.LayerNorm.weight"),
             "bias": g("embeddings.LayerNorm.bias"),

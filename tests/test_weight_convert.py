@@ -1009,3 +1009,115 @@ class TestSwinHFGolden:
         (out,) = ours.apply({"params": params}, jnp.asarray(img))
         got = np.asarray(out).reshape(-1, out.shape[-1])
         np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
+class TestLlamaHFGolden:
+    def test_logits_match_hf_llama(self):
+        """Value-level LLM parity: a randomly-initialized HF
+        LlamaForCausalLM's full logits match our scanned Llama through
+        convert_llama.  This is the test that pins the RoPE convention
+        (HF rotate-half vs interleaved — a silent-quality killer with
+        real Llama-2 weights, reference head_v4 loads meta-llama via HF,
+        relation_transformer_head_v4.py:99-105), the GQA head mapping
+        (num_key_value_heads < num_heads), RMSNorm eps placement, and
+        every projection transpose."""
+        import torch
+        from transformers import LlamaConfig as HFLlamaConfig
+        from transformers import LlamaForCausalLM
+
+        torch.manual_seed(0)
+        hf = LlamaForCausalLM(HFLlamaConfig(
+            vocab_size=97, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            rms_norm_eps=1e-5, rope_theta=10000.0,
+            attention_bias=False, attention_dropout=0.0,
+            tie_word_embeddings=False,
+        )).eval()
+        state = {k: v.numpy() for k, v in hf.state_dict().items()}
+
+        cfg = LlamaConfig(
+            vocab_size=97, dim=32, n_layers=2, n_heads=4, n_kv_heads=2,
+            ffn_hidden=64, max_seq_len=64, dtype=jnp.float32,
+        )
+        params = convert_llama(state, cfg, dtype=jnp.float32)
+        model = LlamaWithEmbeddings(cfg)
+
+        B, L = 2, 11
+        rng = np.random.default_rng(3)
+        ids = rng.integers(0, 97, size=(B, L)).astype(np.int32)
+        with torch.no_grad():
+            want = hf(input_ids=torch.tensor(ids, dtype=torch.long)).logits.numpy()
+
+        got, _ = jax.jit(
+            lambda p, i: model.apply(
+                p, token_ids=i,
+                attention_mask=jnp.ones((B, L), bool),
+                positions=jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None], (B, L)),
+            )
+        )(params, jnp.asarray(ids))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+class TestBertHFGolden:
+    def test_outputs_match_hf_bertmodel(self):
+        """Value-level text-tower parity vs HF BertModel (the v1/v2 heads
+        wrap bert-base-uncased, bert_wrapper.py).  Covers the token-type
+        segment-0 fold (HF adds token_type_embeddings[0] to every
+        single-segment position — dropped would be silently wrong with
+        trained weights), post-LN placement, exact-erf GELU, LN eps 1e-12,
+        and the pooler.  HF computes outputs for padded QUERY positions
+        (its mask only hides keys) while ours masks both — compare valid
+        positions only."""
+        import torch
+        from transformers import BertConfig as HFBertConfig
+        from transformers import BertModel
+
+        from openpsg_tpu.models.commons.text_encoder import (
+            BertStyleConfig,
+            BertStyleEncoder,
+        )
+        from openpsg_tpu.models.commons.weight_convert import convert_bert
+
+        torch.manual_seed(0)
+        hf = BertModel(HFBertConfig(
+            vocab_size=97, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=64,
+            max_position_embeddings=48, type_vocab_size=2,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            hidden_act="gelu", layer_norm_eps=1e-12,
+        )).eval()
+        state = {k: v.numpy() for k, v in hf.state_dict().items()}
+
+        cfg = BertStyleConfig(
+            hidden_size=32, num_layers=2, num_heads=4, intermediate=64,
+            vocab_size=97, max_len=48,
+        )
+        params = convert_bert(state, cfg)
+        enc = BertStyleEncoder(cfg)
+
+        B, L, valid = 2, 9, 6
+        rng = np.random.default_rng(5)
+        ids = rng.integers(0, 97, size=(B, L)).astype(np.int32)
+        mask = np.zeros((B, L), bool)
+        mask[:, :valid] = True
+        with torch.no_grad():
+            out = hf(
+                input_ids=torch.tensor(ids, dtype=torch.long),
+                attention_mask=torch.tensor(mask.astype(np.int64)),
+            )
+        want_h = out.last_hidden_state.numpy()
+        want_pool = out.pooler_output.numpy()
+
+        got_h = np.asarray(enc.apply(
+            {"params": params}, token_ids=jnp.asarray(ids),
+            attention_mask=jnp.asarray(mask),
+        ))
+        got_pool = np.asarray(enc.apply(
+            {"params": params}, token_ids=jnp.asarray(ids),
+            attention_mask=jnp.asarray(mask), pool=True,
+        ))
+        np.testing.assert_allclose(
+            got_h[:, :valid], want_h[:, :valid], rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(got_pool, want_pool, rtol=1e-4, atol=1e-5)
