@@ -372,8 +372,21 @@ def _build_m2f_family(cfg, model_cfg, head_dict, tpu, rng, class_names,
             embedding_size=model_cfg.get("text_embedding_size", 1536),
         )
 
-    return PSGMask2FormerRelation(
+    model = PSGMask2FormerRelation(
         mcfg, rng, class_names=class_names,
         relation_names=relations or None, num_things=num_things,
         text_kv=text_kv,
     )
+    # converted mmdet Mask2Former trunk.  `segmenter_pretrained_path` is our
+    # spelling; the reference's `load_from` (baseline_r50.py:3) points at the
+    # raw mmdet .pth, which load_segmenter_weights also accepts directly.
+    seg_path = model_cfg.get("segmenter_pretrained_path") or cfg.get("load_from")
+    if seg_path:
+        import os
+
+        if os.path.exists(str(seg_path)):
+            model.load_segmenter_weights(str(seg_path))
+        else:
+            print(f"[builder] segmenter checkpoint {seg_path!r} not found — "
+                  "using random segmenter init")
+    return model

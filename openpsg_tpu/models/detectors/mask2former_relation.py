@@ -163,6 +163,42 @@ class PSGMask2FormerRelation:
         self.params = self._init_params(rng)
 
     # ------------------------------------------------------------------ init
+    def load_segmenter_weights(self, path: str) -> None:
+        """Load converted Mask2Former trunk weights (the reference's
+        ``load_from`` of mmdet's published COCO-panoptic checkpoint,
+        configs/psg/baseline_r50.py:3).
+
+        Accepts the ``segmenter.msgpack`` written by
+        tools/convert_mask2former.py, or a raw mmdet ``.pth`` converted
+        on the fly."""
+        import numpy as np
+
+        if path.endswith((".pt", ".pth")):
+            import torch
+
+            from openpsg_tpu.models.segmenter.weight_convert import (
+                convert_mask2former,
+            )
+
+            state = torch.load(path, map_location="cpu", weights_only=False)
+            if isinstance(state, dict) and "state_dict" in state:
+                state = state["state_dict"]
+            state = {k: np.asarray(v) for k, v in state.items()}
+            params = convert_mask2former(state, self.segmenter.cfg)
+            tree = {"params": params}
+            jax.tree_util.tree_map(   # structure check vs initialized tree
+                lambda a, b: None, tree,
+                jax.tree_util.tree_map(np.asarray, self.params["segmenter"]),
+            )
+        else:
+            from flax import serialization
+
+            with open(path, "rb") as f:
+                tree = serialization.from_bytes(
+                    self.params["segmenter"], f.read()
+                )
+        self.params["segmenter"] = jax.tree_util.tree_map(jnp.asarray, tree)
+
     def _model_hw(self) -> Tuple[int, int]:
         return tuple(self.cfg.input_hw) if self.cfg.input_hw else (1344, 1344)
 

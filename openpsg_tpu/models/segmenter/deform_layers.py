@@ -30,6 +30,27 @@ def make_reference_points(spatial_shapes: Sequence[Tuple[int, int]]) -> np.ndarr
     return np.concatenate(pts, 0).astype(np.float32)
 
 
+def make_cumsum_points(spatial_shapes: Sequence[Tuple[int, int]]) -> np.ndarray:
+    """Normalized (x, y) coords in the d2/mmdet ``PositionEmbeddingSine``
+    convention: cumsum over an unpadded mask → pixel i maps to
+    ``(i+1)/(H+1e-6)`` (detectron2 position_encoding.py / mmdet
+    SinePositionalEncoding with normalize=True, offset=0).  Used for sine
+    POSITION EMBEDDINGS only — deformable-attention reference points stay
+    at pixel centers (Deformable-DETR get_reference_points linspace): the
+    two conventions genuinely differ in the reference stacks, and trained
+    checkpoints bake in the difference."""
+    eps = 1e-6
+    pts = []
+    for (h, w) in spatial_shapes:
+        ys, xs = np.meshgrid(
+            (np.arange(h) + 1.0) / (h + eps),
+            (np.arange(w) + 1.0) / (w + eps),
+            indexing="ij",
+        )
+        pts.append(np.stack([xs, ys], -1).reshape(-1, 2))
+    return np.concatenate(pts, 0).astype(np.float32)
+
+
 class MSDeformAttnLayer(nn.Module):
     """Learned-offset multi-scale deformable attention."""
 

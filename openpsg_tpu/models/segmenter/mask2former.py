@@ -54,6 +54,10 @@ class Mask2FormerSegmenter(nn.Module):
         c = self.cfg
         if c.backbone == "r50":
             feats = ResNet(dtype=c.dtype, name="backbone")(image)
+        elif c.backbone == "tiny_r50":
+            # test-scale ResNet with the full key schema (converter tests)
+            feats = ResNet(depths=(1, 1, 1, 1), base_ch=8, dtype=c.dtype,
+                           name="backbone")(image)
         elif c.backbone == "swin_t":
             feats = SwinTransformer(dtype=c.dtype, name="backbone")(image)
         elif c.backbone == "swin_b":

@@ -24,7 +24,7 @@ from flax import linen as nn
 
 from openpsg_tpu.models.segmenter.deform_layers import (
     MLP,
-    make_reference_points,
+    make_cumsum_points,
     sine_pos_embed,
 )
 
@@ -41,9 +41,13 @@ class _MaskedDecoderLayer(nn.Module):
         keys, key_valid, key_pos, mf_lvl = level_inputs  # [P,C],[P],[P,C],[P,Dm]
         Q = queries.shape[0]
 
-        # current mask prediction gates cross-attention
+        # current mask prediction gates cross-attention.  mmdet computes the
+        # gate from post_norm(query) (Mask2FormerHead._forward_head applies
+        # transformer_decoder.post_norm before mask_embed); gate_norm is the
+        # per-layer copy of that shared norm (the converter broadcasts it).
+        gated = nn.LayerNorm(dtype=self.dtype, name="gate_norm")(queries)
         mask_embed = MLP(self.dim, self.mask_dim, layers=3,
-                         dtype=self.dtype, name="mask_head")(queries)
+                         dtype=self.dtype, name="mask_head")(gated)
         attn_gate = jnp.einsum(
             "qc,pc->qp", mask_embed.astype(jnp.float32),
             mf_lvl.astype(jnp.float32),
@@ -65,9 +69,12 @@ class _MaskedDecoderLayer(nn.Module):
         )(q, inputs_k=kv, inputs_v=keys[None], mask=attn_mask[:, None])
         queries = nn.LayerNorm(dtype=self.dtype, name="ln_cross")(queries + h[0])
 
+        # self-attn adds query_pos to q AND k, value stays plain (mmcv
+        # MultiheadAttention semantics in DetrTransformerDecoderLayer)
+        sq = (queries + qpos)[None]
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=self.dtype, name="self_attn"
-        )(queries[None], inputs_k=queries[None], inputs_v=queries[None])
+        )(sq, inputs_k=sq, inputs_v=queries[None])
         queries = nn.LayerNorm(dtype=self.dtype, name="ln_self")(queries + h[0])
 
         f = nn.Dense(self.ffn_hidden, dtype=self.dtype, name="ffn_up")(queries)
@@ -104,7 +111,7 @@ class Mask2FormerDecoder(nn.Module):
         for lvl, (h, w) in enumerate(spatial_shapes):
             sl = jax.lax.slice_in_dim(memory, start, start + h * w, axis=0)
             pe = sine_pos_embed(
-                jnp.asarray(make_reference_points([(h, w)])), C
+                jnp.asarray(make_cumsum_points([(h, w)])), C
             ).astype(self.dtype)
             lvl_embed = self.param(
                 f"level_embed{lvl}", nn.initializers.normal(1.0), (C,)
@@ -119,7 +126,12 @@ class Mask2FormerDecoder(nn.Module):
             mfs.append(jnp.pad(mf_lvl, ((0, pad), (0, 0))))
             start += h * w
 
-        order = [i % len(spatial_shapes) for i in range(self.num_layers)]
+        # round-robin from the COARSEST level (Mask2Former feeds scales
+        # low→high resolution: layer 0 attends stride 32, then 16, then 8 —
+        # mmdet Mask2FormerHead.forward level_idx over multi_scale_memorys
+        # which are ordered coarse-first); our spatial_shapes are fine-first
+        L = len(spatial_shapes)
+        order = [L - 1 - (i % L) for i in range(self.num_layers)]
         level_inputs = (
             jnp.stack([keys[i] for i in order]),
             jnp.stack([valids[i] for i in order]),

@@ -19,6 +19,7 @@ from flax import linen as nn
 
 from openpsg_tpu.models.segmenter.deform_layers import (
     DeformableEncoderLayer,
+    make_cumsum_points,
     make_reference_points,
     sine_pos_embed,
 )
@@ -82,7 +83,10 @@ class PixelDecoder(nn.Module):
         for i in range(len(levels), self.total_levels):
             # extra low-res level: 3x3 stride-2 conv (first from raw res5,
             # subsequent ones from the previous extra level)
+            # explicit torch-style padding: SAME would pad (0, 1) on even
+            # dims (a one-pixel shift vs the checkpoint's Conv2d padding=1)
             t = nn.Conv(self.dim, (3, 3), strides=(2, 2), use_bias=True,
+                        padding=[(1, 1), (1, 1)],
                         dtype=self.dtype, name=f"input_proj{i}")(prev)
             t = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name=f"input_norm{i}")(t)
             tokens.append(t)
@@ -95,8 +99,10 @@ class PixelDecoder(nn.Module):
         )
         pos = []
         for i, t in enumerate(tokens):
+            # pos embeds use the cumsum coordinate convention, NOT pixel
+            # centers — trained d2/mmdet checkpoints bake in the difference
             p = sine_pos_embed(
-                jnp.asarray(make_reference_points([spatial_shapes[i]])), self.dim
+                jnp.asarray(make_cumsum_points([spatial_shapes[i]])), self.dim
             )
             pos.append(
                 p.astype(self.dtype) + level_embed[i][None, :].astype(self.dtype)

@@ -168,3 +168,46 @@ class TestMaskOps:
         out = np.asarray(masks_from_idmap(idmap, ids))
         np.testing.assert_array_equal(out[0], np.asarray(idmap) == 2)
         np.testing.assert_array_equal(out[1], np.asarray(idmap) == 1)
+
+
+class TestSinePosEmbed:
+    def test_matches_d2_position_embedding_sine(self):
+        """The pixel/query decoders' key position embeddings must match
+        d2/mmdet ``PositionEmbeddingSine(normalize=True)`` exactly —
+        trained Mask2Former/OpenSeeD checkpoints bake in its cumsum
+        coordinate convention ((i+1)/(H+1e-6), NOT pixel centers) and its
+        interleaved sin/cos layout.  Torch mirror written independently
+        from the published formula (detectron2 position_encoding.py;
+        mmdet SinePositionalEncoding offset=0)."""
+        import torch
+
+        from openpsg_tpu.models.segmenter.deform_layers import (
+            make_cumsum_points,
+            sine_pos_embed,
+        )
+
+        h, w, dim = 5, 7, 16
+        half = dim // 2
+
+        not_mask = torch.ones(1, h, w)
+        y_embed = not_mask.cumsum(1, dtype=torch.float32)
+        x_embed = not_mask.cumsum(2, dtype=torch.float32)
+        eps, scale = 1e-6, 2 * np.pi
+        y_embed = y_embed / (y_embed[:, -1:, :] + eps) * scale
+        x_embed = x_embed / (x_embed[:, :, -1:] + eps) * scale
+        dim_t = torch.arange(half, dtype=torch.float32)
+        dim_t = 10000.0 ** (2 * torch.div(dim_t, 2, rounding_mode="floor") / half)
+        pos_x = x_embed[:, :, :, None] / dim_t
+        pos_y = y_embed[:, :, :, None] / dim_t
+        pos_x = torch.stack(
+            (pos_x[:, :, :, 0::2].sin(), pos_x[:, :, :, 1::2].cos()), dim=4
+        ).flatten(3)
+        pos_y = torch.stack(
+            (pos_y[:, :, :, 0::2].sin(), pos_y[:, :, :, 1::2].cos()), dim=4
+        ).flatten(3)
+        want = torch.cat((pos_y, pos_x), dim=3).numpy()[0].reshape(h * w, dim)
+
+        got = np.asarray(
+            sine_pos_embed(jnp.asarray(make_cumsum_points([(h, w)])), dim)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

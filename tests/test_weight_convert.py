@@ -1121,3 +1121,282 @@ class TestBertHFGolden:
             got_h[:, :valid], want_h[:, :valid], rtol=1e-4, atol=1e-5
         )
         np.testing.assert_allclose(got_pool, want_pool, rtol=1e-4, atol=1e-5)
+
+
+def synthetic_mmdet_m2f_state(dim=32, enc=2, dec=3, Q=10, ffn=64,
+                              num_classes=8, base_ch=8, seed=0):
+    """Synthetic checkpoint with the canonical mmdet Mask2Former key schema
+    (tiny_r50 backbone geometry; see convert_mask2former docstring)."""
+    rng = np.random.default_rng(seed)
+    nH, L, K = 8, 3, 4
+    lin = lambda o, i: rng.normal(scale=0.1, size=(o, i)).astype(np.float32)
+    vec = lambda n: rng.normal(scale=0.5, size=(n,)).astype(np.float32)
+    s = {}
+
+    def bn(base, c):
+        s[base + ".weight"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        s[base + ".bias"] = vec(c)
+        s[base + ".running_mean"] = vec(c)
+        s[base + ".running_var"] = rng.uniform(0.5, 2.0, c).astype(np.float32)
+        s[base + ".num_batches_tracked"] = np.asarray(100, np.int64)
+
+    # backbone: tiny r50, depths (1,1,1,1)
+    s["backbone.conv1.weight"] = rng.normal(
+        scale=0.1, size=(base_ch, 3, 7, 7)).astype(np.float32)
+    bn("backbone.bn1", base_ch)
+    ch, inp = base_ch, base_ch
+    for st in range(4):
+        p = f"backbone.layer{st + 1}.0."
+        s[p + "conv1.weight"] = rng.normal(scale=0.1, size=(ch, inp, 1, 1)).astype(np.float32)
+        bn(p + "bn1", ch)
+        s[p + "conv2.weight"] = rng.normal(scale=0.1, size=(ch, ch, 3, 3)).astype(np.float32)
+        bn(p + "bn2", ch)
+        s[p + "conv3.weight"] = rng.normal(scale=0.1, size=(4 * ch, ch, 1, 1)).astype(np.float32)
+        bn(p + "bn3", 4 * ch)
+        s[p + "downsample.0.weight"] = rng.normal(scale=0.1, size=(4 * ch, inp, 1, 1)).astype(np.float32)
+        bn(p + "downsample.1", 4 * ch)
+        inp = 4 * ch
+        ch *= 2
+
+    # pixel decoder: input convs coarse-first (strides 32, 16, 8)
+    pd = "panoptic_head.pixel_decoder."
+    in_chs = {32: base_ch * 32, 16: base_ch * 16, 8: base_ch * 8}
+    for j, stride in enumerate((32, 16, 8)):
+        s[pd + f"input_convs.{j}.conv.weight"] = rng.normal(
+            scale=0.1, size=(dim, in_chs[stride], 1, 1)).astype(np.float32)
+        s[pd + f"input_convs.{j}.conv.bias"] = vec(dim)
+        s[pd + f"input_convs.{j}.gn.weight"] = rng.uniform(0.5, 1.5, dim).astype(np.float32)
+        s[pd + f"input_convs.{j}.gn.bias"] = vec(dim)
+    for l in range(enc):
+        b = pd + f"encoder.layers.{l}."
+        s[b + "attentions.0.sampling_offsets.weight"] = lin(nH * L * K * 2, dim) * 0.5
+        s[b + "attentions.0.sampling_offsets.bias"] = vec(nH * L * K * 2) * 0.2
+        s[b + "attentions.0.attention_weights.weight"] = lin(nH * L * K, dim)
+        s[b + "attentions.0.attention_weights.bias"] = vec(nH * L * K)
+        s[b + "attentions.0.value_proj.weight"] = lin(dim, dim)
+        s[b + "attentions.0.value_proj.bias"] = vec(dim)
+        s[b + "attentions.0.output_proj.weight"] = lin(dim, dim)
+        s[b + "attentions.0.output_proj.bias"] = vec(dim)
+        s[b + "ffns.0.layers.0.0.weight"] = lin(ffn, dim)
+        s[b + "ffns.0.layers.0.0.bias"] = vec(ffn)
+        s[b + "ffns.0.layers.1.weight"] = lin(dim, ffn)
+        s[b + "ffns.0.layers.1.bias"] = vec(dim)
+        for n in (0, 1):
+            s[b + f"norms.{n}.weight"] = rng.uniform(0.5, 1.5, dim).astype(np.float32)
+            s[b + f"norms.{n}.bias"] = vec(dim)
+    s[pd + "level_encoding.weight"] = rng.normal(size=(3, dim)).astype(np.float32)
+    c2 = base_ch * 4
+    s[pd + "lateral_convs.0.conv.weight"] = rng.normal(
+        scale=0.1, size=(dim, c2, 1, 1)).astype(np.float32)
+    s[pd + "lateral_convs.0.gn.weight"] = rng.uniform(0.5, 1.5, dim).astype(np.float32)
+    s[pd + "lateral_convs.0.gn.bias"] = vec(dim)
+    s[pd + "output_convs.0.conv.weight"] = rng.normal(
+        scale=0.1, size=(dim, dim, 3, 3)).astype(np.float32)
+    s[pd + "output_convs.0.gn.weight"] = rng.uniform(0.5, 1.5, dim).astype(np.float32)
+    s[pd + "output_convs.0.gn.bias"] = vec(dim)
+    s[pd + "mask_feature.weight"] = rng.normal(
+        scale=0.1, size=(dim, dim, 1, 1)).astype(np.float32)
+    s[pd + "mask_feature.bias"] = vec(dim)
+
+    # query decoder
+    ph = "panoptic_head."
+    for l in range(dec):
+        b = ph + f"transformer_decoder.layers.{l}."
+        for a in (0, 1):
+            s[b + f"attentions.{a}.attn.in_proj_weight"] = lin(3 * dim, dim)
+            s[b + f"attentions.{a}.attn.in_proj_bias"] = vec(3 * dim)
+            s[b + f"attentions.{a}.attn.out_proj.weight"] = lin(dim, dim)
+            s[b + f"attentions.{a}.attn.out_proj.bias"] = vec(dim)
+        s[b + "ffns.0.layers.0.0.weight"] = lin(ffn, dim)
+        s[b + "ffns.0.layers.0.0.bias"] = vec(ffn)
+        s[b + "ffns.0.layers.1.weight"] = lin(dim, ffn)
+        s[b + "ffns.0.layers.1.bias"] = vec(dim)
+        for n in (0, 1, 2):
+            s[b + f"norms.{n}.weight"] = rng.uniform(0.5, 1.5, dim).astype(np.float32)
+            s[b + f"norms.{n}.bias"] = vec(dim)
+    s[ph + "transformer_decoder.post_norm.weight"] = rng.uniform(0.5, 1.5, dim).astype(np.float32)
+    s[ph + "transformer_decoder.post_norm.bias"] = vec(dim)
+    s[ph + "query_embed.weight"] = rng.normal(size=(Q, dim)).astype(np.float32)
+    s[ph + "query_feat.weight"] = rng.normal(size=(Q, dim)).astype(np.float32)
+    s[ph + "level_embed.weight"] = rng.normal(size=(3, dim)).astype(np.float32)
+    s[ph + "cls_embed.weight"] = lin(num_classes + 1, dim)
+    s[ph + "cls_embed.bias"] = vec(num_classes + 1)
+    for i in (0, 2, 4):
+        s[ph + f"mask_embed.{i}.weight"] = lin(dim, dim)
+        s[ph + f"mask_embed.{i}.bias"] = vec(dim)
+    return s
+
+
+class TestMask2FormerConvert:
+    def _cfg(self):
+        from openpsg_tpu.models.segmenter.mask2former import Mask2FormerConfig
+
+        return Mask2FormerConfig(
+            backbone="tiny_r50", dim=32, mask_dim=32, num_queries=10,
+            enc_layers=2, dec_layers=3, ffn_hidden=64, num_classes=8,
+        )
+
+    def test_structure_matches_init(self):
+        from openpsg_tpu.models.segmenter.mask2former import Mask2FormerSegmenter
+        from openpsg_tpu.models.segmenter.weight_convert import convert_mask2former
+        from openpsg_tpu.models.llm.weight_convert import verify_structure
+
+        cfg = self._cfg()
+        params = convert_mask2former(synthetic_mmdet_m2f_state(), cfg)
+        model = Mask2FormerSegmenter(cfg)
+        img = jnp.zeros((64, 64, 3), jnp.float32)
+        init = jax.eval_shape(lambda k: model.init(k, img), jax.random.PRNGKey(0))
+        verify_structure({"params": params}, init)
+
+    def test_converted_trunk_runs(self):
+        from openpsg_tpu.models.segmenter.mask2former import Mask2FormerSegmenter
+        from openpsg_tpu.models.segmenter.weight_convert import convert_mask2former
+
+        cfg = self._cfg()
+        params = convert_mask2former(synthetic_mmdet_m2f_state(), cfg)
+        model = Mask2FormerSegmenter(cfg)
+        img = jnp.asarray(
+            np.random.default_rng(0).normal(size=(64, 64, 3)), jnp.float32
+        )
+        out = jax.jit(lambda p, x: model.apply({"params": p}, x))(params, img)
+        assert out["cls_logits"].shape == (10, 9)
+        assert out["masks"].shape == (10, 16, 16)
+        for v in jax.tree_util.tree_leaves(out):
+            assert np.isfinite(np.asarray(v)).all()
+
+    def test_strict_unmapped_key_raises(self):
+        from openpsg_tpu.models.segmenter.weight_convert import convert_mask2former
+
+        state = synthetic_mmdet_m2f_state()
+        state["panoptic_head.mystery.weight"] = np.zeros(3, np.float32)
+        with pytest.raises(ValueError, match="unmapped"):
+            convert_mask2former(state, self._cfg())
+
+    def test_masked_decoder_layer_matches_torch_golden(self):
+        """The converted masked-attention decoder layer must match an
+        independent torch mirror of mmdet's DetrTransformerDecoderLayer
+        semantics token-for-token: gate = post_norm -> mask_embed MLP ->
+        logit>0 (sigmoid>=0.5) with all-empty fallback, cross-attn
+        q=query+query_pos / k=key+key_pos / v=key, self-attn
+        q=k=x+query_pos / v=x, post-norm residuals ('cross_attn','norm',
+        'self_attn','norm','ffn','norm')."""
+        import torch
+        import torch.nn.functional as F
+
+        from openpsg_tpu.models.segmenter.mask2former_decoder import (
+            _MaskedDecoderLayer,
+        )
+        from openpsg_tpu.models.segmenter.weight_convert import convert_mask2former
+
+        state = synthetic_mmdet_m2f_state()
+        params = convert_mask2former(state, self._cfg())
+        layer0 = jax.tree_util.tree_map(
+            lambda a: a[0], params["decoder"]["layers"]
+        )
+
+        C, nH, Q, P = 32, 8, 10, 24
+        rng = np.random.default_rng(11)
+        queries = rng.normal(size=(Q, C)).astype(np.float32)
+        keys = rng.normal(size=(P, C)).astype(np.float32)
+        key_pos = rng.normal(size=(P, C)).astype(np.float32)
+        mf_lvl = rng.normal(size=(P, C)).astype(np.float32)
+        key_valid = np.ones(P, bool)
+
+        # ---- torch mirror ----
+        b = "panoptic_head.transformer_decoder.layers.0."
+        t = lambda k: torch.tensor(state[k])
+        ln = lambda x, k: F.layer_norm(x, (C,), t(k + ".weight"), t(k + ".bias"))
+        tq = torch.tensor(queries)
+        qpos = torch.tensor(state["panoptic_head.query_embed.weight"])
+        tk, tkp, tmf = map(torch.tensor, (keys, key_pos, mf_lvl))
+
+        # gate from post_norm -> shared mask_embed MLP
+        gz = ln(tq, "panoptic_head.transformer_decoder.post_norm")
+        for i in (0, 2, 4):
+            gz = gz @ t(f"panoptic_head.mask_embed.{i}.weight").T + t(
+                f"panoptic_head.mask_embed.{i}.bias"
+            )
+            if i != 4:
+                gz = torch.relu(gz)
+        allowed = (gz @ tmf.T) > 0.0
+        empty = ~allowed.any(dim=1)
+        allowed[empty] = True
+
+        def mha(idx, q, k, v, mask=None):
+            iw, ib = t(b + f"attentions.{idx}.attn.in_proj_weight"), t(
+                b + f"attentions.{idx}.attn.in_proj_bias"
+            )
+            ow, ob = t(b + f"attentions.{idx}.attn.out_proj.weight"), t(
+                b + f"attentions.{idx}.attn.out_proj.bias"
+            )
+            out, _ = F.multi_head_attention_forward(
+                q[:, None, :],                     # [L, B=1, C]
+                k[:, None, :], v[:, None, :],
+                C, nH, iw, ib, None, None, False, 0.0, ow, ob,
+                training=False, need_weights=False,
+                attn_mask=(~mask if mask is not None else None),
+            )
+            return out[:, 0]
+
+        ca = mha(0, tq + qpos, tk + tkp, tk, allowed)
+        x = ln(tq + ca, b + "norms.0")
+        sa = mha(1, x + qpos, x + qpos, x)
+        x = ln(x + sa, b + "norms.1")
+        f1 = torch.relu(x @ t(b + "ffns.0.layers.0.0.weight").T
+                        + t(b + "ffns.0.layers.0.0.bias"))
+        f2 = f1 @ t(b + "ffns.0.layers.1.weight").T + t(b + "ffns.0.layers.1.bias")
+        want = ln(x + f2, b + "norms.2").numpy()
+
+        # ---- ours ----
+        layer = _MaskedDecoderLayer(C, nH, 64, C)
+        (got, _) = jax.jit(
+            lambda p, q, li: layer.apply({"params": p}, q, li)
+        )(layer0, jnp.asarray(queries),
+          (jnp.asarray(keys), jnp.asarray(key_valid),
+           jnp.asarray(key_pos), jnp.asarray(mf_lvl)))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)
+
+    def test_detector_loads_raw_mmdet_pth(self, tmp_path):
+        """End-to-end loading surface: a raw mmdet .pth (with the
+        {'state_dict': ...} wrapper the published checkpoints use)
+        converts on the fly into a live PSGMask2FormerRelation — the
+        reference's `load_from` flow (baseline_r50.py:3)."""
+        import dataclasses
+
+        import torch
+
+        from openpsg_tpu.models.detectors.mask2former_relation import (
+            M2FRelationConfig,
+            PSGMask2FormerRelation,
+        )
+
+        state = synthetic_mmdet_m2f_state(num_classes=8)
+        p = tmp_path / "m2f.pth"
+        torch.save(
+            {"state_dict": {k: torch.tensor(v) for k, v in state.items()
+                            if v.dtype != np.int64},
+             "meta": {"note": "synthetic"}},
+            p,
+        )
+
+        cfg = dataclasses.replace(
+            M2FRelationConfig.tiny_test(), segmenter=self._cfg()
+        )
+        model = PSGMask2FormerRelation(
+            cfg, jax.random.PRNGKey(0),
+            class_names=[f"c{i}" for i in range(8)],
+            relation_names=[f"r{i}" for i in range(6)],
+            num_things=4,
+        )
+        before = np.asarray(jax.tree_util.tree_leaves(
+            model.params["segmenter"])[0]).copy()
+        model.load_segmenter_weights(str(p))
+        after_tree = model.params["segmenter"]["params"]
+        got = np.asarray(after_tree["decoder"]["query_embed"])
+        np.testing.assert_allclose(
+            got, state["panoptic_head.query_feat.weight"], atol=1e-6
+        )
+        assert not np.allclose(
+            before, np.asarray(jax.tree_util.tree_leaves(
+                model.params["segmenter"])[0])
+        ) or before.shape != got.shape
