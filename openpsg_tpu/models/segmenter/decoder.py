@@ -100,6 +100,12 @@ class QueryDecoder(nn.Module):
     ffn_hidden: int = 2048
     mask_dim: int = 256
     proj_dim: int = 512     # language-space width (OpenSeeD DIM_PROJ)
+    # proposal-anchor exponent per level: wh = 0.05 * 2**exp.  MaskDINO
+    # assigns the exponent by ITS level ordering (gen_encoder_output_
+    # proposals), so a converted checkpoint needs the exponents of the
+    # ORIGINAL order (SegmenterConfig.ckpt_level_strides derives these);
+    # None → the internal level index (scratch training).
+    level_wh_exp: Tuple[int, ...] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -130,28 +136,43 @@ class QueryDecoder(nn.Module):
             return (proj @ class_embeds.astype(jnp.float32).T) * jnp.exp(logit_scale)
 
         # ---- two-stage proposals from encoder memory ----
+        # (Deformable-DETR gen_encoder_output_proposals, reused by MaskDINO:
+        # border positions whose proposal coords fall outside (0.01, 0.99)
+        # are invalid — their memory is ZEROED before the enc projection and
+        # their proposal logits filled +inf; all rows still compete in topk,
+        # exactly as the torch code behaves.)
+        import numpy as np
+
+        from openpsg_tpu.models.segmenter.deform_layers import make_reference_points
+
+        centers_np = make_reference_points(spatial_shapes)            # [Lv, 2]
+        wh_exp = self.level_wh_exp or tuple(range(len(spatial_shapes)))
+        base_wh_np = np.concatenate(
+            [
+                np.full((h * w, 2), 0.05, np.float32) * (2.0 ** wh_exp[lvl])
+                for lvl, (h, w) in enumerate(spatial_shapes)
+            ]
+        )
+        base_np = np.concatenate([centers_np, base_wh_np], -1)        # [Lv, 4]
+        valid_np = ((base_np > 0.01) & (base_np < 0.99)).all(-1)      # static
+        valid = jnp.asarray(valid_np)
+        base_boxes = jnp.asarray(base_np)
+
         enc_out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="enc_norm")(
-            nn.Dense(C, dtype=self.dtype, name="enc_proj")(memory)
+            nn.Dense(C, dtype=self.dtype, name="enc_proj")(
+                jnp.where(valid[:, None], memory, 0)
+            )
         )
         enc_cls = class_logits(enc_out)
         enc_score = jnp.max(enc_cls, axis=-1)                          # [Lv]
         _, top_idx = jax.lax.top_k(enc_score, self.num_queries)       # static Q
 
-        from openpsg_tpu.models.segmenter.deform_layers import make_reference_points
-
-        centers = jnp.asarray(make_reference_points(spatial_shapes))  # [Lv, 2]
-        # anchor size 0.05 per level octave (deformable-DETR proposal
-        # generation, reused by MaskDINO)
-        base_wh = jnp.concatenate(
-            [
-                jnp.full((h * w, 2), 0.05, jnp.float32) * (2.0 ** lvl)
-                for lvl, (h, w) in enumerate(spatial_shapes)
-            ]
-        )
-        base_boxes = jnp.concatenate([centers, base_wh], -1)          # [Lv, 4]
         enc_delta = MLP(C, 4, layers=3, dtype=self.dtype, name="enc_box_head")(enc_out)
+        proposal_logits = jnp.where(
+            valid[:, None], inverse_sigmoid(base_boxes), jnp.inf
+        )
         proposal_boxes = jax.nn.sigmoid(
-            inverse_sigmoid(base_boxes) + enc_delta.astype(jnp.float32)
+            proposal_logits + enc_delta.astype(jnp.float32)
         )
 
         queries = jax.lax.stop_gradient(enc_out[top_idx])             # [Q, C]

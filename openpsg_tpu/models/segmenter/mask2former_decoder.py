@@ -120,8 +120,13 @@ class Mask2FormerDecoder(nn.Module):
             keys.append(jnp.pad(sl, ((0, pad), (0, 0))))
             poss.append(jnp.pad(pe + lvl_embed[None], ((0, pad), (0, 0))))
             valids.append(jnp.arange(P) < h * w)
+            # antialias=False: torch F.interpolate semantics — with the
+            # default antialiased kernel this DOWNSCALE diverges from the
+            # reference's gate logits (linearity makes resize-then-dot equal
+            # dot-then-resize, but only for the same resize kernel)
             mf_lvl = jax.image.resize(
-                mask_features, (h, w, mask_features.shape[-1]), method="bilinear"
+                mask_features, (h, w, mask_features.shape[-1]),
+                method="bilinear", antialias=False,
             ).reshape(h * w, -1)
             mfs.append(jnp.pad(mf_lvl, ((0, pad), (0, 0))))
             start += h * w

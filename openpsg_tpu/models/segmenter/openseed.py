@@ -58,6 +58,14 @@ class SegmenterConfig:
     # extra stride-2 downsamples (MaskDINO TOTAL_NUM_FEATURE_LEVELS=4)
     total_levels: int = 4
     proj_dim: int = 512        # language-space projection width (DIM_PROJ)
+    # Level order of the TRAINED checkpoint's deformable-attention axis
+    # (weight_convert.convert_openseed permutes onto our fine-first internal
+    # order).  Also drives the two-stage proposal anchor sizes: MaskDINO's
+    # gen_encoder_output_proposals assigns wh = 0.05 * 2**lvl by ITS level
+    # index, so the anchor a trained model expects at a given stride depends
+    # on this order.  Keep this field and the conversion-time argument in
+    # sync (VALIDATION.md runbook).
+    ckpt_level_strides: Tuple[int, ...] = (32, 16, 8, 64)
     dtype: Any = jnp.float32
 
     @staticmethod
@@ -94,10 +102,17 @@ class OpenSeedSegmenter(nn.Module):
             total_levels=c.total_levels, dtype=c.dtype,
             name="pixel_decoder",
         )(feats)
+        internal_strides = [8, 16, 32] + [64 * (2 ** i)
+                                          for i in range(c.total_levels - 3)]
+        wh_exp = tuple(
+            c.ckpt_level_strides.index(s)
+            for s in internal_strides[: c.total_levels]
+        )
         out = QueryDecoder(
             dim=c.dim, num_queries=c.num_queries, num_layers=c.dec_layers,
             num_points=c.num_points, ffn_hidden=c.ffn_hidden,
-            mask_dim=c.mask_dim, proj_dim=c.proj_dim, dtype=c.dtype,
+            mask_dim=c.mask_dim, proj_dim=c.proj_dim,
+            level_wh_exp=wh_exp, dtype=c.dtype,
             name="decoder",
         )(memory, spatial_shapes, mask_features, class_embeds)
         out["mask_features"] = mask_features

@@ -46,6 +46,15 @@ class _ScannedEncoderLayer(nn.Module):
         return (src, ref, pos_embed), None
 
 
+def _gn32(x, dtype, name):
+    """GroupNorm(32) over a SINGLE [H, W, C] map.  flax GroupNorm treats
+    the leading axis as batch (it would normalize per-row here — torch-GN-
+    incompatible), so normalize with an explicit batch axis."""
+    return nn.GroupNorm(
+        num_groups=32, epsilon=1e-5, dtype=dtype, name=name
+    )(x[None])[0]
+
+
 class PixelDecoder(nn.Module):
     dim: int = 256
     num_layers: int = 6
@@ -77,7 +86,7 @@ class PixelDecoder(nn.Module):
         for i, f in enumerate(levels):
             t = nn.Conv(self.dim, (1, 1), use_bias=True, dtype=self.dtype,
                         name=f"input_proj{i}")(f)
-            t = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name=f"input_norm{i}")(t)
+            t = _gn32(t, self.dtype, f"input_norm{i}")
             tokens.append(t)
         prev = c5
         for i in range(len(levels), self.total_levels):
@@ -88,7 +97,7 @@ class PixelDecoder(nn.Module):
             t = nn.Conv(self.dim, (3, 3), strides=(2, 2), use_bias=True,
                         padding=[(1, 1), (1, 1)],
                         dtype=self.dtype, name=f"input_proj{i}")(prev)
-            t = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name=f"input_norm{i}")(t)
+            t = _gn32(t, self.dtype, f"input_norm{i}")
             tokens.append(t)
             prev = t
         spatial_shapes = tuple((f.shape[0], f.shape[1]) for f in tokens)
@@ -130,14 +139,14 @@ class PixelDecoder(nn.Module):
         enc8 = src[: h8 * w8].reshape(h8, w8, self.dim)
         lat4 = nn.Conv(self.dim, (1, 1), use_bias=False, dtype=self.dtype,
                        name="lateral4")(c2)
-        lat4 = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="lateral4_norm")(lat4)
+        lat4 = _gn32(lat4, self.dtype, "lateral4_norm")
         up = jax.image.resize(
             enc8, (c2.shape[0], c2.shape[1], self.dim), method="bilinear"
         ).astype(self.dtype)
         fused = lat4 + up
         fused = nn.Conv(self.dim, (3, 3), use_bias=False, dtype=self.dtype,
                         name="output4")(fused)
-        fused = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="output4_norm")(fused)
+        fused = _gn32(fused, self.dtype, "output4_norm")
         fused = nn.relu(fused)
         mask_features = nn.Conv(
             self.mask_dim, (1, 1), dtype=self.dtype, name="mask_feature_proj"

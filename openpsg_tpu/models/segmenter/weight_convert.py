@@ -341,7 +341,7 @@ def convert_openseed(
     state: Mapping[str, np.ndarray],
     cfg=None,
     prefix: str = "",
-    ckpt_level_strides: Tuple[int, ...] = (32, 16, 8, 64),
+    ckpt_level_strides: Optional[Tuple[int, ...]] = None,
     ckpt_input_proj_strides: Tuple[int, ...] = (32, 16, 8, 64),
     strict: bool = True,
 ):
@@ -357,6 +357,12 @@ def convert_openseed(
     from openpsg_tpu.models.segmenter.openseed import SegmenterConfig
 
     cfg = cfg or SegmenterConfig()
+    if ckpt_level_strides is None:
+        # default from the config so the weight permutation and the
+        # model-side proposal anchors (decoder level_wh_exp) can't drift
+        ckpt_level_strides = tuple(
+            getattr(cfg, "ckpt_level_strides", (32, 16, 8, 64))
+        )
     g = _Consumed({k[len(prefix):]: v for k, v in state.items()
                    if k.startswith(prefix)})
     nH, K = 8, cfg.num_points

@@ -58,7 +58,8 @@ def downsample_mask_bilinear(masks: jnp.ndarray, out_hw: tuple, threshold: float
     """
     n = masks.shape[0]
     resized = jax.image.resize(
-        masks.astype(jnp.float32), (n,) + tuple(out_hw), method="bilinear"
+        masks.astype(jnp.float32), (n,) + tuple(out_hw), method="bilinear",
+        antialias=False,  # F.interpolate has no antialiasing on downscale
     )
     return resized > threshold
 

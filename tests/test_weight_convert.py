@@ -1400,3 +1400,467 @@ class TestMask2FormerConvert:
             before, np.asarray(jax.tree_util.tree_leaves(
                 model.params["segmenter"])[0])
         ) or before.shape != got.shape
+
+    def test_full_pixel_decoder_matches_torch_golden(self):
+        """GLUE-level value parity: the entire converted PixelDecoder —
+        input 1x1 projections + GroupNorm(32), level-embed add, cumsum
+        sine positions, the deformable encoder stack, and the FPN fusion
+        to stride-4 mask_features — against an independent torch mirror
+        of mmdet's MSDeformAttnPixelDecoder operating in CHECKPOINT
+        (coarse-first) level order.  The layer-level goldens can't see
+        miswired glue (a dropped level embed, GN axis mix-up, FPN conv
+        transpose); this can."""
+        import torch
+        import torch.nn.functional as F
+
+        from openpsg_tpu.models.segmenter.pixel_decoder import PixelDecoder
+        from openpsg_tpu.models.segmenter.weight_convert import convert_mask2former
+
+        state = synthetic_mmdet_m2f_state(enc=2)
+        params = convert_mask2former(state, self._cfg())
+        pdp = params["pixel_decoder"]
+
+        C, nH, K = 32, 8, 4
+        rng = np.random.default_rng(21)
+        # feature maps for a 64x64 image: strides 4/8/16/32
+        chs = (32, 64, 128, 256)
+        hw = ((16, 16), (8, 8), (4, 4), (2, 2))
+        feats = [rng.normal(size=(h, w, c)).astype(np.float32) * 0.5
+                 for (h, w), c in zip(hw, chs)]
+
+        # ---- torch mirror, checkpoint (coarse-first) level order ----
+        pd = "panoptic_head.pixel_decoder."
+        t = lambda k: torch.tensor(state[pd + k])
+        shapes_ck = [(2, 2), (4, 4), (8, 8)]       # strides 32, 16, 8
+        feat_of = {32: feats[3], 16: feats[2], 8: feats[1]}
+        strides_ck = (32, 16, 8)
+
+        def conv(x_nchw, w, b=None, pad=0):
+            return F.conv2d(x_nchw, w, b, padding=pad)
+
+        toks, poss = [], []
+        for j, s in enumerate(strides_ck):
+            x = torch.tensor(feat_of[s].transpose(2, 0, 1))[None]
+            x = conv(x, t(f"input_convs.{j}.conv.weight"),
+                     t(f"input_convs.{j}.conv.bias"))
+            x = F.group_norm(x, 32, t(f"input_convs.{j}.gn.weight"),
+                             t(f"input_convs.{j}.gn.bias"), eps=1e-5)
+            h, w = shapes_ck[j]
+            toks.append(x[0].reshape(C, h * w).T)
+            # d2/mmdet sine positions (cumsum convention), interleaved
+            nm = torch.ones(1, h, w)
+            ye = nm.cumsum(1) / (h + 1e-6) * (2 * np.pi)
+            xe = nm.cumsum(2) / (w + 1e-6) * (2 * np.pi)
+            half = C // 2
+            dim_t = 10000.0 ** (
+                2 * torch.div(torch.arange(half), 2, rounding_mode="floor") / half
+            )
+            px, py = xe[..., None] / dim_t, ye[..., None] / dim_t
+            px = torch.stack((px[..., 0::2].sin(), px[..., 1::2].cos()), -1).flatten(3)
+            py = torch.stack((py[..., 0::2].sin(), py[..., 1::2].cos()), -1).flatten(3)
+            pos = torch.cat((py, px), 3)[0].reshape(h * w, C)
+            poss.append(pos + t("level_encoding.weight")[j])
+        src = torch.cat(toks, 0)
+        pos = torch.cat(poss, 0)
+
+        # reference points at pixel centers, per level, valid_ratios=1
+        refs = []
+        for (h, w) in shapes_ck:
+            ys, xs = np.meshgrid((np.arange(h) + 0.5) / h,
+                                 (np.arange(w) + 0.5) / w, indexing="ij")
+            refs.append(np.stack([xs, ys], -1).reshape(-1, 2))
+        ref = torch.tensor(np.concatenate(refs, 0).astype(np.float32))
+
+        L = 3
+        starts = np.cumsum([0] + [h * w for h, w in shapes_ck])
+        normalizer = torch.tensor([(w, h) for (h, w) in shapes_ck],
+                                  dtype=torch.float32)
+
+        def msda(base, q, v):
+            Lq = q.shape[0]
+            hd = C // nH
+            val = q.new_zeros(Lq, nH, hd)
+            vv = v @ t(base + ".value_proj.weight").T + t(base + ".value_proj.bias")
+            off = (q @ t(base + ".sampling_offsets.weight").T
+                   + t(base + ".sampling_offsets.bias")).reshape(Lq, nH, L, K, 2)
+            aw = (q @ t(base + ".attention_weights.weight").T
+                  + t(base + ".attention_weights.bias")).reshape(Lq, nH, L * K)
+            aw = torch.softmax(aw, -1).reshape(Lq, nH, L, K)
+            loc = ref[:, None, None, None, :] + off / normalizer[None, None, :, None, :]
+            out = torch.zeros(Lq, nH, hd)
+            for lvl, (h, w) in enumerate(shapes_ck):
+                vl = (vv[starts[lvl]:starts[lvl + 1]]
+                      .reshape(h, w, nH, hd).permute(2, 3, 0, 1))  # [nH,hd,h,w]
+                g = loc[:, :, lvl] * 2.0 - 1.0                      # [Lq,nH,K,2]
+                sm = F.grid_sample(vl, g.permute(1, 0, 2, 3),
+                                   mode="bilinear", padding_mode="zeros",
+                                   align_corners=False)             # [nH,hd,Lq,K]
+                out += (sm * aw[:, :, lvl].permute(1, 0, 2)[:, None]).sum(-1).permute(2, 0, 1)
+            return out.reshape(Lq, C) @ t(base + ".output_proj.weight").T + t(
+                base + ".output_proj.bias")
+
+        x = src
+        for l in range(2):
+            b = f"encoder.layers.{l}"
+            a = msda(b + ".attentions.0", x + pos, x)
+            x = F.layer_norm(x + a, (C,), t(b + ".norms.0.weight"),
+                             t(b + ".norms.0.bias"))
+            f1 = torch.relu(x @ t(b + ".ffns.0.layers.0.0.weight").T
+                            + t(b + ".ffns.0.layers.0.0.bias"))
+            f2 = f1 @ t(b + ".ffns.0.layers.1.weight").T + t(b + ".ffns.0.layers.1.bias")
+            x = F.layer_norm(x + f2, (C,), t(b + ".norms.1.weight"),
+                             t(b + ".norms.1.bias"))
+
+        # FPN: stride-8 encoder block up to stride 4
+        h8, w8 = 8, 8
+        enc8 = x[starts[2]:starts[3]].reshape(h8, w8, C).permute(2, 0, 1)[None]
+        lat = torch.tensor(feats[0].transpose(2, 0, 1))[None]
+        lat = conv(lat, t("lateral_convs.0.conv.weight"))
+        lat = F.group_norm(lat, 32, t("lateral_convs.0.gn.weight"),
+                           t("lateral_convs.0.gn.bias"), eps=1e-5)
+        up = F.interpolate(enc8, size=(16, 16), mode="bilinear",
+                           align_corners=False)
+        fused = lat + up
+        fused = conv(fused, t("output_convs.0.conv.weight"), pad=1)
+        fused = F.group_norm(fused, 32, t("output_convs.0.gn.weight"),
+                             t("output_convs.0.gn.bias"), eps=1e-5)
+        fused = torch.relu(fused)
+        mf = conv(fused, t("mask_feature.weight"), t("mask_feature.bias"))
+        want_mf = mf[0].permute(1, 2, 0).numpy()
+
+        # memory in checkpoint order -> internal (fine-first) order
+        blocks = [x[starts[j]:starts[j + 1]].numpy() for j in range(3)]
+        want_mem = np.concatenate([blocks[2], blocks[1], blocks[0]], 0)
+
+        # ---- ours ----
+        pdm = PixelDecoder(dim=C, num_layers=2, ffn_hidden=64, mask_dim=C)
+        mem, shapes, got_mf = jax.jit(
+            lambda p, f: pdm.apply({"params": p}, f)
+        )(pdp, tuple(jnp.asarray(f) for f in feats))
+        assert tuple(shapes) == ((8, 8), (4, 4), (2, 2))
+        np.testing.assert_allclose(np.asarray(mem), want_mem, rtol=3e-4, atol=3e-4)
+        np.testing.assert_allclose(np.asarray(got_mf), want_mf, rtol=3e-4, atol=3e-4)
+
+    def test_full_masked_decoder_matches_torch_golden(self):
+        """GLUE-level value parity for the whole Mask2FormerDecoder: level
+        slicing + padding, coarse→fine round-robin (stride 32 first),
+        per-layer gate thresholds at each level's resolution, shared
+        query_pos/post-norm broadcast, and the final cls/mask heads —
+        against an independent torch mirror of mmdet's
+        Mask2FormerHead.forward loop."""
+        import torch
+        import torch.nn.functional as F
+
+        from openpsg_tpu.models.segmenter.mask2former_decoder import (
+            Mask2FormerDecoder,
+        )
+        from openpsg_tpu.models.segmenter.weight_convert import convert_mask2former
+
+        state = synthetic_mmdet_m2f_state(dec=3)
+        params = convert_mask2former(state, self._cfg())
+
+        C, nH, Q = 32, 8, 10
+        shapes_int = [(8, 8), (4, 4), (2, 2)]     # ours: strides 8, 16, 32
+        rng = np.random.default_rng(31)
+        memory = rng.normal(size=(sum(h * w for h, w in shapes_int), C)
+                            ).astype(np.float32)
+        mask_features = rng.normal(size=(16, 16, C)).astype(np.float32)
+
+        # ---- torch mirror ----
+        ph = "panoptic_head."
+        t = lambda k: torch.tensor(state[ph + k])
+        ln = lambda x, k: F.layer_norm(x, (C,), t(k + ".weight"), t(k + ".bias"))
+        tmf = torch.tensor(mask_features.transpose(2, 0, 1))[None]  # [1,C,16,16]
+        qpos = t("query_embed.weight")
+        x = t("query_feat.weight")
+
+        # per-level keys/pos in OUR memory layout, checkpoint level index
+        # ckpt level j: stride (32,16,8)[j] -> our block (2,1,0)[j]
+        starts = np.cumsum([0] + [h * w for h, w in shapes_int])
+        def level(j):
+            blk = {0: 2, 1: 1, 2: 0}[j]
+            h, w = shapes_int[blk]
+            k = torch.tensor(memory[starts[blk]:starts[blk + 1]])
+            nm = torch.ones(1, h, w)
+            ye = nm.cumsum(1) / (h + 1e-6) * (2 * np.pi)
+            xe = nm.cumsum(2) / (w + 1e-6) * (2 * np.pi)
+            half = C // 2
+            dim_t = 10000.0 ** (
+                2 * torch.div(torch.arange(half), 2, rounding_mode="floor") / half
+            )
+            px, py = xe[..., None] / dim_t, ye[..., None] / dim_t
+            px = torch.stack((px[..., 0::2].sin(), px[..., 1::2].cos()), -1).flatten(3)
+            py = torch.stack((py[..., 0::2].sin(), py[..., 1::2].cos()), -1).flatten(3)
+            pos = torch.cat((py, px), 3)[0].reshape(h * w, C)
+            pos = pos + t("level_embed.weight")[j]
+            return k, pos, (h, w)
+
+        def head_gate(q, size):
+            z = ln(q, "transformer_decoder.post_norm")
+            for i in (0, 2, 4):
+                z = z @ t(f"mask_embed.{i}.weight").T + t(f"mask_embed.{i}.bias")
+                if i != 4:
+                    z = torch.relu(z)
+            mp = torch.einsum("qc,chw->qhw", z, tmf[0])[None]
+            mp = F.interpolate(mp, size=size, mode="bilinear",
+                               align_corners=False)[0]
+            allowed = mp.flatten(1) > 0.0
+            empty = ~allowed.any(1)
+            allowed[empty] = True
+            return allowed
+
+        def mha(base, q, k, v, mask=None):
+            out, _ = F.multi_head_attention_forward(
+                q[:, None, :], k[:, None, :], v[:, None, :],
+                C, nH,
+                t(base + ".attn.in_proj_weight"), t(base + ".attn.in_proj_bias"),
+                None, None, False, 0.0,
+                t(base + ".attn.out_proj.weight"), t(base + ".attn.out_proj.bias"),
+                training=False, need_weights=False,
+                attn_mask=(~mask if mask is not None else None),
+            )
+            return out[:, 0]
+
+        for l in range(3):
+            b = f"transformer_decoder.layers.{l}"
+            k, pos, size = level(l % 3)
+            allowed = head_gate(x, size)
+            ca = mha(b + ".attentions.0", x + qpos, k + pos, k, allowed)
+            x = ln(x + ca, b + ".norms.0")
+            sa = mha(b + ".attentions.1", x + qpos, x + qpos, x)
+            x = ln(x + sa, b + ".norms.1")
+            f1 = torch.relu(x @ t(b + ".ffns.0.layers.0.0.weight").T
+                            + t(b + ".ffns.0.layers.0.0.bias"))
+            f2 = f1 @ t(b + ".ffns.0.layers.1.weight").T + t(b + ".ffns.0.layers.1.bias")
+            x = ln(x + f2, b + ".norms.2")
+
+        dec = ln(x, "transformer_decoder.post_norm")
+        want_cls = (dec @ t("cls_embed.weight").T + t("cls_embed.bias")).numpy()
+        z = dec
+        for i in (0, 2, 4):
+            z = z @ t(f"mask_embed.{i}.weight").T + t(f"mask_embed.{i}.bias")
+            if i != 4:
+                z = torch.relu(z)
+        want_masks = torch.einsum("qc,chw->qhw", z, tmf[0]).numpy()
+        want_q = dec.numpy()
+
+        # ---- ours ----
+        dm = Mask2FormerDecoder(dim=C, num_queries=Q, num_layers=3,
+                                ffn_hidden=64, mask_dim=C, num_classes=8)
+        out = jax.jit(
+            lambda p, m, mf: dm.apply({"params": p}, m, tuple(shapes_int), mf)
+        )(params["decoder"], jnp.asarray(memory), jnp.asarray(mask_features))
+        np.testing.assert_allclose(np.asarray(out["query_embed"]), want_q,
+                                   rtol=3e-4, atol=3e-4)
+        np.testing.assert_allclose(np.asarray(out["cls_logits"]), want_cls,
+                                   rtol=3e-4, atol=3e-4)
+        np.testing.assert_allclose(np.asarray(out["masks"]), want_masks,
+                                   rtol=3e-4, atol=3e-4)
+
+
+class TestQueryDecoderGlueGolden:
+    def test_full_query_decoder_matches_torch_golden(self):
+        """GLUE-level value parity for the MaskDINO two-stage query decoder
+        (the flagship OpenSeeD path): proposal generation with the
+        Deformable-DETR validity rule (border positions outside
+        (0.01, 0.99) get ZEROED memory + inf proposal logits yet still
+        compete in topk), level-order-dependent anchor exponents
+        (wh = 0.05·2^ckpt_lvl), language-space classification
+        (normalize → class_embeds^T → ×exp(logit_scale)), top-k query
+        selection, one refinement round, and the final decoder_norm /
+        class / mask heads — against an independent torch mirror running
+        in CHECKPOINT level order."""
+        import dataclasses as dc
+
+        import torch
+        import torch.nn.functional as F
+
+        from openpsg_tpu.models.segmenter.decoder import QueryDecoder
+        from openpsg_tpu.models.segmenter.openseed import SegmenterConfig
+        from openpsg_tpu.models.segmenter.weight_convert import convert_openseed
+
+        cfg = dc.replace(SegmenterConfig.tiny_test(), total_levels=4,
+                         proj_dim=32, dec_layers=1, num_queries=8)
+        nH, K, C = 8, cfg.num_points, cfg.dim
+        Q = cfg.num_queries
+        state = synthetic_openseed_state(cfg)
+
+        rng = np.random.default_rng(17)
+        pr = "sem_seg_head.predictor."
+        # randomize biases / norm scales so dropped mappings can't hide
+        for k in list(state):
+            if k.startswith(pr) and (
+                k.endswith(".bias")
+                or ".norm" in k and k.endswith(".weight")
+                or k.endswith("enc_output_norm.weight")
+            ):
+                state[k] = rng.normal(scale=0.3, size=state[k].shape).astype(np.float32)
+        state[pr + "decoder.layers.0.cross_attn.sampling_offsets.weight"] *= 0.05
+        # keep enc/box deltas small so refined boxes stay interior
+        for mk in ("bbox_embed.0", "bbox_embed.1"):
+            if pr + mk + ".layers.2.weight" in state:
+                state[pr + mk + ".layers.2.weight"] *= 0.1
+
+        params, _ = convert_openseed(state, cfg)
+
+        # level 0 (stride 8) is 52 rows tall -> its first row's centers are
+        # y=(0.5)/52≈0.0096 < 0.01: INVALID, exercising the border rule
+        shapes_int = [(52, 4), (6, 8), (3, 4), (2, 2)]
+        stride_of = {(52, 4): 8, (6, 8): 16, (3, 4): 32, (2, 2): 64}
+        ckpt_strides = tuple(cfg.ckpt_level_strides)    # (32, 16, 8, 64)
+        shapes_ckpt = [next(s for s in shapes_int if stride_of[s] == st)
+                       for st in ckpt_strides]
+        L = len(shapes_int)
+        blocks = {stride_of[s]: rng.normal(size=(s[0] * s[1], C)).astype(np.float32)
+                  for s in shapes_int}
+        mem_int = np.concatenate([blocks[stride_of[s]] for s in shapes_int], 0)
+        mem_ck = np.concatenate([blocks[stride_of[s]] for s in shapes_ckpt], 0)
+        mask_features = rng.normal(size=(10, 10, cfg.mask_dim)).astype(np.float32)
+        n_cls = 7
+        ce = rng.normal(size=(n_cls, cfg.proj_dim)).astype(np.float32)
+        ce /= np.linalg.norm(ce, axis=-1, keepdims=True)
+
+        # ---- torch mirror (checkpoint level order) ----
+        tt = lambda k: torch.tensor(state[pr + k])
+        lin = lambda x, k: x @ tt(k + ".weight").T + tt(k + ".bias")
+        ln = lambda x, k: F.layer_norm(x, (C,), tt(k + ".weight"),
+                                       tt(k + ".bias"), eps=1e-5)
+        tce = torch.tensor(ce)
+        cls_w = torch.tensor(state[pr + "class_embed"])
+        logit_scale = float(state[pr + "lang_encoder.logit_scale"].reshape(()))
+
+        def class_logits(x):
+            p = x @ cls_w
+            p = p / (p.norm(dim=-1, keepdim=True) + 1e-6)
+            return (p @ tce.T) * np.exp(logit_scale)
+
+        props, valids = [], []
+        for lvl, (h, w) in enumerate(shapes_ckpt):
+            ys, xs = np.meshgrid((np.arange(h) + 0.5) / h,
+                                 (np.arange(w) + 0.5) / w, indexing="ij")
+            ctr = np.stack([xs, ys], -1).reshape(-1, 2)
+            wh = np.full((h * w, 2), 0.05 * 2.0 ** lvl)
+            p = np.concatenate([ctr, wh], -1)
+            props.append(p)
+            valids.append(((p > 0.01) & (p < 0.99)).all(-1))
+        props = torch.tensor(np.concatenate(props, 0).astype(np.float32))
+        valid = torch.tensor(np.concatenate(valids, 0))
+        assert (~valid).sum() == 8    # the stride-8 top AND bottom rows
+        # (y = 0.5/52 ≈ 0.0096 < 0.01 and y = 51.5/52 ≈ 0.9904 > 0.99)
+
+        out_mem = torch.where(valid[:, None], torch.tensor(mem_ck), torch.tensor(0.0))
+        enc_out = ln(lin(out_mem, "enc_output"), "enc_output_norm")
+        scores = class_logits(enc_out).max(-1).values
+        top = torch.topk(scores, Q).indices
+        assert len(torch.unique(scores[top])) == Q    # no ties in selection
+        assert valid[top].all()                       # invalid rows not picked
+
+        n_dec = 1
+        delta = enc_out
+        for j, i in ((0, 0), (1, 1), (2, 2)):
+            delta = lin(delta, f"bbox_embed.{n_dec}.layers.{i}")
+            if i != 2:
+                delta = torch.relu(delta)
+        plog = torch.where(valid[:, None],
+                           torch.log(props / (1.0 - props)),
+                           torch.tensor(float("inf")))
+        prop_boxes = torch.sigmoid(plog + delta)
+
+        tq = enc_out[top]
+        tb = prop_boxes[top]
+
+        # one refinement round (same mirror as the layer golden)
+        def sine1d(v, half):
+            dim_t = 10000.0 ** (
+                2.0 * (torch.arange(half, dtype=torch.float64) // 2) / half)
+            ang = (v.double() * 2.0 * np.pi) / dim_t
+            out = torch.empty(v.shape[0], half, dtype=torch.float64)
+            out[:, 0::2] = torch.sin(ang[:, 0::2])
+            out[:, 1::2] = torch.cos(ang[:, 1::2])
+            return out
+
+        half = C // 2
+        sine = torch.cat([sine1d(tb[:, i:i + 1], half) for i in (1, 0, 2, 3)],
+                         -1).float()
+        qpos = lin(torch.relu(lin(sine, "decoder.ref_point_head.layers.0")),
+                   "decoder.ref_point_head.layers.1")
+
+        inw = tt("decoder.layers.0.self_attn.in_proj_weight")
+        inb = tt("decoder.layers.0.self_attn.in_proj_bias")
+        qk = tq + qpos
+        hd = C // nH
+        qh = (qk @ inw[:C].T + inb[:C]).reshape(Q, nH, hd)
+        kh = (qk @ inw[C:2 * C].T + inb[C:2 * C]).reshape(Q, nH, hd)
+        vh = (tq @ inw[2 * C:].T + inb[2 * C:]).reshape(Q, nH, hd)
+        att = torch.softmax(
+            torch.einsum("qhd,khd->hqk", qh, kh) / np.sqrt(hd), -1)
+        sa = torch.einsum("hqk,khd->qhd", att, vh).reshape(Q, C)
+        sa = lin(sa, "decoder.layers.0.self_attn.out_proj")
+        tq1 = ln(tq + sa, "decoder.layers.0.norm2")
+
+        q2 = tq1 + qpos
+        v = lin(torch.tensor(mem_ck), "decoder.layers.0.cross_attn.value_proj")
+        off = lin(q2, "decoder.layers.0.cross_attn.sampling_offsets").reshape(
+            Q, nH, L, K, 2)
+        aw = lin(q2, "decoder.layers.0.cross_attn.attention_weights").reshape(
+            Q, nH, L * K)
+        aw = torch.softmax(aw, -1).reshape(Q, nH, L, K)
+        loc = (tb[:, None, None, None, :2]
+               + off / K * tb[:, None, None, None, 2:] * 0.5)
+        starts = np.cumsum([0] + [h * w for h, w in shapes_ckpt])
+        ca = torch.zeros(Q, nH, hd)
+        for lvl, (h, w) in enumerate(shapes_ckpt):
+            vl = (v[starts[lvl]:starts[lvl + 1]]
+                  .reshape(h, w, nH, hd).permute(2, 3, 0, 1))
+            g = (loc[:, :, lvl] * 2.0 - 1.0).permute(1, 0, 2, 3)
+            sm = F.grid_sample(vl, g, mode="bilinear", padding_mode="zeros",
+                               align_corners=False)
+            wl = aw[:, :, lvl].permute(1, 0, 2)[:, None]
+            ca += (sm * wl).sum(-1).permute(2, 0, 1)
+        ca = lin(ca.reshape(Q, C), "decoder.layers.0.cross_attn.output_proj")
+        tq2 = ln(tq1 + ca, "decoder.layers.0.norm1")
+        ff = lin(torch.relu(lin(tq2, "decoder.layers.0.linear1")),
+                 "decoder.layers.0.linear2")
+        tq3 = ln(tq2 + ff, "decoder.layers.0.norm3")
+        bdelta = tq3
+        for i in (0, 1, 2):
+            bdelta = lin(bdelta, f"bbox_embed.0.layers.{i}")
+            if i != 2:
+                bdelta = torch.relu(bdelta)
+        want_boxes = torch.sigmoid(torch.log(tb / (1.0 - tb)) + bdelta).numpy()
+
+        dec = ln(tq3, "decoder_norm")
+        want_cls = class_logits(dec).numpy()
+        z = dec
+        for i in (0, 1, 2):
+            z = lin(z, f"mask_embed.layers.{i}")
+            if i != 2:
+                z = torch.relu(z)
+        want_masks = torch.einsum(
+            "qc,hwc->qhw", z, torch.tensor(mask_features)).numpy()
+        want_q = dec.numpy()
+
+        # ---- ours (internal fine-first order; wh exponents via the knob) ----
+        internal_strides = [8, 16, 32, 64]
+        wh_exp = tuple(ckpt_strides.index(s) for s in internal_strides)
+        qd = QueryDecoder(
+            dim=C, num_queries=Q, num_layers=1, num_points=K,
+            ffn_hidden=cfg.ffn_hidden, mask_dim=cfg.mask_dim,
+            proj_dim=cfg.proj_dim, level_wh_exp=wh_exp,
+        )
+        out = jax.jit(
+            lambda p, m, mf, c: qd.apply(
+                {"params": p}, m, tuple(shapes_int), mf, c)
+        )(params["decoder"], jnp.asarray(mem_int),
+          jnp.asarray(mask_features), jnp.asarray(ce))
+
+        np.testing.assert_allclose(np.asarray(out["query_embed"]), want_q,
+                                   rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(out["cls_logits"]), want_cls,
+                                   rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(out["boxes"]), want_boxes,
+                                   rtol=5e-4, atol=5e-4)
+        # mask logits reach ~1e3 here (synthetic unit-scale weights);
+        # near-cancelling elements need an absolute floor scaled to that
+        np.testing.assert_allclose(np.asarray(out["masks"]), want_masks,
+                                   rtol=1e-3, atol=0.05)
