@@ -59,34 +59,67 @@ def _route_compiles_to_big_stack_thread():
 
         if getattr(_compiler, "_openpsg_big_stack", False):
             return
+        import queue as _queue
+
         orig = _compiler.compile_or_get_cached
-        lock = threading.Lock()
+        jobs: "_queue.Queue" = _queue.Queue()
+        started = threading.Event()
+        start_lock = threading.Lock()
+
+        def worker():
+            while True:
+                fn, out, done = jobs.get()
+                try:
+                    out.append((True, fn()))
+                except BaseException as e:  # re-raised on the caller
+                    out.append((False, e))
+                finally:
+                    done.set()
+
+        def ensure_worker():
+            # ONE persistent 2 GB-stack worker for every compile / cache
+            # (de)serialization.  A fresh thread per compile (the previous
+            # design) creates and destroys hundreds of 1-2 GB stack
+            # mappings per test run; full-suite runs then SIGSEGVed
+            # deterministically inside deserialize_executable /
+            # pthread_getattr_np (write fault at a 32-bit-truncated stack
+            # address — an address-space-layout-sensitive glibc/XLA
+            # interaction, 2026-08).  One long-lived mapping sidesteps the
+            # churn, and 2 GB covers XLA's per-instruction recursion on
+            # the biggest segmenter programs.
+            if started.is_set():
+                return
+            with start_lock:
+                if started.is_set():
+                    return
+                old = threading.stack_size(2 << 30)
+                try:
+                    t = threading.Thread(
+                        target=worker, name="xla-compile-big-stack",
+                        daemon=True,
+                    )
+                    t.start()
+                finally:
+                    threading.stack_size(old)
+                started.set()
 
         def patched(*args, **kwargs):
             backend = kwargs.get("backend", args[0] if args else None)
             if backend is not None:
                 _ensure_cache_dir(backend)
-            result, error = [], []
-
-            def run():
-                try:
-                    result.append(orig(*args, **kwargs))
-                except BaseException as e:  # re-raised on the caller
-                    error.append(e)
-
-            with lock:   # threading.stack_size is process-global
-                old = threading.stack_size(1 << 30)
-                try:
-                    t = threading.Thread(
-                        target=run, name="xla-compile-big-stack"
-                    )
-                    t.start()
-                finally:
-                    threading.stack_size(old)
-            t.join()
-            if error:
-                raise error[0]
-            return result[0]
+            # reentrancy guard: a nested compile issued FROM the worker
+            # would deadlock the single-thread queue — run it inline
+            # (already on the big stack)
+            if threading.current_thread().name == "xla-compile-big-stack":
+                return orig(*args, **kwargs)
+            ensure_worker()
+            out, done = [], threading.Event()
+            jobs.put((lambda: orig(*args, **kwargs), out, done))
+            done.wait()
+            ok, val = out[0]
+            if not ok:
+                raise val
+            return val
 
         patched.__wrapped__ = orig
         _compiler.compile_or_get_cached = patched

@@ -1864,3 +1864,56 @@ class TestQueryDecoderGlueGolden:
         # near-cancelling elements need an absolute floor scaled to that
         np.testing.assert_allclose(np.asarray(out["masks"]), want_masks,
                                    rtol=1e-3, atol=0.05)
+
+
+def test_mmdet_swin_patch_merge_permutation_golden():
+    """mmdet's PatchMerging gathers the 2x2 patch with nn.Unfold
+    (channel-major, kernel positions row-major) while MS/HF Swin
+    concatenates position-major slices (00, 10, 01, 11); the converter
+    permutes the reduction/norm input columns between the two.  Golden:
+    an unfold-based torch mirror with the RAW mmdet weights must equal
+    the MS-style concat computed with the PERMUTED weights."""
+    import torch
+    import torch.nn.functional as F
+
+    from openpsg_tpu.models.segmenter.weight_convert import (
+        mmdet_swin_state_to_ms,
+    )
+
+    rng = np.random.default_rng(9)
+    H = W = 6
+    Cin = 8
+    x = rng.normal(size=(H, W, Cin)).astype(np.float32)
+    state = {
+        "backbone.stages.0.downsample.reduction.weight":
+            rng.normal(size=(2 * Cin, 4 * Cin)).astype(np.float32),
+        "backbone.stages.0.downsample.norm.weight":
+            rng.uniform(0.5, 1.5, 4 * Cin).astype(np.float32),
+        "backbone.stages.0.downsample.norm.bias":
+            rng.normal(size=(4 * Cin,)).astype(np.float32),
+    }
+
+    # torch mirror: mmcv PatchMerging forward (unfold -> norm -> reduce)
+    xt = torch.tensor(x.transpose(2, 0, 1))[None]           # [1,C,H,W]
+    unf = F.unfold(xt, kernel_size=2, stride=2)             # [1,4C,L]
+    unf = unf.transpose(1, 2)[0]                            # [L, 4C]
+    nrm = F.layer_norm(
+        unf, (4 * Cin,),
+        torch.tensor(state["backbone.stages.0.downsample.norm.weight"]),
+        torch.tensor(state["backbone.stages.0.downsample.norm.bias"]),
+    )
+    want = (nrm @ torch.tensor(
+        state["backbone.stages.0.downsample.reduction.weight"]).T).numpy()
+
+    # MS-style concat with the converter's permuted weights
+    ms = mmdet_swin_state_to_ms(state)
+    x0 = x[0::2, 0::2]; x1 = x[1::2, 0::2]
+    x2 = x[0::2, 1::2]; x3 = x[1::2, 1::2]
+    cat = np.concatenate([x0, x1, x2, x3], -1).reshape(-1, 4 * Cin)
+    w = ms["layers.0.downsample.norm.weight"]
+    b = ms["layers.0.downsample.norm.bias"]
+    mu = cat.mean(-1, keepdims=True)
+    var = cat.var(-1, keepdims=True)
+    nrm2 = (cat - mu) / np.sqrt(var + 1e-5) * w + b
+    got = nrm2 @ ms["layers.0.downsample.reduction.weight"].T
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
