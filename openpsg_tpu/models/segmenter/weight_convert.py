@@ -778,9 +778,13 @@ def convert_mask2former(
     pixel_decoder: Dict[str, Any] = {}
     for i, s in enumerate(internal_strides):
         j = ckpt_level_strides.index(s)
+        kern = _conv(g(pd + f"input_convs.{j}.conv.weight"))
+        # mmdet's input ConvModules set bias=True explicitly despite the
+        # following GN, but guard against norm-implies-no-bias variants
+        b = g.opt(pd + f"input_convs.{j}.conv.bias")
         pixel_decoder[f"input_proj{i}"] = {
-            "kernel": _conv(g(pd + f"input_convs.{j}.conv.weight")),
-            "bias": g(pd + f"input_convs.{j}.conv.bias"),
+            "kernel": kern,
+            "bias": b if b is not None else np.zeros(kern.shape[-1], np.float32),
         }
         pixel_decoder[f"input_norm{i}"] = _gn(g, pd + f"input_convs.{j}.gn")
     pixel_decoder["level_embed"] = g(pd + "level_encoding.weight")[
