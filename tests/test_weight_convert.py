@@ -419,6 +419,30 @@ class TestOpenSeedConvert:
         assert out["mask_features"].shape == (16, 16, cfg.mask_dim)
         assert np.isfinite(np.asarray(out["cls_logits"])).all()
 
+    def test_swin_backbone_structure_matches_init(self):
+        """The mmdet-Swin branch end to end: rename map + patch-merge
+        permutation + out-norm mapping through mmdet_swin_state_to_ms →
+        convert_swin, landing on the exact param tree of the tiny Swin
+        preset (only the merge permutation itself has a value golden;
+        this pins the full key surface)."""
+        import dataclasses as dc
+
+        from openpsg_tpu.models.segmenter.mask2former import (
+            Mask2FormerConfig,
+            Mask2FormerSegmenter,
+        )
+        from openpsg_tpu.models.segmenter.weight_convert import convert_mask2former
+        from openpsg_tpu.models.llm.weight_convert import verify_structure
+
+        cfg = dc.replace(self._cfg(), backbone="tiny")
+        params = convert_mask2former(
+            synthetic_mmdet_m2f_state(backbone="swin"), cfg
+        )
+        model = Mask2FormerSegmenter(cfg)
+        img = jnp.zeros((64, 64, 3), jnp.float32)
+        init = jax.eval_shape(lambda k: model.init(k, img), jax.random.PRNGKey(0))
+        verify_structure({"params": params}, init)
+
     def test_strict_unmapped_key_raises(self):
         from openpsg_tpu.models.segmenter.weight_convert import convert_openseed
 
@@ -1124,9 +1148,11 @@ class TestBertHFGolden:
 
 
 def synthetic_mmdet_m2f_state(dim=32, enc=2, dec=3, Q=10, ffn=64,
-                              num_classes=8, base_ch=8, seed=0):
+                              num_classes=8, base_ch=8, seed=0,
+                              backbone="r50"):
     """Synthetic checkpoint with the canonical mmdet Mask2Former key schema
-    (tiny_r50 backbone geometry; see convert_mask2former docstring)."""
+    (tiny_r50 or tiny mmdet-Swin backbone geometry; see the
+    convert_mask2former docstring)."""
     rng = np.random.default_rng(seed)
     nH, L, K = 8, 3, 4
     lin = lambda o, i: rng.normal(scale=0.1, size=(o, i)).astype(np.float32)
@@ -1140,27 +1166,66 @@ def synthetic_mmdet_m2f_state(dim=32, enc=2, dec=3, Q=10, ffn=64,
         s[base + ".running_var"] = rng.uniform(0.5, 2.0, c).astype(np.float32)
         s[base + ".num_batches_tracked"] = np.asarray(100, np.int64)
 
-    # backbone: tiny r50, depths (1,1,1,1)
-    s["backbone.conv1.weight"] = rng.normal(
-        scale=0.1, size=(base_ch, 3, 7, 7)).astype(np.float32)
-    bn("backbone.bn1", base_ch)
-    ch, inp = base_ch, base_ch
-    for st in range(4):
-        p = f"backbone.layer{st + 1}.0."
-        s[p + "conv1.weight"] = rng.normal(scale=0.1, size=(ch, inp, 1, 1)).astype(np.float32)
-        bn(p + "bn1", ch)
-        s[p + "conv2.weight"] = rng.normal(scale=0.1, size=(ch, ch, 3, 3)).astype(np.float32)
-        bn(p + "bn2", ch)
-        s[p + "conv3.weight"] = rng.normal(scale=0.1, size=(4 * ch, ch, 1, 1)).astype(np.float32)
-        bn(p + "bn3", 4 * ch)
-        s[p + "downsample.0.weight"] = rng.normal(scale=0.1, size=(4 * ch, inp, 1, 1)).astype(np.float32)
-        bn(p + "downsample.1", 4 * ch)
-        inp = 4 * ch
-        ch *= 2
+    if backbone == "r50":
+        # tiny r50, depths (1,1,1,1)
+        s["backbone.conv1.weight"] = rng.normal(
+            scale=0.1, size=(base_ch, 3, 7, 7)).astype(np.float32)
+        bn("backbone.bn1", base_ch)
+        ch, inp = base_ch, base_ch
+        for st in range(4):
+            p = f"backbone.layer{st + 1}.0."
+            s[p + "conv1.weight"] = rng.normal(scale=0.1, size=(ch, inp, 1, 1)).astype(np.float32)
+            bn(p + "bn1", ch)
+            s[p + "conv2.weight"] = rng.normal(scale=0.1, size=(ch, ch, 3, 3)).astype(np.float32)
+            bn(p + "bn2", ch)
+            s[p + "conv3.weight"] = rng.normal(scale=0.1, size=(4 * ch, ch, 1, 1)).astype(np.float32)
+            bn(p + "bn3", 4 * ch)
+            s[p + "downsample.0.weight"] = rng.normal(scale=0.1, size=(4 * ch, inp, 1, 1)).astype(np.float32)
+            bn(p + "downsample.1", 4 * ch)
+            inp = 4 * ch
+            ch *= 2
+        in_chs = {32: base_ch * 32, 16: base_ch * 16, 8: base_ch * 8}
+        c2_ch = base_ch * 4
+    else:
+        # tiny mmdet SwinTransformer: embed 16, depths (1,1,1,1),
+        # heads (1,2,2,2), window 4 (the "tiny" preset geometry)
+        E, heads, w = 16, (1, 2, 2, 2), 4
+        s["backbone.patch_embed.projection.weight"] = rng.normal(
+            scale=0.1, size=(E, 3, 4, 4)).astype(np.float32)
+        s["backbone.patch_embed.projection.bias"] = vec(E)
+        s["backbone.patch_embed.norm.weight"] = rng.uniform(0.5, 1.5, E).astype(np.float32)
+        s["backbone.patch_embed.norm.bias"] = vec(E)
+        C = E
+        for st in range(4):
+            p = f"backbone.stages.{st}.blocks.0."
+            for n in ("norm1", "norm2"):
+                s[p + n + ".weight"] = rng.uniform(0.5, 1.5, C).astype(np.float32)
+                s[p + n + ".bias"] = vec(C)
+            s[p + "attn.w_msa.relative_position_bias_table"] = rng.normal(
+                size=((2 * w - 1) ** 2, heads[st])).astype(np.float32)
+            s[p + "attn.w_msa.relative_position_index"] = np.zeros(
+                (w * w, w * w), np.int64)
+            s[p + "attn.w_msa.qkv.weight"] = lin(3 * C, C)
+            s[p + "attn.w_msa.qkv.bias"] = vec(3 * C)
+            s[p + "attn.w_msa.proj.weight"] = lin(C, C)
+            s[p + "attn.w_msa.proj.bias"] = vec(C)
+            s[p + "ffn.layers.0.0.weight"] = lin(4 * C, C)
+            s[p + "ffn.layers.0.0.bias"] = vec(4 * C)
+            s[p + "ffn.layers.1.weight"] = lin(C, 4 * C)
+            s[p + "ffn.layers.1.bias"] = vec(C)
+            s[f"backbone.norm{st}.weight"] = rng.uniform(0.5, 1.5, C).astype(np.float32)
+            s[f"backbone.norm{st}.bias"] = vec(C)
+            if st < 3:
+                d = f"backbone.stages.{st}.downsample."
+                s[d + "norm.weight"] = rng.uniform(0.5, 1.5, 4 * C).astype(np.float32)
+                s[d + "norm.bias"] = vec(4 * C)
+                s[d + "reduction.weight"] = lin(2 * C, 4 * C)
+            C *= 2
+        in_chs = {32: E * 8, 16: E * 4, 8: E * 2}
+        c2_ch = E
 
     # pixel decoder: input convs coarse-first (strides 32, 16, 8)
     pd = "panoptic_head.pixel_decoder."
-    in_chs = {32: base_ch * 32, 16: base_ch * 16, 8: base_ch * 8}
     for j, stride in enumerate((32, 16, 8)):
         s[pd + f"input_convs.{j}.conv.weight"] = rng.normal(
             scale=0.1, size=(dim, in_chs[stride], 1, 1)).astype(np.float32)
@@ -1185,7 +1250,7 @@ def synthetic_mmdet_m2f_state(dim=32, enc=2, dec=3, Q=10, ffn=64,
             s[b + f"norms.{n}.weight"] = rng.uniform(0.5, 1.5, dim).astype(np.float32)
             s[b + f"norms.{n}.bias"] = vec(dim)
     s[pd + "level_encoding.weight"] = rng.normal(size=(3, dim)).astype(np.float32)
-    c2 = base_ch * 4
+    c2 = c2_ch
     s[pd + "lateral_convs.0.conv.weight"] = rng.normal(
         scale=0.1, size=(dim, c2, 1, 1)).astype(np.float32)
     s[pd + "lateral_convs.0.gn.weight"] = rng.uniform(0.5, 1.5, dim).astype(np.float32)
@@ -1263,6 +1328,30 @@ class TestMask2FormerConvert:
         assert out["masks"].shape == (10, 16, 16)
         for v in jax.tree_util.tree_leaves(out):
             assert np.isfinite(np.asarray(v)).all()
+
+    def test_swin_backbone_structure_matches_init(self):
+        """The mmdet-Swin branch end to end: rename map + patch-merge
+        permutation + out-norm mapping through mmdet_swin_state_to_ms →
+        convert_swin, landing on the exact param tree of the tiny Swin
+        preset (only the merge permutation itself has a value golden;
+        this pins the full key surface)."""
+        import dataclasses as dc
+
+        from openpsg_tpu.models.segmenter.mask2former import (
+            Mask2FormerConfig,
+            Mask2FormerSegmenter,
+        )
+        from openpsg_tpu.models.segmenter.weight_convert import convert_mask2former
+        from openpsg_tpu.models.llm.weight_convert import verify_structure
+
+        cfg = dc.replace(self._cfg(), backbone="tiny")
+        params = convert_mask2former(
+            synthetic_mmdet_m2f_state(backbone="swin"), cfg
+        )
+        model = Mask2FormerSegmenter(cfg)
+        img = jnp.zeros((64, 64, 3), jnp.float32)
+        init = jax.eval_shape(lambda k: model.init(k, img), jax.random.PRNGKey(0))
+        verify_structure({"params": params}, init)
 
     def test_strict_unmapped_key_raises(self):
         from openpsg_tpu.models.segmenter.weight_convert import convert_mask2former
