@@ -585,13 +585,18 @@ class PSGv4:
         rel_scores: List[float] = []
         rel_set = set()
 
-        def add(sub, obj, name):
-            if name in self.relation_names:
-                trip = (sub, obj, self.relation_names.index(name))
-                if trip not in rel_set:
-                    rel_set.add(trip)
-                    rel_pred.append(list(trip))
-                    rel_scores.append(1.0)  # reference scores LLM hits 1 (:326)
+        def add(sub, obj, text):
+            # the reference additionally splits a decoded segment on DOUBLE
+            # space (:317) — with the ' {rel} </s>' label format a glued
+            # multi-predicate emission reads 'rel1  rel2'; match each piece
+            for name in text.split("  "):
+                name = name.strip()
+                if name in self.relation_names:
+                    trip = (sub, obj, self.relation_names.index(name))
+                    if trip not in rel_set:
+                        rel_set.add(trip)
+                        rel_pred.append(list(trip))
+                        rel_scores.append(1.0)  # reference scores LLM hits 1 (:326)
 
         for k, si in enumerate(dev["top_pair_idx"]):
             if dev["top_pair_scores"][k] <= 0.0:
