@@ -24,10 +24,11 @@ the deformable cross-attention routes through the gather kernel.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from openpsg_tpu.models.segmenter.deform_layers import (
@@ -105,7 +106,7 @@ class QueryDecoder(nn.Module):
     # proposals), so a converted checkpoint needs the exponents of the
     # ORIGINAL order (SegmenterConfig.ckpt_level_strides derives these);
     # None → the internal level index (scratch training).
-    level_wh_exp: Tuple[int, ...] = None
+    level_wh_exp: Optional[Tuple[int, ...]] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -141,8 +142,6 @@ class QueryDecoder(nn.Module):
         # are invalid — their memory is ZEROED before the enc projection and
         # their proposal logits filled +inf; all rows still compete in topk,
         # exactly as the torch code behaves.)
-        import numpy as np
-
         from openpsg_tpu.models.segmenter.deform_layers import make_reference_points
 
         centers_np = make_reference_points(spatial_shapes)            # [Lv, 2]
