@@ -25,11 +25,10 @@ held-out images.
 The tiny scratch models make the score sensitive to training length
 (±16.7 = one image is trajectory noise, not a regression).  Measured
 with strict grading + tool-path round trip at seg_steps=900:
-R@20 = mR@20 = 83.3 (same as the in-process phase C measured, because
-predicted classes on the held-out images are all correct; the previous
-"strict" claim was grading without labels — VERDICT r2 weak #2/#3), and
-GT-mask upper bound (tools/infer.py --gt-masks) = 100.0 — the one miss
-is segmentation (two adjacent objects merge), not the relation stage.
+R@20 = mR@20 = 100.0, GT-mask upper bound (tools/infer.py --gt-masks)
+also 100.0 (2026-08, after the r3 value-fidelity fixes: GroupNorm batch
+axis, cumsum sine positions, proposal validity masking — before them
+one image's two adjacent objects merged into a single segment, 83.3).
 """
 
 from __future__ import annotations
