@@ -419,30 +419,6 @@ class TestOpenSeedConvert:
         assert out["mask_features"].shape == (16, 16, cfg.mask_dim)
         assert np.isfinite(np.asarray(out["cls_logits"])).all()
 
-    def test_swin_backbone_structure_matches_init(self):
-        """The mmdet-Swin branch end to end: rename map + patch-merge
-        permutation + out-norm mapping through mmdet_swin_state_to_ms →
-        convert_swin, landing on the exact param tree of the tiny Swin
-        preset (only the merge permutation itself has a value golden;
-        this pins the full key surface)."""
-        import dataclasses as dc
-
-        from openpsg_tpu.models.segmenter.mask2former import (
-            Mask2FormerConfig,
-            Mask2FormerSegmenter,
-        )
-        from openpsg_tpu.models.segmenter.weight_convert import convert_mask2former
-        from openpsg_tpu.models.llm.weight_convert import verify_structure
-
-        cfg = dc.replace(self._cfg(), backbone="tiny")
-        params = convert_mask2former(
-            synthetic_mmdet_m2f_state(backbone="swin"), cfg
-        )
-        model = Mask2FormerSegmenter(cfg)
-        img = jnp.zeros((64, 64, 3), jnp.float32)
-        init = jax.eval_shape(lambda k: model.init(k, img), jax.random.PRNGKey(0))
-        verify_structure({"params": params}, init)
-
     def test_strict_unmapped_key_raises(self):
         from openpsg_tpu.models.segmenter.weight_convert import convert_openseed
 
@@ -1328,6 +1304,30 @@ class TestMask2FormerConvert:
         assert out["masks"].shape == (10, 16, 16)
         for v in jax.tree_util.tree_leaves(out):
             assert np.isfinite(np.asarray(v)).all()
+
+    def test_swin_backbone_structure_matches_init(self):
+        """The mmdet-Swin branch end to end: rename map + patch-merge
+        permutation + out-norm mapping through mmdet_swin_state_to_ms →
+        convert_swin, landing on the exact param tree of the tiny Swin
+        preset (only the merge permutation itself has a value golden;
+        this pins the full key surface)."""
+        import dataclasses as dc
+
+        from openpsg_tpu.models.segmenter.mask2former import (
+            Mask2FormerConfig,
+            Mask2FormerSegmenter,
+        )
+        from openpsg_tpu.models.segmenter.weight_convert import convert_mask2former
+        from openpsg_tpu.models.llm.weight_convert import verify_structure
+
+        cfg = dc.replace(self._cfg(), backbone="tiny")
+        params = convert_mask2former(
+            synthetic_mmdet_m2f_state(backbone="swin"), cfg
+        )
+        model = Mask2FormerSegmenter(cfg)
+        img = jnp.zeros((64, 64, 3), jnp.float32)
+        init = jax.eval_shape(lambda k: model.init(k, img), jax.random.PRNGKey(0))
+        verify_structure({"params": params}, init)
 
     def test_swin_backbone_structure_matches_init(self):
         """The mmdet-Swin branch end to end: rename map + patch-merge
