@@ -260,10 +260,16 @@ def _m2f_config(model_cfg, head_dict, tpu, relations):
     }[head_type]
 
     preset = tpu.get("segmenter_preset") or _backbone_preset(model_cfg)
-    if preset == "tiny":
+    if preset in ("tiny", "tiny_r50"):
         # explicit test override: tiny topology, reference panoptic_head
-        # geometry deliberately ignored
+        # geometry deliberately ignored (tiny_r50 keeps the full ResNet
+        # key schema at test scale — converter drills)
         seg = Mask2FormerConfig.tiny_test()
+        if preset == "tiny_r50":
+            import dataclasses as _dc
+
+            seg = _dc.replace(seg, backbone="tiny_r50", num_queries=10,
+                              enc_layers=2, dec_layers=3)
         input_hw = (64, 64)
         max_obj, max_pad = 6, 8
     else:
@@ -278,7 +284,7 @@ def _m2f_config(model_cfg, head_dict, tpu, relations):
     enc = BertStyleConfig(
         num_layers=head_dict.get("num_transformer_layer", 2),
         dtype=dtype,
-    ) if preset != "tiny" else BertStyleConfig.tiny_test()
+    ) if preset not in ("tiny", "tiny_r50") else BertStyleConfig.tiny_test()
 
     use_prompts = bool(head_dict.get("use_relation_prompts", False))
     pred_type = head_dict.get("pred_type", "attention")
@@ -286,7 +292,7 @@ def _m2f_config(model_cfg, head_dict, tpu, relations):
         encoder=enc,
         input_feature_size=head_dict.get("input_feature_size", seg.mask_dim),
         output_feature_size=head_dict.get("output_feature_size", 768)
-        if preset != "tiny" else 32,
+        if preset not in ("tiny", "tiny_r50") else 32,
         num_relation_classes=len(relations) or 56,
         pred_type=pred_type if not use_prompts else "attention",
         use_relation_prompts=use_prompts,
@@ -299,7 +305,7 @@ def _m2f_config(model_cfg, head_dict, tpu, relations):
         loss_alpha=head_dict.get("loss_alpha", 1.0),
         dtype=dtype,
     ) if version == "v1" else (
-        HeadV1Config.tiny_test() if preset == "tiny" else HeadV1Config()
+        HeadV1Config.tiny_test() if preset in ("tiny", "tiny_r50") else HeadV1Config()
     )
 
     experts = []
@@ -320,11 +326,11 @@ def _m2f_config(model_cfg, head_dict, tpu, relations):
         use_moe_gate=head_dict.get("use_moe", False),
         dtype=dtype,
     ) if version == "v2" else (
-        HeadV2Config.tiny_test() if preset == "tiny" else HeadV2Config()
+        HeadV2Config.tiny_test() if preset in ("tiny", "tiny_r50") else HeadV2Config()
     )
 
     shave = head_dict.get("shave_language_decoder_at", 6)
-    llm_preset = tpu.get("llm_preset", "llama2_7b" if preset != "tiny" else "tiny")
+    llm_preset = tpu.get("llm_preset", "llama2_7b" if preset not in ("tiny", "tiny_r50") else "tiny")
     base_llm = (
         LlamaConfig.llama2_7b(dtype)
         if llm_preset == "llama2_7b"
@@ -341,7 +347,7 @@ def _m2f_config(model_cfg, head_dict, tpu, relations):
         sub_obj_merge_type=head_dict.get("sub_obj_merge_type", "concat"),
         dtype=dtype,
     ) if version == "v3" else (
-        HeadV3Config.tiny_test() if preset == "tiny" else HeadV3Config()
+        HeadV3Config.tiny_test() if preset in ("tiny", "tiny_r50") else HeadV3Config()
     )
 
     return M2FRelationConfig(
