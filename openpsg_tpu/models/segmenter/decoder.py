@@ -24,7 +24,7 @@ the deformable cross-attention routes through the gather kernel.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ deformable attention from openpsg_tpu.ops.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
