@@ -211,3 +211,29 @@ class TestSinePosEmbed:
             sine_pos_embed(jnp.asarray(make_cumsum_points([(h, w)])), dim)
         )
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+class TestResizeMasksGolden:
+    def test_matches_torch_interpolate_downscale(self):
+        """downsample_mask_bilinear's docstring claims F.interpolate(bilinear,
+        align_corners=False) > 0.5 parity — pin it on a DOWNSCALE, where
+        jax.image.resize's default antialiased kernel would diverge
+        (antialias=False is load-bearing for the reference's pair-mask
+        patch grids, relation_transformer_head_v4.py:401-404)."""
+        import torch
+        import torch.nn.functional as F
+
+
+        rng = np.random.default_rng(2)
+        masks = rng.uniform(size=(6, 33, 47)) > 0.6
+        out_hw = (9, 12)
+        want = (
+            F.interpolate(
+                torch.tensor(masks, dtype=torch.float32)[None],
+                size=out_hw, mode="bilinear", align_corners=False,
+            )[0].numpy() > 0.5
+        )
+        got = np.asarray(
+            downsample_mask_bilinear(jnp.asarray(masks), out_hw)
+        )
+        np.testing.assert_array_equal(got, want)
