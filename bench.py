@@ -56,6 +56,33 @@ def main():
     import numpy as np
 
     import openpsg_tpu  # noqa: F401  (enables the persistent compile cache)
+
+    # Fail FAST and honestly if the tunneled TPU never initializes —
+    # backend setup hangs indefinitely during axon outages (observed
+    # 2026-08-18, multi-hour) and a hung bench is worse than an error line.
+    import threading
+
+    probe_ok: list = []
+
+    def _probe():
+        try:
+            probe_ok.append(jax.devices()[0].platform)
+        except Exception as e:  # pragma: no cover
+            probe_ok.append(f"error: {e}")
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout=float(os.environ.get("BENCH_DEVICE_TIMEOUT_S", 600)))
+    if not probe_ok:
+        print(json.dumps({
+            "metric": "psg_v4_e2e_infer_img_per_s",
+            "value": 0.0,
+            "unit": "images/sec/chip",
+            "vs_baseline": 0.0,
+            "detail": {"error": "device backend init timed out "
+                                "(TPU tunnel unavailable)"},
+        }))
+        raise SystemExit(2)
     from openpsg_tpu.models.detectors.psg_v4 import PSGv4, PSGv4Config
     from openpsg_tpu.models.llm.llama import LlamaConfig
     from openpsg_tpu.models.relation.head_v4 import HeadV4Config
