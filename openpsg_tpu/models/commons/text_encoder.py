@@ -58,6 +58,24 @@ class BertStyleConfig:
         return BertStyleConfig(**base)
 
 
+class DenseLN(nn.Module):
+    """Linear → LayerNorm, the reference's ubiquitous fc block.
+
+    Every projection the reference heads call ``fc_*`` is
+    ``nn.Sequential(nn.Linear(...), nn.LayerNorm(...))`` (e.g.
+    relation_transformer_head.py:83-94, _v2.py:82-113, _v3.py:125-150);
+    torch LayerNorm eps default 1e-5.  Param scopes {dense, ln} map 1:1
+    onto the checkpoint's ``<name>.0`` / ``<name>.1`` entries."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.features, dtype=self.dtype, name="dense")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")(x)
+
+
 class _Adapter(nn.Module):
     """Bottleneck adapter: down /r → GELU → up, residual added by caller."""
 
@@ -146,7 +164,14 @@ class BertStyleEncoder(nn.Module):
         encoder_hidden: Optional[jnp.ndarray] = None, # [B, P, De]
         encoder_mask: Optional[jnp.ndarray] = None,   # [B, P] bool
         pool: bool = False,                           # forward_texts pooling
+        position_ids: Optional[int] = None,           # None=range; int=constant
     ):
+        """``position_ids``: the reference heads feed OBJECT tokens with a
+        CONSTANT position id — v1 passes ``torch.ones`` (row 1,
+        relation_transformer_head.py:159-163) and v2 ``torch.zeros`` (row 0,
+        relation_transformer_head_v2.py:199-302) — so relation scores are
+        permutation-equivariant in the (arbitrary) object order.  Text paths
+        (forward_texts) keep the normal 0..L-1 range (None)."""
         c = self.cfg
         D = c.hidden_size
         if input_embeds is None:
@@ -158,7 +183,10 @@ class BertStyleEncoder(nn.Module):
             attention_mask = jnp.ones((B, L), bool)
 
         pos = self.param("pos_embed", nn.initializers.normal(0.02), (c.max_len, D))
-        x = emb + pos[None, :L].astype(c.dtype)
+        if position_ids is None:
+            x = emb + pos[None, :L].astype(c.dtype)
+        else:
+            x = emb + pos[position_ids][None, None].astype(c.dtype)
 
         if c.num_learnable_prompts > 0:
             # splice learned prompts between position 0 (CLS) and the rest

@@ -25,7 +25,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from openpsg_tpu.models.commons.interactive_fusion import InteractiveFusionModule
-from openpsg_tpu.models.commons.text_encoder import BertStyleConfig, BertStyleEncoder
+from openpsg_tpu.models.commons.text_encoder import (
+    BertStyleConfig,
+    BertStyleEncoder,
+    DenseLN,
+)
 from openpsg_tpu.train import losses as L
 
 
@@ -70,13 +74,16 @@ class RelationHeadV1(nn.Module):
         c = self.cfg
         x = object_embeds
         if x.shape[-1] != c.output_feature_size:
-            x = nn.Dense(c.output_feature_size, dtype=c.dtype, name="fc_input")(x)
+            # fc_input = Linear+LN (ref :83-94), applied only on size
+            # mismatch (ref :153-156)
+            x = DenseLN(c.output_feature_size, dtype=c.dtype, name="fc_input")(x)
 
         enc_cfg = dataclasses.replace(c.encoder, hidden_size=c.output_feature_size)
+        # object tokens get CONSTANT position id 1 (torch.ones, ref :159-163)
         x = BertStyleEncoder(enc_cfg, name="encoder")(
-            input_embeds=x, attention_mask=attention_mask
+            input_embeds=x, attention_mask=attention_mask, position_ids=1
         )
-        x = nn.Dense(c.output_feature_size, dtype=c.dtype, name="fc_output")(x)
+        x = DenseLN(c.output_feature_size, dtype=c.dtype, name="fc_output")(x)
 
         B, N, _ = x.shape
         R = c.num_relation_classes

@@ -78,8 +78,9 @@ class RelationHeadV2(nn.Module):
 
         if "object_vision_only" in c.experts:
             enc_cfg = dataclasses.replace(c.encoder, hidden_size=D)
+            # constant position id 0 (torch.zeros, ref :199-203)
             h = BertStyleEncoder(enc_cfg, name="ovo_encoder")(
-                input_embeds=x, attention_mask=attention_mask
+                input_embeds=x, attention_mask=attention_mask, position_ids=0
             )
             q = nn.Dense(R * c.cls_qk_size, dtype=c.dtype, name="ovo_sub")(h)
             k = nn.Dense(R * c.cls_qk_size, dtype=c.dtype, name="ovo_obj")(h)
@@ -106,7 +107,8 @@ class RelationHeadV2(nn.Module):
                 max_len=max(c.encoder.max_len, N * N),
             )
             h = BertStyleEncoder(enc_cfg, name="pvo_encoder")(
-                input_embeds=pair, attention_mask=pm.reshape(B, N * N)
+                input_embeds=pair, attention_mask=pm.reshape(B, N * N),
+                position_ids=0,
             )
             s = nn.Dense(R, dtype=c.dtype, name="pvo_cls")(h)
             expert_maps.append(
@@ -128,6 +130,7 @@ class RelationHeadV2(nn.Module):
                 h = BertStyleEncoder(enc_cfg, name="pt2v_encoder")(
                     input_embeds=pt, attention_mask=pm,
                     encoder_hidden=x, encoder_mask=attention_mask,
+                    position_ids=0,
                 )
                 s = nn.Dense(R, dtype=c.dtype, name="pt2v_cls")(h)
                 expert_maps.append(
@@ -145,6 +148,7 @@ class RelationHeadV2(nn.Module):
                 h = BertStyleEncoder(enc_cfg, name="pv2t_encoder")(
                     input_embeds=pairv, attention_mask=pm,
                     encoder_hidden=pt, encoder_mask=pm,
+                    position_ids=0,
                 )
                 s = nn.Dense(R, dtype=c.dtype, name="pv2t_cls")(h)
                 expert_maps.append(
