@@ -310,20 +310,25 @@ def _m2f_config(model_cfg, head_dict, tpu, relations):
 
     experts = []
     for flag, name in (
+        # reference flag names (baseline_v2_r50.py:150-156)
         ("use_object_vision_only", "object_vision_only"),
         ("use_pair_vision_only", "pair_vision_only"),
-        ("use_pair_text2vision", "pair_text2vision"),
-        ("use_pair_vision2text", "pair_vision2text"),
-        ("use_triplet_text_w_vision", "triplet_text_w_vision"),
+        ("use_pair_text_vision_cross", "pair_text2vision"),
+        ("use_pair_vision_text_cross", "pair_vision2text"),
+        ("use_triplet_vision_text_cross", "triplet_text_w_vision"),
     ):
         if head_dict.get(flag, False):
             experts.append(name)
     v2 = HeadV2Config(
         encoder=enc,
+        feature_size=head_dict.get("output_feature_size", 768),
         num_relation_classes=len(relations) or 56,
-        text_embedding_size=model_cfg.get("text_embedding_size", 1536),
+        text_embedding_size=head_dict.get(
+            "text_embedding_size", model_cfg.get("text_embedding_size", 1536)
+        ),
         experts=tuple(experts) or ("object_vision_only",),
         use_moe_gate=head_dict.get("use_moe", False),
+        moe_weight_type=head_dict.get("moe_weight_type", "v1"),
         dtype=dtype,
     ) if version == "v2" else (
         HeadV2Config.tiny_test() if preset in ("tiny", "tiny_r50") else HeadV2Config()

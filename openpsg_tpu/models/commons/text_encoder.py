@@ -91,7 +91,16 @@ class _Adapter(nn.Module):
 
 
 class _EncoderLayer(nn.Module):
+    """``skip_cross`` mirrors HF BERT: a decoder layer applies its
+    cross-attention block only when encoder_hidden_states are passed —
+    head v2's shared pair encoder is called both ways (pair_vision_only
+    self-attends only; the text↔vision experts cross-attend).  The cross
+    modules are still CALLED on a dummy key so the param tree is identical
+    regardless of which call happens first; the result is discarded
+    statically (XLA dead-code-eliminates it)."""
+
     cfg: BertStyleConfig
+    skip_cross: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
@@ -114,7 +123,8 @@ class _EncoderLayer(nn.Module):
                     num_heads=c.num_heads, dtype=c.dtype, name="cross_attn"
                 )(h, inputs_k=enc_states, inputs_v=enc_states,
                   mask=enc_mask[:, None])
-                x = x + h
+                if not self.skip_cross:
+                    x = x + h
             h = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="ffn_pre_ln")(x)
             f = nn.Dense(c.intermediate, dtype=c.dtype, name="ffn_up")(h)
             if c.quick_gelu:
@@ -139,7 +149,9 @@ class _EncoderLayer(nn.Module):
                 num_heads=c.num_heads, dtype=c.dtype, name="cross_attn"
             )(x, inputs_k=enc_states, inputs_v=enc_states,
               mask=enc_mask[:, None])
-            x = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="cross_ln")(x + h)
+            xc = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="cross_ln")(x + h)
+            if not self.skip_cross:
+                x = xc
 
         f = nn.Dense(c.intermediate, dtype=c.dtype, name="ffn_up")(x)
         f = nn.gelu(f, approximate=False)
@@ -233,7 +245,7 @@ class BertStyleEncoder(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=c.num_layers,
-        )(c, name="layers")
+        )(c, skip_cross=encoder_hidden is None, name="layers")
         (x, _, _, _), _ = layer((x, self_mask, enc_states, enc_mask3), None)
         if c.pre_ln:
             x = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="final_ln")(x)

@@ -108,7 +108,8 @@ class PSGMask2FormerRelation:
         # are zero rows, the reference's fallback).
         self.pair_text_matrix = None
         if text_kv is not None and cfg.head_version == "v2" and (
-            {"pair_text2vision", "pair_vision2text"}
+            cfg.head_v2.use_moe_gate
+            or {"pair_text2vision", "pair_vision2text"}
             & set(cfg.head_v2.experts)
         ):
             self.pair_text_matrix = jnp.asarray(
@@ -212,11 +213,14 @@ class PSGMask2FormerRelation:
                 semantic_token_mask=self.sem_token_mask,
             )[0]
         if c.head_version == "v2":
-            return self.head.apply(
+            out = self.head.apply(
                 head_params, tokens[None], valid[None],
                 pair_text_embeds=extra.get("pair_text"),
                 triplet_text_embeds=extra.get("triplet_text"),
-            )[0]
+            )
+            # reference inference: LAST enabled expert wins, moe overrides
+            # (mask2former_relation_v2.py:789-800)
+            return RelationHeadV2.primary(out)[0]
         return self.head.apply(
             head_params, tokens[None], valid[None],
             relation_token_ids=self.rel_token_ids,
@@ -257,10 +261,20 @@ class PSGMask2FormerRelation:
         c = self.cfg
         extra = {}
         if c.head_version == "v2":
-            T = c.head_v2.text_embedding_size
-            if {"pair_text2vision", "pair_vision2text"} & set(c.head_v2.experts):
+            h2 = c.head_v2
+            T = h2.text_embedding_size
+            # the MoE gate consumes pair + triplet text even when those
+            # experts are off (relation_transformer_head_v2.py:342-355)
+            if h2.use_moe_gate or (
+                {"pair_text2vision", "pair_vision2text"} & set(h2.experts)
+            ):
                 extra["pair_text"] = jnp.zeros((1, M, M, T))
-            if "triplet_text_w_vision" in c.head_v2.experts:
+            if "triplet_text_w_vision" in h2.experts:
+                # per-relation triplet text [1, M, M, R, T]
+                extra["triplet_text"] = jnp.zeros(
+                    (1, M, M, h2.num_relation_classes, T)
+                )
+            elif h2.use_moe_gate:
                 extra["triplet_text"] = jnp.zeros((1, M, M, T))
         return extra
 

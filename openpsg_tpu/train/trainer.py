@@ -481,27 +481,53 @@ class M2FTrainer:
             extra["pair_text"] = p.pair_text_matrix[
                 lab[:, None], lab[None, :]
             ][None]
-        scores = p._head_apply(
-            trainable["head"], tokens, batch_i.object_valid, extra,
-        )                                                   # [R, M, M]
         target = batch_i.relation_target.transpose(2, 0, 1)  # [R, M, M]
-        if p.cfg.head_version == "v1":
-            return p.head.loss(
-                scores[None], target[None], batch_i.object_valid[None]
-            )
-        # v2/v3 reuse the v1 'v1' loss family (reference heads re-implement
-        # the same multilabel CCE)
-        M = scores.shape[-1]
         pair = (
             batch_i.object_valid[:, None] & batch_i.object_valid[None, :]
         )
-        masked = jnp.where(pair[None], scores, losses.NEG_INF)
-        R = scores.shape[0]
-        per = losses.multilabel_categorical_crossentropy(
-            target.reshape(R, -1), masked.reshape(R, -1)
+
+        def mcce(scores):  # v1 loss family on one [R, M, M] map
+            masked = jnp.where(pair[None], scores, losses.NEG_INF)
+            R = scores.shape[0]
+            per = losses.multilabel_categorical_crossentropy(
+                target.reshape(R, -1), masked.reshape(R, -1)
+            )
+            w = per / (jnp.max(per) + 1e-12)
+            return jnp.mean(per * w) * 50.0, masked
+
+        if p.cfg.head_version == "v1":
+            scores = p._head_apply(
+                trainable["head"], tokens, batch_i.object_valid, extra,
+            )
+            return p.head.loss(
+                scores[None], target[None], batch_i.object_valid[None]
+            )
+        if p.cfg.head_version == "v2":
+            # the reference computes ONE loss per enabled expert (+ moe),
+            # all with the same multilabel CCE
+            # (mask2former_relation_v2.py:639-668)
+            from openpsg_tpu.models.relation.head_v2 import RelationHeadV2
+
+            maps = p.head.apply(
+                trainable["head"], tokens[None], batch_i.object_valid[None],
+                pair_text_embeds=extra.get("pair_text"),
+                triplet_text_embeds=extra.get("triplet_text"),
+            )
+            out = {}
+            for name, m in maps.items():
+                out[f"loss_relation_{name}"], _ = mcce(m[0])
+            _, masked = mcce(RelationHeadV2.primary(maps)[0])
+            out["relation.recall@20"] = losses.recall_at_k(
+                masked[None], target[None], k=20
+            )
+            return out
+        # v3 reuses the v1 'v1' loss family (reference heads re-implement
+        # the same multilabel CCE)
+        scores = p._head_apply(
+            trainable["head"], tokens, batch_i.object_valid, extra,
         )
-        w = (per / (jnp.max(per) + 1e-12))
-        out = {"loss_relation": jnp.mean(per * w) * 50.0}
+        loss, masked = mcce(scores)
+        out = {"loss_relation": loss}
         out["relation.recall@20"] = losses.recall_at_k(
             masked[None], target[None], k=20
         )
@@ -514,7 +540,10 @@ class M2FTrainer:
                     lambda b: self.loss_single(tr, frozen, b)
                 )(batch)
                 loss_dict = jax.tree_util.tree_map(jnp.mean, per_image)
-                total = loss_dict["loss_relation"]
+                total = sum(
+                    v for k, v in loss_dict.items()
+                    if k.startswith("loss_relation")
+                )
                 return total, loss_dict
 
             (total, loss_dict), grads = jax.value_and_grad(

@@ -111,6 +111,20 @@ class TestHeadV1:
 
 
 class TestHeadV2:
+    def _inputs(self, cfg, B=1, N=4, tt_per_relation=True):
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, N, 16))
+        mask = jnp.ones((B, N), bool)
+        pt = jax.random.normal(
+            jax.random.PRNGKey(1), (B, N, N, cfg.text_embedding_size)
+        )
+        tt_shape = (
+            (B, N, N, cfg.num_relation_classes, cfg.text_embedding_size)
+            if tt_per_relation
+            else (B, N, N, cfg.text_embedding_size)
+        )
+        tt = jax.random.normal(jax.random.PRNGKey(2), tt_shape)
+        return x, mask, pt, tt
+
     def test_all_experts_and_gate(self):
         cfg = HeadV2Config.tiny_test(
             experts=(
@@ -122,18 +136,72 @@ class TestHeadV2:
         )
         head = RelationHeadV2(cfg)
         B, N = 1, 4
-        x = jax.random.normal(jax.random.PRNGKey(0), (B, N, cfg.feature_size))
-        mask = jnp.ones((B, N), bool)
-        pt = jax.random.normal(jax.random.PRNGKey(1), (B, N, N, cfg.text_embedding_size))
-        tt = jax.random.normal(jax.random.PRNGKey(2), (B, N, N, cfg.text_embedding_size))
+        x, mask, pt, tt = self._inputs(cfg, B, N)
         p = jax.jit(
             lambda k: head.init(k, x, mask, pair_text_embeds=pt, triplet_text_embeds=tt)
         )(jax.random.PRNGKey(3))
         out = jax.jit(
             lambda p: head.apply(p, x, mask, pair_text_embeds=pt, triplet_text_embeds=tt)
         )(p)
-        assert out.shape == (B, 56, N, N)
-        assert np.isfinite(np.asarray(out)).all()
+        assert set(out) == {
+            "object_vision_only", "pair_vision_only", "pair_text2vision",
+            "pair_vision2text", "triplet_text_w_vision", "moe",
+        }
+        for m in out.values():
+            assert m.shape == (B, 56, N, N)
+            assert np.isfinite(np.asarray(m)).all()
+        # inference cascade: moe overrides everything
+        assert RelationHeadV2.primary(out) is out["moe"]
+
+        # experts 2-5 share ONE BertWrapper (sub_obj_pair_level_model,
+        # relation_transformer_head_v2.py:77-79): exactly one pair_encoder
+        # scope, and exactly one object_encoder for expert 1
+        scopes = set(p["params"])
+        assert "pair_encoder" in scopes and "object_encoder" in scopes
+        enc_scopes = [s for s in scopes if "encoder" in s]
+        assert sorted(enc_scopes) == ["object_encoder", "pair_encoder"]
+        # every fc block is Linear→LayerNorm (nn.Sequential in the ref)
+        for name, sub in p["params"].items():
+            if name.startswith(("fc_", "moe_input", "moe_fc")):
+                assert set(sub) == {"dense", "ln"}, name
+
+    def test_moe_weight_type_v2(self):
+        cfg = HeadV2Config.tiny_test(
+            experts=("object_vision_only", "pair_vision_only"),
+            use_moe_gate=True, moe_weight_type="v2",
+        )
+        head = RelationHeadV2(cfg)
+        x, mask, pt, tt = self._inputs(cfg, tt_per_relation=False)
+        p = head.init(
+            jax.random.PRNGKey(3), x, mask,
+            pair_text_embeds=pt, triplet_text_embeds=tt,
+        )
+        out = head.apply(
+            p, x, mask, pair_text_embeds=pt, triplet_text_embeds=tt
+        )
+        assert out["moe"].shape == (1, 56, 4, 4)
+        assert np.isfinite(np.asarray(out["moe"])).all()
+
+    def test_primary_cascade_without_moe(self):
+        cfg = HeadV2Config.tiny_test(
+            experts=("object_vision_only", "pair_vision_only")
+        )
+        head = RelationHeadV2(cfg)
+        x, mask, pt, tt = self._inputs(cfg)
+        p = head.init(jax.random.PRNGKey(3), x, mask)
+        out = head.apply(p, x, mask)
+        # last enabled expert wins (mask2former_relation_v2.py:789-800)
+        assert RelationHeadV2.primary(out) is out["pair_vision_only"]
+
+    def test_ovo_full_width_no_scale(self):
+        # sub/obj per-relation projections are FULL width D and the einsum
+        # has no 1/sqrt(d) (relation_transformer_head_v2.py:87-94, 211-213)
+        cfg = HeadV2Config.tiny_test()
+        head = RelationHeadV2(cfg)
+        x, mask, _, _ = self._inputs(cfg)
+        p = head.init(jax.random.PRNGKey(3), x, mask)
+        D = cfg.feature_size
+        assert p["params"]["ovo_sub"]["kernel"].shape == (D, 56 * D)
 
 
 class TestHeadV3:
@@ -254,6 +322,76 @@ class TestM2FTraining:
             lambda a, b: float(jnp.abs(a - b).max()), trainable, new_tr
         )
         assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+class TestM2FTrainerV2:
+    def test_per_expert_losses_and_grads(self):
+        """The reference computes ONE loss per enabled expert + moe
+        (mask2former_relation_v2.py:639-668); all must appear in metrics
+        and all must receive gradients."""
+        import dataclasses as dc
+
+        import jax
+        import jax.numpy as jnp
+
+        from openpsg_tpu.models.detectors.mask2former_relation import (
+            M2FRelationConfig,
+            PSGMask2FormerRelation,
+        )
+        from openpsg_tpu.train.trainer import (
+            M2FTrainBatch,
+            M2FTrainer,
+            make_lr_schedule,
+            make_optimizer,
+        )
+
+        base = M2FRelationConfig.tiny_test("v2")
+        cfg = dc.replace(
+            base,
+            head_v2=dc.replace(
+                base.head_v2,
+                experts=("object_vision_only", "pair_vision_only"),
+                use_moe_gate=True,
+                text_embedding_size=8,
+            ),
+        )
+        p = PSGMask2FormerRelation(cfg, jax.random.PRNGKey(0))
+        M = cfg.max_objects_padded
+        B, H = 1, 64
+        H4 = H // 4
+        rng = np.random.default_rng(0)
+        target = np.zeros((B, M, M, 56), np.float32)
+        target[:, 0, 1, 4] = 1
+        batch = M2FTrainBatch(
+            image=jnp.asarray(rng.integers(0, 255, (B, H, H, 3)).astype(np.float32)),
+            object_masks=jnp.asarray(rng.uniform(size=(B, M, H4, H4)) > 0.8),
+            object_labels=jnp.asarray(rng.integers(0, 133, (B, M)), jnp.int32),
+            object_valid=jnp.asarray(np.tile((np.arange(M) < 4)[None], (B, 1))),
+            relation_target=jnp.asarray(target),
+        )
+        trainable = {
+            "head": p.params["head"],
+            "object_cls_embed": p.params["object_cls_embed"],
+        }
+        frozen = {"segmenter": p.params["segmenter"]}
+        trainer = M2FTrainer(p)
+        opt = make_optimizer(make_lr_schedule(steps_per_epoch=10))
+        opt_state = opt.init(trainable)
+        step = jax.jit(trainer.make_train_step(opt))
+        new_tr, _, metrics = step(trainable, opt_state, frozen, batch)
+        for k in (
+            "loss_relation_object_vision_only",
+            "loss_relation_pair_vision_only",
+            "loss_relation_moe",
+        ):
+            assert np.isfinite(float(metrics[k])), k
+        # the moe gate params must actually train
+        moe_diff = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            trainable["head"]["params"]["moe_out"],
+            new_tr["head"]["params"]["moe_out"],
+        )
+        assert max(jax.tree_util.tree_leaves(moe_diff)) > 0
 
 
 class TestV2TextIntegration:
