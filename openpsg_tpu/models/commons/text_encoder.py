@@ -221,7 +221,12 @@ class BertStyleEncoder(nn.Module):
         if not c.pre_ln:  # CLIP has no embedding LayerNorm
             x = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="embed_ln")(x)
 
-        self_mask = attention_mask[:, None, :] & attention_mask[:, :, None]
+        # HF semantics: the attention mask hides KEYS only — padded QUERY
+        # rows still attend over the valid keys (BertModel
+        # get_extended_attention_mask broadcasts [B,1,1,L]).  AND-ing in
+        # query validity diverges on pad rows (uniform attention vs real),
+        # which golden tests against HF towers would catch.
+        self_mask = jnp.broadcast_to(attention_mask[:, None, :], (B, L, L))
         if c.causal:
             self_mask = self_mask & jnp.tril(jnp.ones((L, L), bool))[None]
         if encoder_hidden is None:

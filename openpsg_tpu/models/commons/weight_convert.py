@@ -86,6 +86,32 @@ def convert_bert(
         "scale": stack(lambda i: lw(i, "output.LayerNorm.weight")),
         "bias": stack(lambda i: lw(i, "output.LayerNorm.bias")),
     }
+    if cfg.add_cross_attention:
+        # decoder-mode BERT (BertWrapper add_cross_attention=True,
+        # bert_wrapper.py:28-30): HF inserts a crossattention block with
+        # the same self/output split between self-attn and the FFN
+        layers["cross_attn"] = {
+            "query": {
+                "kernel": stack(lambda i: _t(lw(i, "crossattention.self.query.weight")).reshape(D, H, hd)),
+                "bias": stack(lambda i: lw(i, "crossattention.self.query.bias").reshape(H, hd)),
+            },
+            "key": {
+                "kernel": stack(lambda i: _t(lw(i, "crossattention.self.key.weight")).reshape(D, H, hd)),
+                "bias": stack(lambda i: lw(i, "crossattention.self.key.bias").reshape(H, hd)),
+            },
+            "value": {
+                "kernel": stack(lambda i: _t(lw(i, "crossattention.self.value.weight")).reshape(D, H, hd)),
+                "bias": stack(lambda i: lw(i, "crossattention.self.value.bias").reshape(H, hd)),
+            },
+            "out": {
+                "kernel": stack(lambda i: _t(lw(i, "crossattention.output.dense.weight")).reshape(H, hd, D)),
+                "bias": stack(lambda i: lw(i, "crossattention.output.dense.bias")),
+            },
+        }
+        layers["cross_ln"] = {
+            "scale": stack(lambda i: lw(i, "crossattention.output.LayerNorm.weight")),
+            "bias": stack(lambda i: lw(i, "crossattention.output.LayerNorm.bias")),
+        }
 
     pos = g("embeddings.position_embeddings.weight")[: cfg.max_len]
     tt_key = prefix + "embeddings.token_type_embeddings.weight"

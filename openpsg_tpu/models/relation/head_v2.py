@@ -26,8 +26,11 @@ Structural fidelity points (all checkpoint-relevant):
     (sub_obj_pair_level_model, :77-79); expert 1 has its own plain BERT
     (object_level_model, :70-76);
   * all encoder calls use constant position id 0 (torch.zeros, :199-303);
-  * experts 3/4 pass NO encoder_attention_mask (cross-attention is
-    unmasked over all N² keys); the triplet expert DOES mask (:318-325);
+  * the reference runs DYNAMIC shapes (object_num varies per image) so it
+    omits masks where every token is valid (ovo encoder, experts 3/4's
+    cross keys); our static padded layout passes validity masks in those
+    spots — the computation on VALID entries is identical (padding
+    invariance is golden-tested against the unpadded torch mirror);
   * an expert's output DenseLN runs before its classifier head;
   * MoE (:340-377): per-PAIR-TOKEN gate — DenseLN(pair vision) +
     DenseLN(pair text) + DenseLN(mean-over-R triplet text) → [DenseLN →
@@ -128,10 +131,16 @@ class RelationHeadV2(nn.Module):
 
         pair_encoder = None
         if enabled_pair:
+            # BertWrapper(add_cross_attention=True) sets config.is_decoder,
+            # and HF decoder-mode BERT applies a CAUSAL self-attention mask
+            # (get_extended_attention_mask) — so the reference's pair tower
+            # really is causal over sub-major pair order (verified against
+            # transformers; golden-tested).  Padding preserves pair order,
+            # so causal-over-padded ≡ causal-over-compact on valid pairs.
             pair_encoder = BertStyleEncoder(
                 dataclasses.replace(
                     c.encoder, hidden_size=D, add_cross_attention=True,
-                    encoder_hidden_size=D,
+                    encoder_hidden_size=D, causal=True,
                     max_len=max(c.encoder.max_len, N * N),
                 ),
                 name="pair_encoder",
@@ -168,11 +177,13 @@ class RelationHeadV2(nn.Module):
                 pair_text_embeds.reshape(B, N * N, -1)
             )
             v = DenseLN(D, dtype=dt, name="fc_pt2v_vision_prompt")(pair_raw)
-            # no encoder_mask: the reference passes no encoder_attention_mask
-            # for this expert (cross-attention over ALL pair-vision keys)
+            # the reference passes no encoder_attention_mask here — but its
+            # shapes are DYNAMIC, so every cross key is a valid pair.  In
+            # our static padded layout the equivalent computation masks the
+            # pad pairs out of the keys (padding invariance, golden-tested).
             h = pair_encoder(
                 input_embeds=t, attention_mask=pm,
-                encoder_hidden=v, position_ids=0,
+                encoder_hidden=v, encoder_mask=pm, position_ids=0,
             )
             h = DenseLN(D, dtype=dt, name="fc_pt2v_output")(h)
             out["pair_text2vision"] = pair_scores(h, "pt2v_cls")
@@ -185,7 +196,7 @@ class RelationHeadV2(nn.Module):
             )
             h = pair_encoder(
                 input_embeds=v, attention_mask=pm,
-                encoder_hidden=t, position_ids=0,
+                encoder_hidden=t, encoder_mask=pm, position_ids=0,
             )
             h = DenseLN(D, dtype=dt, name="fc_pv2t_output")(h)
             out["pair_vision2text"] = pair_scores(h, "pv2t_cls")
