@@ -341,15 +341,29 @@ def _m2f_config(model_cfg, head_dict, tpu, relations):
         if llm_preset == "llama2_7b"
         else LlamaConfig.tiny_test(vocab_size=512)
     )
+    tiny = preset in ("tiny", "tiny_r50")
     v3 = HeadV3Config(
         llm=dataclasses.replace(
             base_llm.truncate(min(shave, base_llm.n_layers)),
             causal=head_dict.get("causal_mask", True),
         ),
-        object_feature_size=head_dict.get("input_feature_size", seg.mask_dim),
+        input_feature_size=head_dict.get("input_feature_size", seg.mask_dim),
+        # reference defaults (relation_transformer_head_v3.py:45-48);
+        # tiny presets shrink the former/output dims to test scale
+        former_feature_size=head_dict.get(
+            "former_feature_size", 32 if tiny else 768
+        ),
+        output_feature_size=head_dict.get(
+            "output_feature_size", 16 if tiny else 512
+        ),
+        former_heads=2 if tiny else 12,
+        former_intermediate=64 if tiny else 3072,
         num_relation_classes=len(relations) or 56,
         ov_relation=head_dict.get("ov_relation", False),
         sub_obj_merge_type=head_dict.get("sub_obj_merge_type", "concat"),
+        num_object_in_layers=head_dict.get("num_object_in_layers", 0),
+        num_object_out_layers=head_dict.get("num_object_out_layers", 0),
+        num_relation_out_layers=head_dict.get("num_relation_out_layers", 0),
         dtype=dtype,
     ) if version == "v3" else (
         HeadV3Config.tiny_test() if preset in ("tiny", "tiny_r50") else HeadV3Config()

@@ -48,6 +48,7 @@ class BertStyleConfig:
     quick_gelu: bool = False          # CLIP's x*sigmoid(1.702x) activation
     causal: bool = False              # CLIP text attention is causal
     ln_eps: float = 1e-12             # HF BERT epsilon; CLIP towers use 1e-5
+    bare: bool = False                # raw HF BertEncoder: layer stack only
     dtype: Any = jnp.float32
 
     @staticmethod
@@ -194,11 +195,20 @@ class BertStyleEncoder(nn.Module):
         if attention_mask is None:
             attention_mask = jnp.ones((B, L), bool)
 
-        pos = self.param("pos_embed", nn.initializers.normal(0.02), (c.max_len, D))
-        if position_ids is None:
-            x = emb + pos[None, :L].astype(c.dtype)
+        if c.bare:
+            # raw HF ``BertEncoder`` semantics (head v3's o_in/o_out/r_out
+            # formers, relation_transformer_head_v3.py:116-121): no
+            # embeddings, no position table, no embedding LN, no pooler —
+            # just the layer stack over caller-provided hidden states.
+            x = emb
         else:
-            x = emb + pos[position_ids][None, None].astype(c.dtype)
+            pos = self.param(
+                "pos_embed", nn.initializers.normal(0.02), (c.max_len, D)
+            )
+            if position_ids is None:
+                x = emb + pos[None, :L].astype(c.dtype)
+            else:
+                x = emb + pos[position_ids][None, None].astype(c.dtype)
 
         if c.num_learnable_prompts > 0:
             # splice learned prompts between position 0 (CLS) and the rest
@@ -218,7 +228,7 @@ class BertStyleEncoder(nn.Module):
             )
             L = L + c.num_learnable_prompts
 
-        if not c.pre_ln:  # CLIP has no embedding LayerNorm
+        if not c.pre_ln and not c.bare:  # CLIP/bare have no embedding LN
             x = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="embed_ln")(x)
 
         # HF semantics: the attention mask hides KEYS only — padded QUERY
@@ -252,6 +262,8 @@ class BertStyleEncoder(nn.Module):
             length=c.num_layers,
         )(c, skip_cross=encoder_hidden is None, name="layers")
         (x, _, _, _), _ = layer((x, self_mask, enc_states, enc_mask3), None)
+        if c.bare:
+            return x
         if c.pre_ln:
             x = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="final_ln")(x)
 

@@ -34,15 +34,18 @@ def _t(a):
     return np.asarray(a).T
 
 
-def convert_bert(
+def _bert_layer_stack(
     state: Mapping[str, np.ndarray],
     cfg: BertStyleConfig,
-    prefix: str = "",
+    layer_key,
 ) -> Dict[str, Any]:
+    """Stack the per-layer tensors of an HF BERT layer list onto our
+    ``nn.scan`` layout.  ``layer_key(i, k)`` returns the state-dict key of
+    tensor ``k`` in layer ``i`` (BertModel: ``encoder.layer.{i}.{k}``; a
+    raw BertEncoder: ``layer.{i}.{k}``)."""
     D = cfg.hidden_size
     H = cfg.num_heads
     hd = D // H
-    g = lambda k: np.asarray(state[prefix + k])
 
     layers: Dict[str, Any] = {}
 
@@ -50,7 +53,7 @@ def convert_bert(
         return np.stack([fn(i) for i in range(cfg.num_layers)], 0)
 
     def lw(i, k):
-        return np.asarray(state[prefix + f"encoder.layer.{i}.{k}"])
+        return np.asarray(state[layer_key(i, k)])
 
     layers["self_attn"] = {
         "query": {
@@ -112,6 +115,34 @@ def convert_bert(
             "scale": stack(lambda i: lw(i, "crossattention.output.LayerNorm.weight")),
             "bias": stack(lambda i: lw(i, "crossattention.output.LayerNorm.bias")),
         }
+    return layers
+
+
+def convert_bert_encoder(
+    state: Mapping[str, np.ndarray],
+    cfg: BertStyleConfig,
+    prefix: str = "",
+) -> Dict[str, Any]:
+    """Raw HF ``BertEncoder`` (layer stack only, no embeddings/pooler) →
+    params for ``BertStyleEncoder`` with ``bare=True`` — head v3's
+    o_in/o_out/r_out formers (relation_transformer_head_v3.py:116-121)."""
+    assert cfg.bare, "convert_bert_encoder targets bare=True configs"
+    return {
+        "layers": _bert_layer_stack(
+            state, cfg, lambda i, k: f"{prefix}layer.{i}.{k}"
+        )
+    }
+
+
+def convert_bert(
+    state: Mapping[str, np.ndarray],
+    cfg: BertStyleConfig,
+    prefix: str = "",
+) -> Dict[str, Any]:
+    g = lambda k: np.asarray(state[prefix + k])
+    layers = _bert_layer_stack(
+        state, cfg, lambda i, k: f"{prefix}encoder.layer.{i}.{k}"
+    )
 
     pos = g("embeddings.position_embeddings.weight")[: cfg.max_len]
     tt_key = prefix + "embeddings.token_type_embeddings.weight"

@@ -125,3 +125,68 @@ def verify_structure(converted: Dict[str, Any], reference_params: Dict[str, Any]
             f"param layout drift: missing={sorted(missing)} "
             f"extra={sorted(extra)} mismatch={mismatch}"
         )
+
+
+_META_LAYER_MAP = {
+    "attention.wq.weight": "self_attn.q_proj.weight",
+    "attention.wk.weight": "self_attn.k_proj.weight",
+    "attention.wv.weight": "self_attn.v_proj.weight",
+    "attention.wo.weight": "self_attn.o_proj.weight",
+    "feed_forward.w1.weight": "mlp.gate_proj.weight",
+    "feed_forward.w2.weight": "mlp.down_proj.weight",
+    "feed_forward.w3.weight": "mlp.up_proj.weight",
+    "attention_norm.weight": "input_layernorm.weight",
+    "ffn_norm.weight": "post_attention_layernorm.weight",
+}
+
+
+def meta_llama_to_hf_state(
+    state: Mapping[str, np.ndarray],
+    n_heads: int,
+    n_kv_heads: int,
+    prefix: str = "",
+) -> Dict[str, np.ndarray]:
+    """Meta/original-llama state layout → HF layout for ``convert_llama``.
+
+    The reference's trunk is the original Meta module
+    (kings_sgg/models/commons/llama.py: wq/wk/wv/wo, feed_forward
+    w1/w2/w3, tok_embeddings/norm/output) with INTERLEAVED RoPE
+    (apply_rotary_emb pairs adjacent channels as complex); our Llama —
+    like HF — uses the rotate-half convention.  q/k projections are
+    therefore permuted exactly as HF's official
+    ``convert_llama_weights_to_hf`` does; everything else renames.
+    Non-layer keys the Meta module may carry (``freqs_cis`` buffers,
+    fairscale shards) are dropped.  Golden-tested against the reference
+    module itself (tests/test_head_golden.py)."""
+
+    def permute(w: np.ndarray, heads: int) -> np.ndarray:
+        d1, d2 = w.shape
+        return (
+            w.reshape(heads, d1 // heads // 2, 2, d2)
+            .transpose(0, 2, 1, 3)
+            .reshape(d1, d2)
+        )
+
+    out: Dict[str, np.ndarray] = {}
+    for key, val in state.items():
+        if not key.startswith(prefix):
+            continue
+        k = key[len(prefix):]
+        v = np.asarray(val)
+        if k == "tok_embeddings.weight":
+            out["model.embed_tokens.weight"] = v
+        elif k == "norm.weight":
+            out["model.norm.weight"] = v
+        elif k == "output.weight":
+            out["lm_head.weight"] = v
+        elif k.startswith("layers."):
+            _, i, rest = k.split(".", 2)
+            hf = _META_LAYER_MAP.get(rest)
+            if hf is None:
+                continue
+            if rest == "attention.wq.weight":
+                v = permute(v, n_heads)
+            elif rest == "attention.wk.weight":
+                v = permute(v, n_kv_heads)
+            out[f"model.layers.{i}.{hf}"] = v
+    return out

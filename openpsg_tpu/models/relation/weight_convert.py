@@ -117,6 +117,10 @@ def convert_relation_head_v1(
         cfg.encoder, hidden_size=cfg.output_feature_size
     )
     out["encoder"] = convert_bert(state, enc_cfg, prefix=g("model.model."))
+    if not cfg.use_relation_prompts:
+        # the head feeds input_embeds only — word_embed is never created
+        # by init, and typed orbax restore rejects extra leaves
+        out["encoder"].pop("word_embed", None)
     out["cls_q"] = _dense(state, g("cls_q"))
     out["cls_k"] = _dense(state, g("cls_k"))
     return out
@@ -150,6 +154,8 @@ def convert_relation_head_v2(
             state, dataclasses.replace(cfg.encoder, hidden_size=D),
             prefix=g("object_level_model.model."),
         )
+        # v2 towers only ever see input_embeds — no word_embed in init
+        out["object_encoder"].pop("word_embed", None)
         out["fc_ovo_input"] = _dense_ln(state, g("fc_object_vision_only_input"))
         out["fc_ovo_output"] = _dense_ln(state, g("fc_object_vision_only_output"))
         out["ovo_sub"] = _dense(state, g("object_vision_only_sub_pred"))
@@ -163,6 +169,7 @@ def convert_relation_head_v2(
             ),
             prefix=g("sub_obj_pair_level_model.model."),
         )
+        out["pair_encoder"].pop("word_embed", None)
 
     if has("fc_pair_vision_only_input.0.weight"):
         out["fc_pvo_input"] = _dense_ln(state, g("fc_pair_vision_only_input"))
@@ -212,4 +219,96 @@ def convert_relation_head_v2(
                           "ln": _ln(state, g("moe.4"))}
         out["moe_out"] = _dense(state, g("moe.6"))
 
+    return out
+
+
+def convert_relation_head_v3(
+    state: Mapping[str, np.ndarray],
+    cfg,                       # HeadV3Config
+    prefix: str = "",
+) -> Dict[str, Any]:
+    """Reference ``RelationTransformerHeadV3`` state_dict → RelationHeadV3
+    params (relation_transformer_head_v3.py:104-160).
+
+    The LLaMA trunk is FROZEN in the reference (PartCheckpointHook saves
+    trainable-only state), so relation-head checkpoints never carry
+    ``llama_model.*`` keys — load the LLM separately via
+    :func:`openpsg_tpu.models.llm.weight_convert.convert_llama`.  The
+    closed/open-vocab path is detected from the checkpoint keys.  The
+    o_in/o_out/r_out BertEncoder stacks (0 layers in the published
+    config, baseline_v3_ov.py:68-70) convert via
+    :func:`convert_bert_encoder` when present."""
+    from openpsg_tpu.models.commons.weight_convert import (
+        convert_bert_encoder,
+    )
+
+    g = lambda k: prefix + k
+    has = lambda k: g(k) in state
+    out: Dict[str, Any] = {}
+
+    if has("fc_object_vision_only_input.0.weight"):     # closed vocab
+        out["fc_input"] = _dense_ln(state, g("fc_object_vision_only_input"))
+        out["fc_output"] = _dense_ln(state, g("fc_object_vision_only_output"))
+        out["ovo_sub"] = _dense(state, g("object_vision_only_sub_pred"))
+        out["ovo_obj"] = _dense(state, g("object_vision_only_obj_pred"))
+        return out
+
+    out["fc_in_former"] = _dense_ln(state, g("fc_object_in_former"))
+    out["fc_former_to_llm"] = _dense_ln(state, g("fc_object_former_to_llm"))
+    out["fc_llm_to_former"] = _dense_ln(state, g("fc_object_llm_to_former"))
+    out["fc_out_former"] = _dense_ln(state, g("fc_object_out_former"))
+    out["fc_rel_llm_to_former"] = _dense_ln(
+        state, g("fc_relation_llm_to_former"))
+    out["fc_rel_out_former"] = _dense_ln(
+        state, g("fc_relation_out_former"))
+    out["fc_sub_pred"] = _dense(state, g("fc_sub_pred"))
+    out["fc_obj_pred"] = _dense(state, g("fc_obj_pred"))
+    for name, layers in (
+        ("o_in_former", cfg.num_object_in_layers),
+        ("o_out_former", cfg.num_object_out_layers),
+        ("r_out_former", cfg.num_relation_out_layers),
+    ):
+        if layers > 0:
+            out[name] = convert_bert_encoder(
+                state, cfg.former_cfg(layers), prefix=g(name) + "."
+            )
+    return out
+
+
+def convert_relation_head_v4(
+    state: Mapping[str, np.ndarray],
+    cfg,                       # HeadV4Config
+    prefix: str = "",
+) -> Dict[str, Any]:
+    """Reference ``RelationTransformerHeadV4`` state_dict → RelationHeadV4
+    params (relation_transformer_head_v4.py:75-105).
+
+    Trainable surface only — the ``language_model`` (HF vicuna/llama,
+    :99-105) is frozen in the reference and absent from
+    PartCheckpointHook checkpoints; load it via ``convert_llama``.
+    Covers: timm PatchEmbed conv (OIHW → HWIO), the relation/cls query
+    Parameters (leading broadcast dim dropped), the InstructBLIP
+    Q-Former (via :func:`convert_qformer`), the binary/multiclass
+    existence classifiers, and the LLM ``language_projection``."""
+    g = lambda k: prefix + k
+    has = lambda k: g(k) in state
+    out: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": np.asarray(
+                state[g("patch_embed.proj.weight")]
+            ).transpose(2, 3, 1, 0),                        # OIHW → HWIO
+            "bias": np.asarray(state[g("patch_embed.proj.bias")]),
+        },
+        "relation_query": np.asarray(state[g("relation_query")])[0],
+        "rel_cls_query": np.asarray(state[g("rel_cls_query")])[0],
+        "qformer": convert_qformer(
+            state, cfg.qformer, prefix=g("relation_qformer.")
+        ),
+        "language_projection": _dense(state, g("language_projection")),
+    }
+    if has("binary_rel_cls_pred.weight"):
+        out["binary_rel_cls"] = _dense(state, g("binary_rel_cls_pred"))
+    if has("multiclass_rel_cls_pred.weight"):
+        out["multiclass_rel_cls"] = _dense(
+            state, g("multiclass_rel_cls_pred"))
     return out

@@ -1,0 +1,115 @@
+"""tools/convert_relation.py — reference .pth → orbax part-checkpoint.
+
+Round-trips a synthetic reference checkpoint (torch state_dict with the
+reference's key names, mmcv save format) through the CLI and asserts the
+orbax part-checkpoint restores into the exact values
+convert_relation_head_v1 produces, with the epoch meta preserved (the
+``tools/infer.py --epoch`` addressing contract)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+tfs = pytest.importorskip("transformers")
+
+import jax.numpy as jnp  # noqa: E402
+
+R = 7
+
+CONFIG = """
+model = dict(
+    type='Mask2FormerRelation',
+    relation_head=dict(
+        type='RelationTransformerHead',
+        num_transformer_layer=2,
+        input_feature_size=16,
+        relation_classes={relations!r},
+    ),
+)
+relation_classes = {relations!r}
+tpu = dict(segmenter_preset='tiny')
+"""
+
+
+def _torch_head():
+    torch.manual_seed(0)
+
+    class Head(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            bert = tfs.BertModel(tfs.BertConfig(
+                vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                num_attention_heads=2, intermediate_size=64,
+                max_position_embeddings=32,
+                hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            ))
+            wrap = torch.nn.Module()
+            wrap.model = bert
+            self.model = wrap
+            self.fc_input = torch.nn.Sequential(
+                torch.nn.Linear(16, 32), torch.nn.LayerNorm(32))
+            self.fc_output = torch.nn.Sequential(
+                torch.nn.Linear(32, 32), torch.nn.LayerNorm(32))
+            self.cls_q = torch.nn.Linear(32, R * 64)
+            self.cls_k = torch.nn.Linear(32, R * 64)
+
+    return Head()
+
+
+class TestConvertRelationCLI:
+    def test_v1_roundtrip(self, tmp_path):
+        from openpsg_tpu.core.config import Config
+        from openpsg_tpu.models.relation.weight_convert import (
+            convert_relation_head_v1,
+        )
+        from openpsg_tpu.train.checkpoint import PartCheckpointer
+        from tools.convert_relation import main
+
+        head = _torch_head()
+        state = {f"relation_head.{k}": v for k, v in head.state_dict().items()}
+        state["object_cls_embed.weight"] = torch.randn(133, 16)
+        pth = tmp_path / "epoch_3.pth"
+        torch.save({"state_dict": state, "meta": {"epoch": 3}}, pth)
+
+        relations = [f"rel{i}" for i in range(R)]
+        cfg_file = tmp_path / "cfg.py"
+        cfg_file.write_text(CONFIG.format(relations=relations))
+
+        out_dir = tmp_path / "ckpts"
+        main([str(pth), "--config", str(cfg_file),
+              "--out", str(out_dir), "--verify"])
+
+        ckpt = PartCheckpointer(str(out_dir))
+        step = ckpt.step_for_epoch(3)
+        assert step is not None
+        params, _, meta, _ = ckpt.restore(step=step)
+        ckpt.close()
+        assert meta["epoch"] == 3
+
+        # values must equal a direct conversion
+        cfg = Config.fromfile(str(cfg_file), import_custom_modules=False)
+        from openpsg_tpu.core.builder import m2f_relation_config
+
+        mcfg = m2f_relation_config(cfg)
+        np_state = {k: v.numpy() for k, v in state.items()}
+        want = convert_relation_head_v1(
+            {k[len("relation_head."):]: v for k, v in np_state.items()
+             if k.startswith("relation_head.")},
+            mcfg.head_v1,
+        )
+        got = params["head"]["params"]
+        np.testing.assert_allclose(
+            np.asarray(got["cls_q"]["kernel"]),
+            want["cls_q"]["kernel"], atol=0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(
+                got["encoder"]["layers"]["self_attn"]["query"]["kernel"]
+            ),
+            want["encoder"]["layers"]["self_attn"]["query"]["kernel"],
+            atol=0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(params["object_cls_embed"]),
+            np_state["object_cls_embed.weight"], atol=0,
+        )

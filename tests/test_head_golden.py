@@ -356,3 +356,407 @@ class TestHeadV2Golden:
                 np.asarray(padded[k])[:, :, :N, :N], np.asarray(small[k]),
                 rtol=5e-4, atol=5e-5, err_msg=k,
             )
+
+
+# --------------------------------------------------------------------- v3
+LLM_D, LLM_LAYERS, DOUT, FORMER = 32, 2, 16, 32
+
+
+def _hf_llama():
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers import LlamaForCausalLM
+
+    return LlamaForCausalLM(HFLlamaConfig(
+        vocab_size=97, hidden_size=LLM_D, intermediate_size=64,
+        num_hidden_layers=LLM_LAYERS, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=128,
+        rms_norm_eps=1e-5, rope_theta=10000.0,
+        attention_bias=False, attention_dropout=0.0,
+        tie_word_embeddings=False,
+    )).eval()
+
+
+def _v3_llm_cfg(causal=True):
+    from openpsg_tpu.models.llm.llama import LlamaConfig
+
+    return LlamaConfig(
+        vocab_size=97, dim=LLM_D, n_layers=LLM_LAYERS, n_heads=4,
+        n_kv_heads=2, ffn_hidden=64, max_seq_len=128, causal=causal,
+        dtype=jnp.float32,
+    )
+
+
+class TorchHeadV3Closed(torch.nn.Module):
+    """relation_transformer_head_v3.py:104-119 init / :180-193 forward
+    (closed vocab, HF Llama trunk standing in for the reference's Meta-
+    format trunk — equivalence pinned by TestLlamaHFGolden)."""
+
+    def __init__(self, llama):
+        super().__init__()
+        self.fc_object_vision_only_input = _seq(D0, LLM_D)
+        self.fc_object_vision_only_output = _seq(LLM_D, DOUT)
+        self.object_vision_only_sub_pred = torch.nn.Linear(DOUT, DOUT * R)
+        self.object_vision_only_obj_pred = torch.nn.Linear(DOUT, DOUT * R)
+        self.llama = llama
+
+    def forward(self, x):
+        b, n, _ = x.shape
+        x = self.fc_object_vision_only_input(x)
+        h = self.llama.model(inputs_embeds=x).last_hidden_state
+        h = self.fc_object_vision_only_output(h)
+        sub = self.object_vision_only_sub_pred(h).reshape(
+            b, n, R, DOUT).permute(0, 2, 1, 3)
+        obj = self.object_vision_only_obj_pred(h).reshape(
+            b, n, R, DOUT).permute(0, 2, 1, 3)
+        return torch.einsum("nrsc,nroc->nrso", sub, obj)
+
+
+class TorchHeadV3OV(torch.nn.Module):
+    """:116-159 init / :194-262 forward (open vocab), with the one
+    documented bug fix: :229-233 pools ``relation_embedding`` (the LLM's
+    relation-segment output), not the shape-incompatible
+    ``object_embedding`` the source names (see head_v3.py docstring)."""
+
+    def __init__(self, llama, former_layers):
+        super().__init__()
+        from transformers import BertConfig as HFBertConfig
+        from transformers.models.bert.modeling_bert import BertEncoder
+
+        def former():
+            cfg = HFBertConfig(
+                hidden_size=FORMER, num_hidden_layers=former_layers,
+                num_attention_heads=2, intermediate_size=64,
+                hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            )
+            # a bare BertEncoder (outside BertModel) needs the attn
+            # implementation pinned — from_config normally does this
+            cfg._attn_implementation = "eager"
+            return BertEncoder(cfg)
+
+        self.o_in_former = former()
+        self.o_out_former = former()
+        self.r_out_former = former()
+        self.fc_object_in_former = _seq(D0, FORMER)
+        self.fc_object_former_to_llm = _seq(FORMER, LLM_D)
+        self.fc_object_llm_to_former = _seq(LLM_D, FORMER)
+        self.fc_object_out_former = _seq(FORMER, DOUT)
+        self.fc_relation_llm_to_former = _seq(LLM_D, FORMER)
+        self.relation_output_size = DOUT * 2 + 1
+        self.fc_relation_out_former = _seq(FORMER, self.relation_output_size)
+        self.fc_sub_pred = torch.nn.Linear(DOUT, DOUT)
+        self.fc_obj_pred = torch.nn.Linear(DOUT, DOUT)
+        self.llama = llama
+
+    def forward(self, x, rel_ids, spans):
+        b, n, _ = x.shape
+        x = self.fc_object_in_former(x)
+        x = self.o_in_former(x).last_hidden_state
+        x = self.fc_object_former_to_llm(x)
+        rel_emb = self.llama.model.embed_tokens(rel_ids)[None].expand(
+            b, -1, -1)
+        joint = torch.cat([x, rel_emb], 1)
+        h = self.llama.model(inputs_embeds=joint).last_hidden_state
+        obj_h, rel_seg = h[:, :n], h[:, n:]
+        obj_h = self.fc_object_llm_to_former(obj_h)
+        obj_h = self.o_out_former(obj_h).last_hidden_state
+        obj_h = self.fc_object_out_former(obj_h)
+        rel_m = torch.einsum("rl,bld->brd", spans, rel_seg)
+        rel_m = self.fc_relation_llm_to_former(rel_m)
+        rel_m = self.r_out_former(rel_m).last_hidden_state
+        rel_m = self.fc_relation_out_former(rel_m)
+        w, bias = rel_m[..., :-1], rel_m[..., -1]
+        sub = self.fc_sub_pred(obj_h)
+        obj = self.fc_obj_pred(obj_h)
+        pair = torch.cat(
+            [
+                sub[:, :, None].expand(b, n, n, DOUT),
+                obj[:, None, :].expand(b, n, n, DOUT),
+            ],
+            -1,
+        )
+        return (
+            torch.einsum("bnmp,brp->brnm", pair, w)
+            + bias[:, :, None, None]
+        )
+
+
+def _rel_layout():
+    """R=7 predicates, 1-3 tokens each, '<|relation|>'-style separator-
+    first spans (separator INCLUDED, relation_transformer_head_v3.py:
+    94-97, 225-233)."""
+    rng = np.random.default_rng(7)
+    sep = 96
+    ids, starts = [], []
+    for r in range(R):
+        starts.append(len(ids))
+        ids.append(sep)
+        ids.extend(rng.integers(1, 90, size=1 + r % 3).tolist())
+    L = len(ids)
+    span = np.zeros((R, L), np.float32)
+    bounds = starts + [L]
+    for r in range(R):
+        a, b = bounds[r], bounds[r + 1]
+        span[r, a:b] = 1.0 / (b - a)
+    return np.asarray(ids, np.int64), span
+
+
+class TestHeadV3Golden:
+    def _convert(self, tm, cfg, ov):
+        from openpsg_tpu.models.llm.weight_convert import convert_llama
+        from openpsg_tpu.models.relation.weight_convert import (
+            convert_relation_head_v3,
+        )
+
+        params = convert_relation_head_v3(_state(tm), cfg)
+        llm = convert_llama(
+            {k[len("llama."):]: v for k, v in _state(tm).items()
+             if k.startswith("llama.")},
+            cfg.llm, dtype=jnp.float32,
+        )["params"]
+        params["llama"] = llm if ov else llm["core"]
+        return {"params": params}
+
+    def test_closed_vocab_value_parity(self):
+        from openpsg_tpu.models.relation.head_v3 import (
+            HeadV3Config, RelationHeadV3,
+        )
+
+        torch.manual_seed(0)
+        tm = TorchHeadV3Closed(_hf_llama()).eval()
+        x = torch.randn(1, N, D0)
+        with torch.no_grad():
+            want = tm(x).numpy()
+
+        cfg = HeadV3Config(
+            llm=_v3_llm_cfg(causal=True), input_feature_size=D0,
+            output_feature_size=DOUT, num_relation_classes=R,
+        )
+        params = self._convert(tm, cfg, ov=False)
+        got = RelationHeadV3(cfg).apply(
+            params, jnp.asarray(x.numpy()), jnp.ones((1, N), bool)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), want, rtol=2e-4, atol=2e-4
+        )
+
+    @pytest.mark.parametrize("former_layers", [1])
+    def test_open_vocab_value_parity(self, former_layers):
+        from openpsg_tpu.models.relation.head_v3 import (
+            HeadV3Config, RelationHeadV3,
+        )
+
+        torch.manual_seed(0)
+        tm = TorchHeadV3OV(_hf_llama(), former_layers).eval()
+        ids, spans = _rel_layout()
+        x = torch.randn(1, N, D0)
+        with torch.no_grad():
+            want = tm(
+                x, torch.tensor(ids), torch.tensor(spans)
+            ).numpy()
+
+        cfg = HeadV3Config(
+            llm=_v3_llm_cfg(causal=True), input_feature_size=D0,
+            former_feature_size=FORMER, output_feature_size=DOUT,
+            num_relation_classes=R, ov_relation=True,
+            num_object_in_layers=former_layers,
+            num_object_out_layers=former_layers,
+            num_relation_out_layers=former_layers,
+            former_heads=2, former_intermediate=64,
+        )
+        params = self._convert(tm, cfg, ov=True)
+        got = RelationHeadV3(cfg).apply(
+            params, jnp.asarray(x.numpy()), jnp.ones((1, N), bool),
+            relation_token_ids=jnp.asarray(ids.astype(np.int32)),
+            relation_spans=jnp.asarray(spans),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), want, rtol=5e-4, atol=5e-4
+        )
+
+    def test_ov_padding_invariance(self):
+        """Padded static layout ≡ compact on valid entries — pins the
+        restarted relation-segment RoPE positions (positions continue
+        from the VALID object count, not the padded one)."""
+        from openpsg_tpu.models.relation.head_v3 import (
+            HeadV3Config, RelationHeadV3,
+        )
+
+        torch.manual_seed(0)
+        tm = TorchHeadV3OV(_hf_llama(), 1).eval()
+        ids, spans = _rel_layout()
+        cfg = HeadV3Config(
+            llm=_v3_llm_cfg(causal=True), input_feature_size=D0,
+            former_feature_size=FORMER, output_feature_size=DOUT,
+            num_relation_classes=R, ov_relation=True,
+            num_object_in_layers=1, num_object_out_layers=1,
+            num_relation_out_layers=1,
+            former_heads=2, former_intermediate=64,
+        )
+        params = self._convert(tm, cfg, ov=True)
+        head = RelationHeadV3(cfg)
+        jids = jnp.asarray(ids.astype(np.int32))
+        jspans = jnp.asarray(spans)
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(1, N, D0)).astype(np.float32)
+        small = head.apply(
+            params, jnp.asarray(x), jnp.ones((1, N), bool),
+            relation_token_ids=jids, relation_spans=jspans,
+        )
+        xp = np.concatenate(
+            [x, rng.normal(size=(1, 2, D0)).astype(np.float32)], 1
+        )
+        vm = np.asarray([[True] * N + [False] * 2])
+        padded = head.apply(
+            params, jnp.asarray(xp), jnp.asarray(vm),
+            relation_token_ids=jids, relation_spans=jspans,
+        )
+        np.testing.assert_allclose(
+            np.asarray(padded)[:, :, :N, :N], np.asarray(small),
+            rtol=5e-4, atol=5e-4,
+        )
+
+
+# --------------------------------------------------------------------- v4
+class TorchHeadV4(torch.nn.Module):
+    """relation_transformer_head_v4.py:75-105 init / :143-220 forward
+    (the trainable inference slice: PatchEmbed → Q-Former over all pairs
+    → existence classifiers + language projection).  PatchEmbed is
+    timm's (proj conv + flatten, norm=Identity, :75-76) transcribed —
+    timm is absent in this env but the state-dict keys match."""
+
+    QD, C, PS, QN, T = 32, 16, 4, 3, 6
+
+    def __init__(self):
+        super().__init__()
+        from transformers import InstructBlipQFormerConfig
+        from transformers.models.instructblip.modeling_instructblip import (
+            InstructBlipQFormerModel,
+        )
+
+        class _PatchEmbed(torch.nn.Module):
+            def __init__(self, c, e, p):
+                super().__init__()
+                self.proj = torch.nn.Conv2d(c, e, p, stride=p)
+
+            def forward(self, x):
+                return self.proj(x).flatten(2).transpose(1, 2)
+
+        self.patch_embed = _PatchEmbed(self.C, self.C, self.PS)
+        self.relation_qformer = InstructBlipQFormerModel(
+            InstructBlipQFormerConfig(
+                vocab_size=64, hidden_size=self.QD, num_hidden_layers=2,
+                num_attention_heads=2, intermediate_size=64,
+                encoder_hidden_size=self.C, cross_attention_frequency=1,
+                max_position_embeddings=32,
+                attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0,
+            )
+        )
+        self.relation_query = torch.nn.Parameter(
+            torch.randn(1, self.QN, self.QD))
+        self.rel_cls_query = torch.nn.Parameter(
+            torch.randn(1, 1, self.QD))
+        self.binary_rel_cls_pred = torch.nn.Linear(self.QD, 1)
+        self.multiclass_rel_cls_pred = torch.nn.Linear(self.QD, R)
+        self.language_projection = torch.nn.Linear(self.QD, 24)
+
+    def forward(self, feat, pair_masks, input_ids, input_mask):
+        NP = pair_masks.shape[0]
+        patches = self.patch_embed(feat)                   # [1, P, C]
+        query = torch.cat(
+            [
+                self.rel_cls_query.expand(NP, -1, -1),
+                self.relation_query.expand(NP, -1, -1),
+            ],
+            1,
+        )
+        attn = torch.cat(
+            [torch.ones(NP, query.shape[1]), input_mask.float()], 1
+        )
+        out = self.relation_qformer(
+            input_ids=input_ids,
+            attention_mask=attn,
+            query_embeds=query,
+            encoder_hidden_states=patches.expand(NP, -1, -1),
+            encoder_attention_mask=pair_masks.float(),
+        ).last_hidden_state[:, : query.shape[1]]
+        cls = out[:, 0]
+        return (
+            self.binary_rel_cls_pred(cls)[:, 0],
+            self.multiclass_rel_cls_pred(cls),
+            self.language_projection(out[:, 1:]),
+        )
+
+
+class TestHeadV4Golden:
+    def test_value_parity(self):
+        from openpsg_tpu.models.relation.head_v4 import (
+            HeadV4Config, RelationHeadV4,
+        )
+        from openpsg_tpu.models.relation.qformer import QFormerConfig
+        from openpsg_tpu.models.relation.weight_convert import (
+            convert_relation_head_v4,
+        )
+
+        torch.manual_seed(0)
+        tm = TorchHeadV4().eval()
+        C, PS, QD, QN, T = tm.C, tm.PS, tm.QD, tm.QN, tm.T
+        M = 3
+        hp = wp = 4
+        H4 = hp * PS
+
+        rng = np.random.default_rng(0)
+        feat = rng.normal(size=(H4, H4, C)).astype(np.float32)
+        # blockwise-constant object masks: any downsampling scheme
+        # (bilinear ours, nearest the reference's) agrees on them
+        pm_small = rng.random((M, hp, wp)) > 0.4
+        pm_small[:, 0, 0] = True                  # no empty masks
+        obj_masks = np.kron(
+            pm_small, np.ones((PS, PS), bool)
+        )                                         # [M, H4, W4]
+        NP = M * M
+        flat = pm_small.reshape(M, hp * wp)
+        pair_masks = np.stack(
+            [flat[i] | flat[j] for i in range(M) for j in range(M)], 0
+        )
+        ids = rng.integers(1, 64, (NP, T)).astype(np.int64)
+        tmask = np.ones((NP, T), bool)
+        tmask[:, 4:] = False
+
+        with torch.no_grad():
+            want_b, want_m, want_v = tm(
+                torch.tensor(feat).permute(2, 0, 1)[None],
+                torch.tensor(pair_masks),
+                torch.tensor(ids),
+                torch.tensor(tmask),
+            )
+
+        cfg = HeadV4Config(
+            qformer=QFormerConfig(
+                hidden_size=QD, num_layers=2, num_heads=2, intermediate=64,
+                encoder_hidden_size=C, num_relation_queries=QN,
+                vocab_size=64, max_text_len=T,
+            ),
+            patch_size=PS, object_feature_size=C, num_relation_classes=R,
+            max_object_num=M, max_objects_padded=M, llm_feature_size=24,
+        )
+        params = {"params": convert_relation_head_v4(_state(tm), cfg)}
+        out = RelationHeadV4(cfg).apply(
+            params,
+            jnp.asarray(feat),
+            jnp.asarray(obj_masks),
+            jnp.ones((M,), bool),
+            jnp.asarray(ids.astype(np.int32)),
+            jnp.asarray(tmask),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["binary_logits"]), want_b.numpy(),
+            rtol=2e-4, atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["multiclass_logits"]), want_m.numpy(),
+            rtol=2e-4, atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["llm_visual_tokens"]), want_v.numpy(),
+            rtol=2e-4, atol=2e-5,
+        )

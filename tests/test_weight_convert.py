@@ -2006,3 +2006,91 @@ def test_mmdet_swin_patch_merge_permutation_golden():
     nrm2 = (cat - mu) / np.sqrt(var + 1e-5) * w + b
     got = nrm2 @ ms["layers.0.downsample.reduction.weight"].T
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestMetaLlamaGolden:
+    """meta_llama_to_hf_state golden — against the REFERENCE's own
+    Meta-format trunk (kings_sgg/models/commons/llama.py, torch-only so
+    it loads standalone).  Pins the interleaved→rotate-half RoPE
+    permutation on wq/wk: reference head-v3 checkpoints carry a TRAINED
+    Meta-layout trunk (freeze_layers omit it, baseline_v3_r50.py:160),
+    so importing them needs this bridge to be exactly right."""
+
+    REF = "/root/reference/kings_sgg/models/commons/llama.py"
+
+    def _load_ref_module(self):
+        import importlib.util
+        import os
+
+        if not os.path.exists(self.REF):
+            pytest.skip("reference tree not available")
+        spec = importlib.util.spec_from_file_location("ref_llama", self.REF)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_hidden_and_logits_match_reference(self, causal):
+        import torch
+
+        from openpsg_tpu.models.llm.llama import (
+            LlamaConfig,
+            LlamaWithEmbeddings,
+        )
+        from openpsg_tpu.models.llm.weight_convert import (
+            convert_llama,
+            meta_llama_to_hf_state,
+        )
+
+        ref = self._load_ref_module()
+        torch.manual_seed(0)
+        args = ref.ModelArgs(
+            dim=32, n_layers=2, n_heads=4, vocab_size=97,
+            multiple_of=16, norm_eps=1e-5, max_seq_len=64,
+        )
+        if not hasattr(args, "shave_language_decoder_at"):
+            args.shave_language_decoder_at = 0
+        tm = ref.LlamaTransformer(args).eval()
+
+        B, L = 2, 9
+        rng = np.random.default_rng(1)
+        ids = rng.integers(0, 97, size=(B, L)).astype(np.int64)
+        with torch.no_grad():
+            want_logits, want_h = tm(
+                torch.tensor(ids), is_train=True, causal_mask=causal
+            )
+
+        # FeedForward(dim, 4*dim, multiple_of=16): int(2*128/3)=85 → 96
+        cfg = LlamaConfig(
+            vocab_size=97, dim=32, n_layers=2, n_heads=4, n_kv_heads=4,
+            ffn_hidden=96, max_seq_len=64, causal=causal,
+            dtype=jnp.float32,
+        )
+        state = meta_llama_to_hf_state(
+            {k: v.numpy() for k, v in tm.state_dict().items()},
+            n_heads=4, n_kv_heads=4,
+        )
+        params = convert_llama(state, cfg, dtype=jnp.float32)
+        model = LlamaWithEmbeddings(cfg)
+        got_logits, _ = model.apply(
+            params, token_ids=jnp.asarray(ids.astype(np.int32)),
+            attention_mask=jnp.ones((B, L), bool),
+            positions=jnp.broadcast_to(
+                jnp.arange(L, dtype=jnp.int32)[None], (B, L)
+            ),
+        )
+        got_h, _ = model.apply(
+            params, token_ids=jnp.asarray(ids.astype(np.int32)),
+            attention_mask=jnp.ones((B, L), bool),
+            positions=jnp.broadcast_to(
+                jnp.arange(L, dtype=jnp.int32)[None], (B, L)
+            ),
+            return_hidden=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_h), want_h.numpy(), rtol=2e-4, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_logits), want_logits.numpy(),
+            rtol=2e-4, atol=2e-5,
+        )
