@@ -341,6 +341,10 @@ def _m2f_config(model_cfg, head_dict, tpu, relations):
         if llm_preset == "llama2_7b"
         else LlamaConfig.tiny_test(vocab_size=512)
     )
+    if tpu.get("llm"):
+        # explicit geometry override (tpu sizing dict), e.g. to match a
+        # checkpoint trunk in tests/imports
+        base_llm = dataclasses.replace(base_llm, **dict(tpu["llm"]))
     tiny = preset in ("tiny", "tiny_r50")
     v3 = HeadV3Config(
         llm=dataclasses.replace(

@@ -113,3 +113,83 @@ class TestConvertRelationCLI:
             np.asarray(params["object_cls_embed"]),
             np_state["object_cls_embed.weight"], atol=0,
         )
+
+    def test_v3_roundtrip_with_meta_trunk(self, tmp_path):
+        """v3 checkpoints carry the TRAINED Meta-layout llama trunk
+        (freeze_layers omit it) — the CLI must bridge it into the head's
+        ``llama`` scope, minus the lm_head our return_hidden trunk never
+        instantiates."""
+        import importlib.util
+        import os
+
+        ref_path = "/root/reference/kings_sgg/models/commons/llama.py"
+        if not os.path.exists(ref_path):
+            pytest.skip("reference tree not available")
+        spec = importlib.util.spec_from_file_location("ref_llama3", ref_path)
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+
+        from openpsg_tpu.train.checkpoint import PartCheckpointer
+        from tools.convert_relation import main
+
+        torch.manual_seed(1)
+        args = ref.ModelArgs(
+            dim=32, n_layers=2, n_heads=4, vocab_size=97,
+            multiple_of=16, norm_eps=1e-5, max_seq_len=64,
+        )
+        if not hasattr(args, "shave_language_decoder_at"):
+            args.shave_language_decoder_at = 0
+        trunk = ref.LlamaTransformer(args)
+
+        class HeadV3(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.llama_model = trunk
+                self.fc_object_vision_only_input = torch.nn.Sequential(
+                    torch.nn.Linear(16, 32), torch.nn.LayerNorm(32))
+                self.fc_object_vision_only_output = torch.nn.Sequential(
+                    torch.nn.Linear(32, 16), torch.nn.LayerNorm(16))
+                self.object_vision_only_sub_pred = torch.nn.Linear(16, 16 * R)
+                self.object_vision_only_obj_pred = torch.nn.Linear(16, 16 * R)
+
+        head = HeadV3()
+        state = {f"relation_head.{k}": v for k, v in head.state_dict().items()}
+        state["object_cls_embed.weight"] = torch.randn(133, 16)
+        pth = tmp_path / "epoch_5.pth"
+        torch.save({"state_dict": state, "meta": {"epoch": 5}}, pth)
+
+        relations = [f"rel{i}" for i in range(R)]
+        cfg_file = tmp_path / "cfg.py"
+        cfg_file.write_text(
+            "model = dict(\n"
+            "    type='Mask2FormerRelationV2',\n"
+            "    relation_head=dict(\n"
+            "        type='RelationTransformerHeadV3',\n"
+            "        input_feature_size=16,\n"
+            "        output_feature_size=16,\n"
+            "        shave_language_decoder_at=2,\n"
+            "        causal_mask=True,\n"
+            f"        relation_classes={relations!r},\n"
+            "    ),\n"
+            ")\n"
+            f"relation_classes = {relations!r}\n"
+            "tpu = dict(segmenter_preset='tiny',\n"
+            "           llm=dict(vocab_size=97, dim=32, n_heads=4,\n"
+            "                    n_kv_heads=4, ffn_hidden=96,\n"
+            "                    max_seq_len=64))\n"
+        )
+
+        out_dir = tmp_path / "ckpts"
+        main([str(pth), "--config", str(cfg_file),
+              "--out", str(out_dir), "--verify"])
+
+        ckpt = PartCheckpointer(str(out_dir))
+        params, _, meta, _ = ckpt.restore(step=ckpt.step_for_epoch(5))
+        ckpt.close()
+        hp = params["head"]["params"]
+        assert "llama" in hp and "lm_head" not in hp["llama"]
+        # trunk embedding rides along (Meta tok_embeddings)
+        got_norm = np.asarray(hp["llama"]["final_norm"]["weight"])
+        np.testing.assert_allclose(
+            got_norm, trunk.state_dict()["norm.weight"].numpy(), atol=0
+        )
