@@ -299,6 +299,9 @@ def _m2f_config(model_cfg, head_dict, tpu, relations):
         # on the prompt path the reference's pred_type selects the
         # InteractiveFusionModule scoring mode (einsum/einsum_v1/...)
         fusion_pred_type=pred_type if use_prompts else "einsum",
+        graph_transformer_type=head_dict.get("graph_transformer_type"),
+        use_learnable_prompts=head_dict.get("use_learnable_prompts", False),
+        learnable_prompts_size=head_dict.get("learnable_prompts_size", 16),
         semantic_type=head_dict.get("semantic_type", "relation_classes"),
         loss_type=head_dict.get("loss_type", "v1"),
         loss_weight=head_dict.get("loss_weight", 50.0),

@@ -165,3 +165,39 @@ class Config:
         with open(path, "w", encoding="utf-8") as f:
             for k, v in self._cfg.to_dict().items():
                 f.write(f"{k} = {pprint.pformat(v, width=100)}\n")
+
+
+def replace_cfg_vals(cfg: "Config") -> "Config":
+    """mmdet's ``${key.path}`` string interpolation (reference
+    tools/train.py:114-115 applies it right after fromfile).
+
+    A string value that IS exactly one ``${...}`` reference is replaced by
+    the referenced value (any type); embedded references substitute their
+    ``str()``.  References resolve against the ROOT config.  The reference
+    psg configs don't use the feature, but the train CLI applies it for
+    surface parity."""
+    import re
+
+    pattern = re.compile(r"\$\{([^}]+)\}")
+    root = cfg.to_dict()
+
+    def lookup(path: str):
+        cur: Any = root
+        for part in path.split("."):
+            cur = cur[part]
+        return cur
+
+    def walk(obj):
+        if isinstance(obj, dict):
+            return {k: walk(v) for k, v in obj.items()}
+        if isinstance(obj, (list, tuple)):
+            t = type(obj)
+            return t(walk(v) for v in obj)
+        if isinstance(obj, str):
+            full = pattern.fullmatch(obj)
+            if full:
+                return lookup(full.group(1))
+            return pattern.sub(lambda m: str(lookup(m.group(1))), obj)
+        return obj
+
+    return Config(walk(root), filename=cfg.filename)

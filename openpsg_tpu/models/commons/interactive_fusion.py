@@ -2,15 +2,27 @@
 embeddings into a dense relation score tensor.
 
 Reference: kings_sgg/models/relation_heads/interactive_fusion_module.py
-:28-68 — optional GraphTransformer message passing, then subject/object/
-relation projections and one of four scoring modes:
+:8-68, mirrored exactly (checkpoint-relevant):
 
-  * 'attention'  — per-relation attention logits q·k over pairs
-  * 'einsum'     — sub ⋅ rel ⋅ obj trilinear contraction
-  * 'einsum_v1'  — (sub*obj) pair product contracted with rel
-  * 'einsum_v2'  — einsum_v1 gated by a sigmoid pair-existence term
+  * without a graph transformer, cls_s/cls_o/cls_r are plain Linears
+    from the RAW input sizes (object tower width / semantic text width)
+    to ``output_size`` (= the head's cls_qk_size, :137-139 of
+    relation_transformer_head.py);
+  * with one, fc_node/fc_edge first project both to ``output_size``,
+    a 3-layer GraphTransformer message-passes, and cls_* become
+    RefMLP blocks (Linear → LayerNorm → Linear — the reference's "act"
+    is a LayerNorm, no nonlinearity, :71-80);
+  * scoring modes (:37-67):
+      'attention'  — pair outer product sub⊗obj → fc_q; relations →
+                     fc_k; logits q·kᵀ/√output_size
+      'einsum'     — einsum('nsc,noc,rc->nrso'), unscaled
+      'einsum_v1'  — same contraction via the explicit pair product
+      'einsum_v2'  — einsum_v1 gated by sigmoid(sub·obj) (a parameter-
+                     free pair-existence dot product, NOT a learned MLP)
 
-Output: [B, R, N, N] relation scores.
+Output: [B, R, N, N] relation scores.  Edges are the unbatched [R, De]
+predicate table, as the reference feeds them (semantic_embedding from
+forward_texts).
 """
 
 from __future__ import annotations
@@ -24,58 +36,78 @@ from flax import linen as nn
 from openpsg_tpu.models.commons.graph_transformer import GraphTransformer
 
 
-class MLP(nn.Module):
+class RefMLP(nn.Module):
+    """The reference fusion MLP: fc1 → LayerNorm (named ``act``!) → fc2
+    (interactive_fusion_module.py:71-80)."""
+
     hidden: int
     out: int
-    layers: int = 2
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        for i in range(self.layers - 1):
-            x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name=f"fc{i}")(x))
-        return nn.Dense(self.out, dtype=self.dtype, name=f"fc{self.layers - 1}")(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="act")(x)
+        return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
 
 
 class InteractiveFusionModule(nn.Module):
-    dim: int = 256
     pred_type: str = "einsum"         # attention | einsum | einsum_v1 | einsum_v2
+    output_size: int = 64             # the head's cls_qk_size
     use_graph_transformer: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, nodes: jnp.ndarray, edges: jnp.ndarray):
-        """nodes: [B, N, D] object embeddings; edges: [B, R, D] predicate
+        """nodes: [B, N, Do] object embeddings; edges: [R, De] predicate
         text embeddings → [B, R, N, N] scores."""
+        D = self.output_size
+        dt = self.dtype
+        if edges.ndim == 3:           # tolerate a legacy batched edge table
+            edges = edges[0]
+
         if self.use_graph_transformer:
-            nodes, edges = GraphTransformer(
-                self.dim, dtype=self.dtype, name="graph"
-            )(nodes, edges)
+            nodes = nn.Dense(D, dtype=dt, name="fc_node")(nodes)
+            edges = nn.Dense(D, dtype=dt, name="fc_edge")(edges)
+            nodes, edges = GraphTransformer(D, dtype=dt, name="graph")(
+                nodes, edges
+            )
+            sub = RefMLP(2 * D, D, dtype=dt, name="cls_s")(nodes)
+            obj = RefMLP(2 * D, D, dtype=dt, name="cls_o")(nodes)
+            rel = RefMLP(2 * D, D, dtype=dt, name="cls_r")(edges)
+        else:
+            sub = nn.Dense(D, dtype=dt, name="cls_s")(nodes)
+            obj = nn.Dense(D, dtype=dt, name="cls_o")(nodes)
+            rel = nn.Dense(D, dtype=dt, name="cls_r")(edges)
 
-        sub = MLP(self.dim, self.dim, dtype=self.dtype, name="sub_proj")(nodes)
-        obj = MLP(self.dim, self.dim, dtype=self.dtype, name="obj_proj")(nodes)
-        rel = MLP(self.dim, self.dim, dtype=self.dtype, name="rel_proj")(edges)
-
-        scale = self.dim ** -0.5
+        B, N = sub.shape[:2]
+        R = rel.shape[0]
         if self.pred_type == "attention":
-            q = jnp.einsum("brd,bnd->brn", rel, sub) * scale       # rel↔sub
-            k = jnp.einsum("brd,bmd->brm", rel, obj) * scale       # rel↔obj
-            return q[..., :, None] + k[..., None, :]
+            so = jnp.einsum("nsc,noc->nsoc", sub, obj).reshape(B, N * N, D)
+            q = RefMLP(2 * D, D, dtype=dt, name="fc_q")(so)
+            k = RefMLP(2 * D, D, dtype=dt, name="fc_k")(
+                jnp.broadcast_to(rel[None], (B, R, D))
+            )
+            pred = jnp.einsum(
+                "bpc,brc->bpr", q, k, preferred_element_type=jnp.float32
+            ) / (D ** 0.5)
+            return pred.reshape(B, N, N, R).transpose(0, 3, 1, 2)
         if self.pred_type == "einsum":
             return jnp.einsum(
-                "bnd,brd,bmd->brnm", sub, rel, obj,
+                "nsc,noc,rc->nrso", sub, obj, rel,
                 preferred_element_type=jnp.float32,
-            ) * scale
+            )
         if self.pred_type in ("einsum_v1", "einsum_v2"):
-            pair = sub[:, :, None, :] * obj[:, None, :, :]          # [B,N,N,D]
+            pair = jnp.einsum("nsc,noc->nsoc", sub, obj)
             scores = jnp.einsum(
-                "bnmd,brd->brnm", pair, rel,
+                "nsoc,rc->nrso", pair, rel,
                 preferred_element_type=jnp.float32,
-            ) * scale
+            )
             if self.pred_type == "einsum_v2":
-                exist = MLP(self.dim, 1, dtype=self.dtype, name="exist")(pair)
-                scores = scores * jax.nn.sigmoid(
-                    exist[..., 0].astype(jnp.float32)
-                )[:, None]
+                gate = jax.nn.sigmoid(
+                    jnp.einsum("nsc,noc->nso", sub, obj).astype(jnp.float32)
+                )
+                scores = scores * gate[:, None]
             return scores
         raise ValueError(self.pred_type)
+

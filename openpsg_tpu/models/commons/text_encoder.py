@@ -178,6 +178,7 @@ class BertStyleEncoder(nn.Module):
         encoder_mask: Optional[jnp.ndarray] = None,   # [B, P] bool
         pool: bool = False,                           # forward_texts pooling
         position_ids: Optional[int] = None,           # None=range; int=constant
+        learnable_embeds: Optional[jnp.ndarray] = None,  # [B, P, D] per-row
     ):
         """``position_ids``: the reference heads feed OBJECT tokens with a
         CONSTANT position id — v1 passes ``torch.ones`` (row 1,
@@ -210,26 +211,39 @@ class BertStyleEncoder(nn.Module):
             else:
                 x = emb + pos[position_ids][None, None].astype(c.dtype)
 
-        if c.num_learnable_prompts > 0:
-            # splice learned prompts between position 0 (CLS) and the rest
-            prompts = self.param(
-                "learnable_prompts", nn.initializers.normal(0.02),
-                (c.num_learnable_prompts, D),
-            )
-            pr = jnp.broadcast_to(prompts[None], (B,) + prompts.shape).astype(c.dtype)
+        if not c.pre_ln and not c.bare:  # CLIP/bare have no embedding LN
+            x = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="embed_ln")(x)
+
+        if learnable_embeds is not None or c.num_learnable_prompts > 0:
+            # splice learned prompts between position 0 (CLS) and the rest,
+            # AFTER the embeddings module — i.e. past the BERT embedding
+            # LayerNorm and without position rows, exactly like the
+            # reference's BertModelWithLearnableEmbeds /
+            # CLIPTextTransformerWithLearnableEmbeds (both splice the raw
+            # prompt table into embeddings' output, :133-141 / :45-51).
+            # ``learnable_embeds`` [B, P, D] is the per-ROW table the v1
+            # head passes (one prompt block per relation text); the
+            # config-driven path learns one shared [P, D] block.
+            if learnable_embeds is None:
+                prompts = self.param(
+                    "learnable_prompts", nn.initializers.normal(0.02),
+                    (c.num_learnable_prompts, D),
+                )
+                learnable_embeds = jnp.broadcast_to(
+                    prompts[None], (B,) + prompts.shape
+                )
+            pr = learnable_embeds.astype(c.dtype)
+            P = pr.shape[1]
             x = jnp.concatenate([x[:, :1], pr, x[:, 1:]], axis=1)
             attention_mask = jnp.concatenate(
                 [
                     attention_mask[:, :1],
-                    jnp.ones((B, c.num_learnable_prompts), bool),
+                    jnp.ones((B, P), bool),
                     attention_mask[:, 1:],
                 ],
                 axis=1,
             )
-            L = L + c.num_learnable_prompts
-
-        if not c.pre_ln and not c.bare:  # CLIP/bare have no embedding LN
-            x = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="embed_ln")(x)
+            L = L + P
 
         # HF semantics: the attention mask hides KEYS only — padded QUERY
         # rows still attend over the valid keys (BertModel

@@ -43,6 +43,9 @@ class HeadV1Config:
     pred_type: str = "attention"          # attention | einsum
     use_relation_prompts: bool = False    # predicate-text fusion path
     fusion_pred_type: str = "einsum"
+    graph_transformer_type: Optional[str] = None  # ref :9 (None | 'base')
+    use_learnable_prompts: bool = False   # per-relation prompt rows (ref :117)
+    learnable_prompts_size: int = 16      # ref :29
     semantic_type: str = "relation_classes"  # description vocabulary (§2.1)
     loss_type: str = "v1"
     loss_weight: float = 50.0
@@ -115,20 +118,29 @@ class RelationHeadV1(nn.Module):
             sem_cfg = dataclasses.replace(
                 c.encoder, hidden_size=c.output_feature_size
             )
+            prompts = None
+            if c.use_learnable_prompts:
+                # PER-RELATION prompt rows [R, P, D] spliced after the
+                # embeddings (ref :117-122 + bert_with_learnable_embeds)
+                prompts = self.param(
+                    "learnable_prompts_embedding",
+                    nn.initializers.normal(0.02),
+                    (R, c.learnable_prompts_size, c.output_feature_size),
+                )
             semantic_embeds = BertStyleEncoder(sem_cfg, name="sem_encoder")(
                 token_ids=semantic_token_ids,
                 attention_mask=semantic_token_mask,
                 pool=True,                       # BERT pooler (ref :60-69)
+                learnable_embeds=prompts,
             )
-        sem = jnp.broadcast_to(
-            semantic_embeds[None], (B,) + semantic_embeds.shape
-        )
-        if sem.shape[-1] != c.output_feature_size:
-            sem = nn.Dense(c.output_feature_size, dtype=c.dtype, name="sem_proj")(sem)
+        # the reference feeds the UNBATCHED [R, De] semantic table straight
+        # into the fusion module (no extra projection — cls_r/fc_edge
+        # project from the raw semantic width, ref :137-139)
         return InteractiveFusionModule(
-            dim=c.output_feature_size, pred_type=c.fusion_pred_type,
+            pred_type=c.fusion_pred_type, output_size=c.cls_qk_size,
+            use_graph_transformer=c.graph_transformer_type is not None,
             dtype=c.dtype, name="fusion",
-        )(x, sem)
+        )(x, semantic_embeds)
 
     # ------------------------------------------------------------------ loss
     def loss(

@@ -121,8 +121,32 @@ def convert_relation_head_v1(
         # the head feeds input_embeds only — word_embed is never created
         # by init, and typed orbax restore rejects extra leaves
         out["encoder"].pop("word_embed", None)
-    out["cls_q"] = _dense(state, g("cls_q"))
-    out["cls_k"] = _dense(state, g("cls_k"))
+        out["cls_q"] = _dense(state, g("cls_q"))
+        out["cls_k"] = _dense(state, g("cls_k"))
+        return out
+
+    # prompt path (ref :106-139): fusion module + optionally the learnable
+    # in-head semantic tower (semantic_model.model.*)
+    from openpsg_tpu.models.commons.weight_convert import (
+        convert_interactive_fusion,
+    )
+
+    out["fusion"] = convert_interactive_fusion(
+        state, g("fusion."), pred_type=cfg.fusion_pred_type,
+        output_size=cfg.cls_qk_size,
+    )
+    if g("semantic_model.model.embeddings.position_embeddings.weight") in state:
+        sem_cfg = dataclasses.replace(
+            cfg.encoder, hidden_size=cfg.output_feature_size
+        )
+        out["sem_encoder"] = convert_bert(
+            state, sem_cfg, prefix=g("semantic_model.model.")
+        )
+    if g("learnable_prompts_embedding") in state:
+        # per-relation prompt rows [R, P, D] (ref :117-122) — same name
+        out["learnable_prompts_embedding"] = np.asarray(
+            state[g("learnable_prompts_embedding")]
+        )
     return out
 
 

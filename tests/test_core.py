@@ -112,3 +112,21 @@ class TestPanopticIds:
         assert np.array_equal(c1, c2)
         assert len({tuple(x) for x in c1}) == 64
         assert not any((c == 0).all() for c in c1)
+
+
+class TestReplaceCfgVals:
+    def test_interpolation(self, tmp_path):
+        """mmdet ${var} interpolation (SURVEY §5; applied by tools/train.py
+        after fromfile like the reference's replace_cfg_vals)."""
+        from openpsg_tpu.core.config import Config, replace_cfg_vals
+
+        f = tmp_path / "c.py"
+        f.write_text(
+            "lr = 0.01\n"
+            "model = dict(head=dict(lr='${lr}', tag='run-${lr}'))\n"
+        )
+        cfg = replace_cfg_vals(
+            Config.fromfile(str(f), import_custom_modules=False)
+        )
+        assert cfg["model"]["head"]["lr"] == 0.01      # typed whole-ref
+        assert cfg["model"]["head"]["tag"] == "run-0.01"

@@ -760,3 +760,173 @@ class TestHeadV4Golden:
             np.asarray(out["llm_visual_tokens"]), want_v.numpy(),
             rtol=2e-4, atol=2e-5,
         )
+
+
+# ------------------------------------------------------- fusion (v1 prompt)
+class TorchGraphTransformer(torch.nn.Module):
+    """kings_sgg/models/commons/graph_transformer.py:6-22 (torch's own
+    TransformerDecoder is the reference dependency — used directly)."""
+
+    def __init__(self, d):
+        super().__init__()
+        layer = torch.nn.TransformerDecoderLayer(
+            d_model=d, nhead=8, batch_first=True)
+        self.edge2node_decoder = torch.nn.TransformerDecoder(layer, 3)
+        self.node2edge_decoder = torch.nn.TransformerDecoder(layer, 3)
+
+    def forward(self, node_embed, edge_embed):
+        b = node_embed.shape[0]
+        edge_embed = edge_embed.repeat(b, 1, 1)
+        node_embed = self.edge2node_decoder(node_embed, edge_embed)
+        edge_embed = self.node2edge_decoder(edge_embed, node_embed)
+        return node_embed, edge_embed.mean(dim=0)
+
+
+class _RefTorchMLP(torch.nn.Module):
+    """interactive_fusion_module.py:71-80 — fc1 → LayerNorm('act') → fc2."""
+
+    def __init__(self, i, h, o):
+        super().__init__()
+        self.fc1 = torch.nn.Linear(i, h)
+        self.fc2 = torch.nn.Linear(h, o)
+        self.act = torch.nn.LayerNorm(h)
+
+    def forward(self, x):
+        return self.fc2(self.act(self.fc1(x)))
+
+
+class TorchFusion(torch.nn.Module):
+    """interactive_fusion_module.py:8-68 transcribed."""
+
+    def __init__(self, pred_type, do, de, dq, graph):
+        super().__init__()
+        self.pred_type = pred_type
+        self.graph = graph
+        if graph:
+            self.fc_node = torch.nn.Linear(do, dq)
+            self.fc_edge = torch.nn.Linear(de, dq)
+            self.graph_transformer = TorchGraphTransformer(dq)
+            self.cls_s = _RefTorchMLP(dq, dq * 2, dq)
+            self.cls_o = _RefTorchMLP(dq, dq * 2, dq)
+            self.cls_r = _RefTorchMLP(dq, dq * 2, dq)
+        else:
+            self.cls_s = torch.nn.Linear(do, dq)
+            self.cls_o = torch.nn.Linear(do, dq)
+            self.cls_r = torch.nn.Linear(de, dq)
+        if pred_type == "attention":
+            self.fc_q = _RefTorchMLP(dq, dq * 2, dq)
+            self.fc_k = _RefTorchMLP(dq, dq * 2, dq)
+
+    def forward(self, node_embed, edge_embed):
+        if self.graph:
+            node_embed = self.fc_node(node_embed)
+            edge_embed = self.fc_edge(edge_embed)
+            node_embed, edge_embed = self.graph_transformer(
+                node_embed, edge_embed)
+        sub = self.cls_s(node_embed)
+        obj = self.cls_o(node_embed)
+        rel = self.cls_r(edge_embed)
+        if self.pred_type == "attention":
+            so = torch.einsum("nsc,noc->nsoc", sub, obj)
+            b, s, o, c = so.shape
+            so = so.reshape(b, s * o, c)
+            r = rel.unsqueeze(0).repeat(b, 1, 1)
+            so = self.fc_q(so)
+            r = self.fc_k(r)
+            pred = so @ r.transpose(1, 2) / c ** 0.5
+            return pred.reshape(b, s, o, -1).permute(0, 3, 1, 2)
+        if self.pred_type == "einsum":
+            return torch.einsum("nsc,noc,rc->nrso", sub, obj, rel)
+        tmp = torch.einsum("nsc,noc->nsoc", sub, obj)
+        pred = torch.einsum("nsoc,rc->nrso", tmp, rel)
+        if self.pred_type == "einsum_v2":
+            gate = torch.einsum("nsc,noc->nso", sub, obj).sigmoid()
+            pred = pred * gate.unsqueeze(1)
+        return pred
+
+
+class TestFusionGolden:
+    @pytest.mark.parametrize(
+        "mode", ["attention", "einsum", "einsum_v1", "einsum_v2"])
+    @pytest.mark.parametrize("graph", [False, True])
+    def test_value_parity(self, mode, graph):
+        from openpsg_tpu.models.commons.interactive_fusion import (
+            InteractiveFusionModule,
+        )
+        from openpsg_tpu.models.commons.weight_convert import (
+            convert_interactive_fusion,
+        )
+
+        DO, DE, DQ = 24, 12, 16
+        torch.manual_seed(0)
+        tm = TorchFusion(mode, DO, DE, DQ, graph).eval()
+        nodes = torch.randn(1, N, DO)
+        edges = torch.randn(R, DE)
+        with torch.no_grad():
+            want = tm(nodes, edges).numpy()
+
+        params = convert_interactive_fusion(
+            _state(tm), "", pred_type=mode, output_size=DQ
+        )
+        m = InteractiveFusionModule(
+            pred_type=mode, output_size=DQ, use_graph_transformer=graph
+        )
+        got = m.apply(
+            {"params": params},
+            jnp.asarray(nodes.numpy()), jnp.asarray(edges.numpy()),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), want, rtol=5e-4, atol=5e-5
+        )
+
+
+# --------------------------------------------- learnable prompts (v1 path)
+class TestLearnablePromptsGolden:
+    def test_splice_matches_hf_semantics(self):
+        """Per-row learnable prompts splice AFTER the embeddings module
+        (past BERT's embedding LayerNorm, no position rows) between CLS
+        and the text — bert_with_learnable_embeds.py:133-141.  Mirrored
+        with HF BertModel components directly."""
+        from openpsg_tpu.models.commons.weight_convert import convert_bert
+
+        torch.manual_seed(0)
+        hf = tfs.BertModel(bert_config(False)).eval()
+        Rr, L, P = 3, 6, 2
+        rng = np.random.default_rng(0)
+        ids = rng.integers(1, 64, (Rr, L)).astype(np.int64)
+        prompts = rng.normal(size=(Rr, P, D)).astype(np.float32)
+        mask = np.ones((Rr, L), bool)
+        mask[0, 4:] = False
+
+        with torch.no_grad():
+            emb = hf.embeddings(input_ids=torch.tensor(ids))
+            spliced = torch.cat(
+                [emb[:, :1], torch.tensor(prompts), emb[:, 1:]], 1
+            )
+            am = torch.cat(
+                [
+                    torch.tensor(mask[:, :1], dtype=torch.float32),
+                    torch.ones(Rr, P),
+                    torch.tensor(mask[:, 1:], dtype=torch.float32),
+                ],
+                1,
+            )
+            ext = hf.get_extended_attention_mask(am, spliced.shape[:2])
+            seq = hf.encoder(spliced, attention_mask=ext).last_hidden_state
+            want = hf.pooler(seq).numpy()
+
+        from openpsg_tpu.models.commons.text_encoder import BertStyleEncoder
+
+        params = {"params": convert_bert(
+            {k: v.numpy() for k, v in hf.state_dict().items()}, ENC_CFG
+        )}
+        got = BertStyleEncoder(ENC_CFG).apply(
+            params,
+            token_ids=jnp.asarray(ids.astype(np.int32)),
+            attention_mask=jnp.asarray(mask),
+            learnable_embeds=jnp.asarray(prompts),
+            pool=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), want, rtol=2e-4, atol=2e-5
+        )

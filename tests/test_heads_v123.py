@@ -74,10 +74,13 @@ class TestBertStyleEncoder:
 
 class TestInteractiveFusion:
     @pytest.mark.parametrize("mode", ["attention", "einsum", "einsum_v1", "einsum_v2"])
-    def test_modes(self, mode):
-        m = InteractiveFusionModule(dim=16, pred_type=mode)
-        nodes = jax.random.normal(jax.random.PRNGKey(0), (1, 5, 16))
-        edges = jax.random.normal(jax.random.PRNGKey(1), (1, 7, 16))
+    @pytest.mark.parametrize("graph", [False, True])
+    def test_modes(self, mode, graph):
+        m = InteractiveFusionModule(
+            pred_type=mode, output_size=16, use_graph_transformer=graph
+        )
+        nodes = jax.random.normal(jax.random.PRNGKey(0), (1, 5, 24))
+        edges = jax.random.normal(jax.random.PRNGKey(1), (7, 12))
         p = m.init(jax.random.PRNGKey(2), nodes, edges)
         out = m.apply(p, nodes, edges)
         assert out.shape == (1, 7, 5, 5)

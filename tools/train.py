@@ -165,6 +165,9 @@ def main():
     from openpsg_tpu.utils.logging import setup_logger, param_table
 
     cfg = Config.fromfile(args.config)
+    from openpsg_tpu.core.config import replace_cfg_vals
+
+    cfg = replace_cfg_vals(cfg)   # ${var} interpolation (ref train.py:114-115)
     if args.cfg_options:
         opts = dict(kv.split("=", 1) for kv in args.cfg_options)
         cfg.merge_from_dict({k: _parse_cfg_value(v) for k, v in opts.items()})
