@@ -193,3 +193,87 @@ class TestConvertRelationCLI:
         np.testing.assert_allclose(
             got_norm, trunk.state_dict()["norm.weight"].numpy(), atol=0
         )
+
+    def test_imported_checkpoint_drives_infer(self, tmp_path):
+        """Full user journey: reference .pth → tools/convert_relation.py →
+        tools/infer.py --checkpoint on a synthetic dataset.  The typed
+        orbax restore must accept the imported tree into the BUILT
+        detector (geometry comes from the same config), and the tool
+        must write a complete submission."""
+        import os
+        import sys
+
+        from fixtures import make_fixture
+        from tools.convert_relation import main as convert_main
+
+        root = str(tmp_path / "fx")
+        ann = make_fixture(root, n_images=2, hw=(64, 64))
+
+        torch.manual_seed(0)
+
+        class Head(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                bert = tfs.BertModel(tfs.BertConfig(
+                    vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                    num_attention_heads=2, intermediate_size=64,
+                    max_position_embeddings=32,
+                    hidden_dropout_prob=0.0,
+                    attention_probs_dropout_prob=0.0,
+                ))
+                wrap = torch.nn.Module()
+                wrap.model = bert
+                self.model = wrap
+                self.fc_input = torch.nn.Sequential(
+                    torch.nn.Linear(32, 32), torch.nn.LayerNorm(32))
+                self.fc_output = torch.nn.Sequential(
+                    torch.nn.Linear(32, 32), torch.nn.LayerNorm(32))
+                self.cls_q = torch.nn.Linear(32, 56 * 64)
+                self.cls_k = torch.nn.Linear(32, 56 * 64)
+
+        state = {f"relation_head.{k}": v
+                 for k, v in Head().state_dict().items()}
+        state["object_cls_embed.weight"] = torch.randn(133, 32)
+        pth = tmp_path / "epoch_2.pth"
+        torch.save({"state_dict": state, "meta": {"epoch": 2}}, pth)
+
+        cfg_file = tmp_path / "cfg.py"
+        cfg_file.write_text(
+            "model = dict(\n"
+            "    type='Mask2FormerRelation',\n"
+            "    relation_head=dict(\n"
+            "        type='RelationTransformerHead',\n"
+            "        input_feature_size=32,\n"
+            "    ),\n"
+            ")\n"
+            f"data = dict(test=dict(ann_file={ann!r}, img_prefix={root!r}))\n"
+            "tpu = dict(segmenter_preset='tiny')\n"
+        )
+        ckpt_dir = str(tmp_path / "ckpts")
+        convert_main([str(pth), "--config", str(cfg_file),
+                      "--out", ckpt_dir, "--verify"])
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools"))
+        import infer as infer_tool
+
+        out_dir = str(tmp_path / "out")
+        argv_save = sys.argv
+        sys.argv = [
+            "infer.py", "--config", str(cfg_file), "--checkpoint", ckpt_dir,
+            "--output-dir", out_dir,
+            "--img-scale", "64", "64", "--seed", "0",
+        ]
+        try:
+            infer_tool.main()
+        finally:
+            sys.argv = argv_save
+
+        sub = os.path.join(out_dir, "submission", "relation.json")
+        assert os.path.exists(sub)
+        import json
+
+        with open(sub) as f:
+            records = json.load(f)
+        assert len(records) == 1 and records[0]["relations"]
