@@ -397,10 +397,25 @@ class PSGv4:
             self.qf_parts, sub_lab, obj_lab
         )
 
+        # optional PAIR-axis sharding (sequence-parallel analogue, SURVEY
+        # §5: "the TPU analogue of sequence parallelism here is sharding
+        # the pair axis across chips").  make_pair_sharded_infer installs
+        # a trace-time constraint; constraining the head's pair-major
+        # inputs AND outputs makes GSPMD run the Q-Former with NP/dp
+        # pairs per chip, while the tiny top-k/decode gathers ride ICI.
+        pc = getattr(self, "_pair_constraint", None)
+        if pc is not None:
+            text_ids, text_mask = pc(text_ids), pc(text_mask)
         head_out = self.head.apply(
             params["head"], mask_features, object_masks, valid,
             text_ids, text_mask,
         )
+        if pc is not None:
+            NP = M * M
+            head_out = {
+                k: pc(v) if v.ndim >= 1 and v.shape[0] == NP else v
+                for k, v in head_out.items()
+            }
         pair_valid = jnp.take(valid, pair_idx // M) & jnp.take(valid, pair_idx % M)
 
         out: Dict[str, jnp.ndarray] = {
@@ -517,6 +532,36 @@ class PSGv4:
         return self.postprocess(dev)
 
     # ------------------------------------------------------- batched/sharded
+    def make_pair_sharded_infer(self, mesh, axis: str = "dp"):
+        """LATENCY-oriented single-image inference with the PAIR axis
+        sharded across the mesh (sequence-parallel analogue; the batched
+        ``infer_batch`` path is the THROUGHPUT one).  The pair Q-Former —
+        M*M pair sequences — runs with ``M*M/n`` pairs per chip; head
+        outputs are constrained back onto the same layout so the top-k +
+        decode stages stay consistent and XLA only gathers the tiny
+        selected slices over ICI.
+
+        Returns ``fn(params, image_u8, img_hw) -> device tree`` jitted
+        fresh (``self._infer_jit`` is keyed on ``self`` identity, so
+        mutating the constraint alone would NOT retrace); feed its output
+        to :meth:`postprocess`.  The constraint attribute is set only for
+        the duration of the trace, so the shared single-chip program is
+        never contaminated."""
+        from openpsg_tpu.parallel.sharding import pair_sharded_constraint
+
+        M = self.cfg.head.max_objects_padded
+        pc = pair_sharded_constraint(mesh, M * M, axis)
+        impl = self._infer_jit.__wrapped__
+
+        def one(params, image, hw):
+            self._pair_constraint = pc
+            try:
+                return impl(self, params, image, hw)
+            finally:
+                self._pair_constraint = None
+
+        return jax.jit(one)
+
     def make_batch_infer(self, mesh=None):
         """Data-parallel batched inference: vmap of the whole per-image
         program, batch axis sharded over the mesh's ``dp`` axis (this is

@@ -147,6 +147,29 @@ def assert_llm_sharded(llm_params: Any, mesh: Mesh, min_sharded: int = 4) -> int
     return n
 
 
+def pair_sharded_constraint(mesh: Mesh, num_pairs: int, axis: str = "dp"):
+    """Sequence-parallel analogue for the relation stage (SURVEY §5: "the
+    TPU analogue of sequence parallelism here is sharding the pair axis
+    across chips").
+
+    Returns a trace-time constraint ``f(x) -> x`` that pins a pair-major
+    array's LEADING axis onto the mesh ``axis`` (trailing dims replicate).
+    Applied to the relation head's pair-major inputs *and* outputs, GSPMD
+    runs the pair Q-Former with ``num_pairs / mesh.shape[axis]`` pairs per
+    chip while the tiny top-k / decode gathers ride ICI.  Returns ``None``
+    when ``num_pairs`` doesn't divide the axis (constraint would be
+    rejected at lowering)."""
+    n = int(mesh.shape.get(axis, 1))
+    if n <= 1 or num_pairs % n != 0:
+        return None
+    sharding = NamedSharding(mesh, P(axis))
+
+    def constrain(x):
+        return jax.lax.with_sharding_constraint(x, sharding)
+
+    return constrain
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch/image) sharding over dp."""
     return NamedSharding(mesh, P("dp"))

@@ -485,6 +485,35 @@ class TestBatchedInference:
         for r in out:
             assert "pan_results" in r
 
+    def test_pair_sharded_matches_single(self, tiny_pipeline):
+        """Pair-axis (sequence-parallel analogue) sharded inference must be
+        a pure layout directive: identical results to plain single-chip
+        inference, and the shared _infer_jit cache must stay clean."""
+        import jax
+        from openpsg_tpu.parallel.mesh import make_mesh
+
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 devices")
+        p = tiny_pipeline
+        mesh = make_mesh(dp=8, tp=1)
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 255, (64, 64, 3)).astype(np.float32)
+        hw = np.asarray([64, 64], np.int32)
+
+        fn = p.make_pair_sharded_infer(mesh)
+        with mesh:
+            dev = jax.device_get(fn(p.params, jnp.asarray(img), jnp.asarray(hw)))
+        sharded = p.postprocess(dev)
+        assert p._pair_constraint is None  # trace-scoped, not sticky
+        plain = p.infer(img, (64, 64))
+        np.testing.assert_array_equal(
+            sharded["pan_results"], plain["pan_results"]
+        )
+        assert (
+            sharded["rel_results"]["relation"]
+            == plain["rel_results"]["relation"]
+        )
+
 
 class TestRelClsVariants:
     @pytest.mark.parametrize("mode", ["binary", "multiclass"])
