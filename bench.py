@@ -38,7 +38,10 @@ so the 7B fits one v5e chip's HBM; 0 = bf16), BENCH_QUERIES (default 300
 — the OpenSeeD checkpoint's decoder geometry), BENCH_ITERS (4),
 BENCH_EOS_BOOST (lm_head EOS-column scale factor, default 12; 0 disables
 the bias AND early exit → legacy pinned-16-only bench),
-BENCH_SKIP_PINNED (1 = skip the pinned-16 side measurement).
+BENCH_SKIP_PINNED (1 = skip the pinned-16 side measurement),
+BENCH_PIPELINE (default 1; N>1 = micro-batched ``make_pipelined_infer``
+path — lax.map segmenter, vmapped relation tail, N images per program;
+decode's 7 GB weight stream amortizes N-fold).
 """
 
 from __future__ import annotations
@@ -107,6 +110,13 @@ def main():
     # opt-in: dynamic int8-activation prefill (quality knob; measured
     # 1.68x on the FFN prefill matmul — headline keeps parity path OFF)
     act_int8 = bool(int(os.environ.get("BENCH_ACT_INT8", 0)))
+    # opt-in: micro-batched inference (make_pipelined_infer) — segmenter
+    # sequential via lax.map (one image's activations at a time), relation
+    # tail + LLM batched via vmap.  Decode is HBM-weight-bound and its
+    # matvec cost is FLAT in pair batch (measured 1.538 ms @20 pairs vs
+    # 1.537 @40 for the 32x int8 FFN block), so N images amortize the 7 GB
+    # weight stream N-fold.  BENCH_PIPELINE=2 → 2 images per program.
+    micro_batch = int(os.environ.get("BENCH_PIPELINE", 1))
 
     seg_cfg = SegmenterConfig(dtype=jnp.bfloat16)
     if queries:
@@ -143,16 +153,33 @@ def main():
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.integers(0, 255, (size, size_w, 3)).astype(np.float32))
     hw = jnp.asarray([size, size_w - 8], jnp.int32)
+    if micro_batch > 1:
+        img = jnp.stack([img + i for i in range(micro_batch)])
+        hw = jnp.stack([hw] * micro_batch)
 
     infer_impl = pipeline._infer_jit.__wrapped__
 
     def make_run(pl, n):
+        if micro_batch > 1:
+            def per_iter(params, images, hws, carry):
+                def seg(t):
+                    return pl._seg_stage(params, t[0], t[1])
+                tail_in = jax.lax.map(
+                    seg, (images + carry * 1e-9, hws)
+                )
+                return jax.vmap(
+                    lambda *a: pl._relation_tail(params, *a)
+                )(*tail_in)
+        else:
+            def per_iter(params, image, img_hw, carry):
+                return infer_impl(pl, params, image + carry * 1e-9, img_hw)
+
         @jax.jit
         def run_n(params, image, img_hw):
             def body(carry, _):
                 # data dependency: perturb the image by the previous scalar
                 # so iterations can't be elided or reordered
-                out = infer_impl(pl, params, image + carry * 1e-9, img_hw)
+                out = per_iter(params, image, img_hw, carry)
                 s = (
                     jnp.sum(out["gen_scores"])
                     + jnp.sum(out["top_pair_scores"])
@@ -167,6 +194,8 @@ def main():
     # measure the tunnel, not the model)
     @jax.jit
     def decode_stats(params, image, img_hw):
+        if micro_batch > 1:
+            image, img_hw = image[0], img_hw[0]
         out = infer_impl(pipeline, params, image, img_hw)
         toks = out["gen_tokens"]                       # [K, T]
         n = jnp.sum(toks != pad_id, axis=1)            # real tokens per pair
@@ -218,6 +247,8 @@ def main():
     }
     if act_int8:
         detail["prefill"] = "int8_activations"
+    if micro_batch > 1:
+        detail["micro_batch"] = micro_batch  # images per program (pipelined)
     if eos_boost > 0:
         detail["decode"] = "eos_early_exit"
         detail["realized_decode_steps"] = realized_steps  # of max 16
@@ -228,13 +259,13 @@ def main():
             pinned = copy.copy(pipeline)
             pinned.cfg = dataclasses.replace(cfg, decode_early_exit=False)
             p_step, p_cf, _ = slope(pinned, "pinned16")
-            detail["pinned16_img_per_s"] = round(1.0 / p_step, 3)
+            detail["pinned16_img_per_s"] = round(micro_batch / p_step, 3)
             detail["pinned16_step_ms"] = round(p_step * 1e3, 2)
             detail["pinned16_compile_plus_first_s"] = round(p_cf, 1)
     else:
         detail["decode"] = "pinned16"
 
-    ips = 1.0 / step
+    ips = micro_batch / step
     print(
         json.dumps(
             {
@@ -243,6 +274,7 @@ def main():
                     + ("_int8" if llm_int8 else "")
                     + ("_w8a8" if act_int8 else "")
                     + ("_eosexit" if eos_boost > 0 else "")
+                    + (f"_mb{micro_batch}" if micro_batch > 1 else "")
                 ),
                 "value": round(ips, 3),
                 "unit": "images/sec/chip",

@@ -467,6 +467,32 @@ class TestBatchedInference:
             np.testing.assert_array_equal(b["pan_results"], s["pan_results"])
             assert b["rel_results"]["relation"] == s["rel_results"]["relation"]
 
+    def test_pipelined_matches_single(self, tiny_pipeline):
+        """Micro-batched (lax.map segmenter + vmapped relation tail)
+        inference must equal per-image inference — the restructuring is a
+        pure scheduling change (peak memory / decode amortization)."""
+        import jax
+
+        p = tiny_pipeline
+        rng = np.random.default_rng(11)
+        imgs = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.float32)
+        hws = np.asarray([[64, 64], [58, 61]], np.int32)
+        fn = p.make_pipelined_infer(2)
+        dev = jax.device_get(
+            fn(p.params, jnp.asarray(imgs), jnp.asarray(hws, jnp.int32))
+        )
+        for i in range(2):
+            got = p.postprocess(
+                jax.tree_util.tree_map(lambda x: x[i], dev)
+            )
+            ref = p.infer(imgs[i], tuple(hws[i]))
+            np.testing.assert_array_equal(
+                got["pan_results"], ref["pan_results"]
+            )
+            assert (
+                got["rel_results"]["relation"] == ref["rel_results"]["relation"]
+            )
+
     def test_batch_sharded_over_mesh(self, tiny_pipeline):
         """dp-sharded batch executes on an 8-device mesh."""
         import jax

@@ -327,6 +327,14 @@ def main():
             lambda x: jnp.einsum("bld,df->blf", x, wq.astype(jnp.bfloat16),
                                  preferred_element_type=jnp.float32) * ws
         ), x1)
+        # decode batch-flatness: cost at 2 images' worth of pairs (40) is
+        # the basis for the BENCH_PIPELINE micro-batch lever (measured
+        # 1.538 ms @20 vs 1.537 @40, +7% @60 — pure weight streaming)
+        x2 = jnp.asarray(rng.normal(size=(2 * K, 1, D)) * 0.02, jnp.bfloat16)
+        timed("micro_int8deq_decode_[40,1]x[4096,11008]x32", loopw(
+            lambda x: jnp.einsum("bld,df->blf", x, wq.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32) * ws
+        ), x2)
         timed("micro_bf16_prefill_[20,52]x[4096,11008]x32", loopw(
             lambda x: jnp.einsum("bld,df->blf", x, wbf,
                                  preferred_element_type=jnp.float32)
