@@ -161,15 +161,13 @@ def main():
 
     def make_run(pl, n):
         if micro_batch > 1:
+            # the EXACT shipped program (tools/infer.py --micro-batch →
+            # make_pipelined_infer): lax.map segmenter + Q-Former, then ONE
+            # flattened [N·K]-pair LLM prefill+decode
             def per_iter(params, images, hws, carry):
-                def seg(t):
-                    return pl._seg_stage(params, t[0], t[1])
-                tail_in = jax.lax.map(
-                    seg, (images + carry * 1e-9, hws)
+                return pl._pipelined_impl(
+                    params, images + carry * 1e-9, hws
                 )
-                return jax.vmap(
-                    lambda *a: pl._relation_tail(params, *a)
-                )(*tail_in)
         else:
             def per_iter(params, image, img_hw, carry):
                 return infer_impl(pl, params, image + carry * 1e-9, img_hw)

@@ -137,3 +137,42 @@ def test_infer_gt_masks_ablation(mixed_fixture, tmp_path, monkeypatch):
             gm = gt_ids == gt_seg["id"]
             iou = (pm & gm).sum() / max((pm | gm).sum(), 1)
             assert iou > 0.8, (seg, gt_seg, iou)
+
+
+def test_infer_micro_batch(mixed_fixture, tmp_path, capsys, monkeypatch):
+    """--micro-batch 2 (single-chip pipelined path: lax.map segmenter +
+    ONE flattened LLM decode per chunk, psg_v4.make_pipelined_infer)
+    through the CLI surface — must produce the same submission as the
+    per-image path, including tail-chunk padding and bucket grouping."""
+    root, ann = mixed_fixture
+    cfg_path = tmp_path / "cfg.py"
+    cfg_path.write_text(
+        f"_base_ = ['{REPO}/configs/psg/tiny_v4_ov.py']\n"
+        "tpu = dict(input_hw=(128, 128))\n"
+    )
+    import infer as infer_tool
+
+    def run(outdir, extra):
+        monkeypatch.setattr(
+            sys, "argv",
+            ["infer.py", "--config", str(cfg_path),
+             "--test-file", ann, "--data-dir", root,
+             "--output-dir", str(outdir),
+             "--img-scale", "128", "128"] + extra,
+        )
+        infer_tool.main()
+        return json.load(open(outdir / "submission" / "relation.json"))
+
+    micro = run(tmp_path / "micro", ["--micro-batch", "2"])
+    plain = run(tmp_path / "plain", [])
+    capsys.readouterr()
+
+    assert len(micro) == 4
+    assert [r["pan_seg_file_name"] for r in micro] == [
+        f"{i}.png" for i in range(4)
+    ]
+    for m, p in zip(micro, plain):
+        assert m["relations"] == p["relations"]
+        assert [s["category_id"] for s in m["segments_info"]] == [
+            s["category_id"] for s in p["segments_info"]
+        ]

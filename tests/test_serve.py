@@ -123,3 +123,46 @@ def test_concurrent_requests_batched(server):
         rec.pop("latency_ms")
         recs.append(rec)
     assert recs[0] == recs[1]
+
+
+def test_micro_batch_service(tmp_path):
+    """--micro-batch: the batched device step runs the single-chip
+    pipelined program (infer_microbatch) instead of vmap; two concurrent
+    identical posts must both succeed with identical records."""
+    import serve as serve_tool
+    from tests.fixtures import make_fixture
+
+    make_fixture(str(tmp_path), n_images=1, hw=(64, 96))
+    args = serve_tool.parse_args(
+        ["--config", os.path.join(REPO, "configs/psg/tiny_v4_ov.py"),
+         "--host", "127.0.0.1", "--port", "0",
+         "--img-scale", "64", "64", "--single-bucket",
+         "--batch-size", "2", "--micro-batch", "--max-wait-ms", "200"]
+    )
+    httpd, service = serve_tool.make_server(args)
+    assert service.micro_batch
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        addr = httpd.server_address[:2]
+        path = os.path.join(str(tmp_path), "images", "0.jpg")
+        results = [None, None]
+
+        def hit(i):
+            results[i] = _post_image(addr, path)
+
+        ts = [threading.Thread(target=hit, args=(i,)) for i in range(2)]
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join(timeout=600)
+        recs = []
+        for status, rec in results:
+            assert status == 200
+            rec.pop("latency_ms")
+            recs.append(rec)
+        assert recs[0] == recs[1]
+    finally:
+        httpd.shutdown()
+        service.stop()
+        httpd.server_close()

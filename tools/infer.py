@@ -13,7 +13,9 @@ program PER RESOLUTION BUCKET (square 1344² + landscape/portrait
 compute than the square worst case); images are grouped by bucket, the
 submission is re-ordered by test_idx at finalize.  ``--single-bucket``
 pads everything to the square cap (reference-shaped, one program);
-``--batch-size N`` runs the dp-sharded batched path per bucket group.
+``--batch-size N`` runs the dp-sharded batched path per bucket group;
+``--micro-batch N`` (v4, single chip) runs segmenters sequentially and
+one flattened LLM decode per group (amortized weight stream, no OOM).
 """
 
 from __future__ import annotations
@@ -49,6 +51,13 @@ def parse_args():
     ap.add_argument("--batch-size", type=int, default=1,
                     help="images per step; >1 uses the dp-sharded batched "
                          "path (set to the mesh's dp size on multi-chip)")
+    ap.add_argument("--micro-batch", type=int, default=0,
+                    help="SINGLE-CHIP micro-batching (v4 only): segmenter "
+                         "runs sequentially per image, the N images' top-K "
+                         "pair prefixes flatten into ONE LLM prefill+decode "
+                         "— amortizes the HBM-bound decode weight stream "
+                         "N-fold where plain --batch-size would OOM next "
+                         "to the 7 GB int8 LLM")
     ap.add_argument("--single-bucket", action="store_true",
                     help="pad every image to the square cap (one jitted "
                          "program; default uses aspect buckets)")
@@ -133,7 +142,14 @@ def main():
         if ndev > 1 and args.batch_size % ndev == 0:
             mesh = make_mesh(dp=ndev, tp=1)
 
-    B = max(args.batch_size, 1)
+    if args.micro_batch:
+        from openpsg_tpu.models.detectors.psg_v4 import PSGv4
+
+        assert isinstance(model, PSGv4), "--micro-batch is a v4 path"
+        assert args.batch_size <= 1 and mesh is None, (
+            "--micro-batch is the single-chip alternative to --batch-size"
+        )
+    B = max(args.micro_batch or args.batch_size, 1)
 
     # group records by resolution bucket (each bucket = one jitted program;
     # batched chunks need uniform shapes).  Bucket choice comes from the
@@ -245,7 +261,10 @@ def main():
                     [np.asarray(e["img_shape"], np.int32) for e in exs]
                     + [np.asarray(exs[-1]["img_shape"], np.int32)] * pads
                 )
-                results = model.infer_batch(imgs, hws, mesh=mesh)[: len(exs)]
+                if args.micro_batch:
+                    results = model.infer_microbatch(imgs, hws)[: len(exs)]
+                else:
+                    results = model.infer_batch(imgs, hws, mesh=mesh)[: len(exs)]
         # id map back to original resolution (nearest keeps ids intact)
         with timer.section("write"):
             for j, (ex, res) in enumerate(zip(exs, results)):

@@ -55,6 +55,11 @@ def parse_args(argv=None):
     ap.add_argument("--batch-size", type=int, default=1,
                     help="max images per device step; >1 uses the "
                          "dp-sharded batched path")
+    ap.add_argument("--micro-batch", action="store_true",
+                    help="with --batch-size > 1 on ONE chip (v4): use the "
+                         "pipelined program (sequential segmenter + one "
+                         "flattened LLM decode) instead of vmap — plain "
+                         "vmap batch>1 OOMs next to the 7 GB int8 LLM")
     ap.add_argument("--max-wait-ms", type=float, default=10.0,
                     help="micro-batch window: how long the device loop "
                          "waits to fill a batch after the first request")
@@ -83,12 +88,13 @@ class InferenceService:
     """Owns the model + device loop; thread-safe ``submit``."""
 
     def __init__(self, model, preproc, batch_size=1, max_wait_s=0.01,
-                 mesh=None):
+                 mesh=None, micro_batch=False):
         self.model = model
         self.preproc = preproc
         self.batch_size = max(batch_size, 1)
         self.max_wait_s = max_wait_s
         self.mesh = mesh
+        self.micro_batch = micro_batch  # single-chip pipelined program
         self.queue: "queue.Queue[_Job]" = queue.Queue()
         self._stop = threading.Event()
         self.worker = threading.Thread(target=self._loop, daemon=True)
@@ -160,7 +166,10 @@ class InferenceService:
                 [np.asarray(j.ex["img_shape"], np.int32) for j in jobs]
                 + [np.asarray(jobs[-1].ex["img_shape"], np.int32)] * pads
             )
-            results = self.model.infer_batch(imgs, hws, mesh=self.mesh)
+            if self.micro_batch:
+                results = self.model.infer_microbatch(imgs, hws)
+            else:
+                results = self.model.infer_batch(imgs, hws, mesh=self.mesh)
             for job, res in zip(jobs, results):
                 job.result = res
                 job.event.set()
@@ -264,9 +273,13 @@ def make_server(args):
         if ndev > 1 and args.batch_size % ndev == 0:
             mesh = make_mesh(dp=ndev, tp=1)
 
+    if args.micro_batch:
+        assert isinstance(model, PSGv4), "--micro-batch is a v4 path"
+        assert mesh is None, "--micro-batch is the single-chip path"
     service = InferenceService(
         model, preproc, batch_size=args.batch_size,
         max_wait_s=args.max_wait_ms / 1e3, mesh=mesh,
+        micro_batch=args.micro_batch,
     )
 
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
