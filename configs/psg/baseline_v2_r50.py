@@ -11,12 +11,13 @@ model = dict(
         output_feature_size=768,
         num_transformer_layer=2,
         num_relation_classes=56,
-        # expert switches (reference enables object_vision_only)
+        # expert switches, reference field names (baseline_v2_r50.py:150-155;
+        # only object_vision_only ships enabled)
         use_object_vision_only=True,
         use_pair_vision_only=False,
-        use_pair_text2vision=False,
-        use_pair_vision2text=False,
-        use_triplet_text_w_vision=False,
+        use_pair_text_vision_cross=False,
+        use_pair_vision_text_cross=False,
+        use_triplet_vision_text_cross=False,
         use_moe=False,
     ),
     text_info_db_dir='./data/psg/openai/gpt-3.5-turbo',

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -70,6 +70,44 @@ class TextKVStore:
                 for r, rel in enumerate(relations):
                     out[i, j, r] = self.get(f"{a}#{b}#{rel}")
         return out
+
+    def _keys(self) -> List[str]:
+        ks: List[str] = []
+        if self._table is not None:
+            ks.extend(self._table.keys())
+        if self._db is not None:
+            ks.extend(k.decode("utf-8") for k in self._db.keys())
+        return ks
+
+    def triplet_index(
+        self, names: Sequence[str], relations: Sequence[str]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Compact per-relation triplet embeddings for on-device gather.
+
+        The dense ``triplet_matrix`` is ~6 GB at PSG scale (133² pairs ×
+        56 predicates × 1536 floats), so rows are materialized only for
+        ``"sub#obj#rel"`` keys PRESENT in the store (one pass over the
+        store's own keys, not 990k probes).  Returns ``(lookup, table)``:
+        ``lookup[sub_cls, obj_cls, rel] -> row`` (int32, [N, N, R], ~4 MB
+        at PSG scale) and ``table`` [rows+1, T] with row 0 the zero
+        vector — the reference's missing-key fallback
+        (openseed_relation.py:346-354).  The jitted head gathers
+        ``table[lookup[labels⊗labels]]`` per image; no host crossings."""
+        name_idx = {n: i for i, n in enumerate(names)}
+        rel_idx = {r: i for i, r in enumerate(relations)}
+        lookup = np.zeros(
+            (len(names), len(names), len(relations)), np.int32
+        )
+        rows: List[np.ndarray] = [np.zeros(self.embedding_size, np.float32)]
+        for key in self._keys():
+            parts = key.split("#")
+            if len(parts) != 3:
+                continue
+            a, b, r = parts
+            if a in name_idx and b in name_idx and r in rel_idx:
+                lookup[name_idx[a], name_idx[b], rel_idx[r]] = len(rows)
+                rows.append(self.get(key))
+        return lookup, np.stack(rows)
 
     def close(self):
         if self._db is not None:

@@ -116,6 +116,25 @@ class PSGMask2FormerRelation:
                 text_kv.pair_matrix(self.class_names)
             )  # [K, K, T]
 
+        # v2 triplet text: the dense [K, K, R, T] matrix is ~6 GB, so the
+        # store is compacted to (lookup [K,K,R] int32, table [rows+1, T])
+        # at init and the head gathers per-image rows by predicted/GT class
+        # labels inside the jit (reference lookup loop:
+        # mask2former_relation_v2.py:345-354, a 50k-pickle host loop per
+        # image; missing keys → zero row).  The MoE gate consumes triplet
+        # text even when the triplet expert is off (ref :345-355).
+        self.triplet_lookup = None
+        self.triplet_table = None
+        if text_kv is not None and cfg.head_version == "v2" and (
+            cfg.head_v2.use_moe_gate
+            or "triplet_text_w_vision" in cfg.head_v2.experts
+        ):
+            lut, tab = text_kv.triplet_index(
+                self.class_names, self.relation_names
+            )
+            self.triplet_lookup = jnp.asarray(lut)   # [K, K, R]
+            self.triplet_table = jnp.asarray(tab)    # [rows+1, T]
+
         self.segmenter = Mask2FormerSegmenter(
             dataclasses.replace(cfg.segmenter, num_classes=len(self.class_names))
         )
@@ -394,6 +413,12 @@ class PSGMask2FormerRelation:
             extra["pair_text"] = self.pair_text_matrix[
                 labels[:, None], labels[None, :]
             ][None]                                          # [1, M, M, T]
+        if self.triplet_lookup is not None:
+            # per-relation triplet text rows by predicted class pair
+            idx = self.triplet_lookup[labels[:, None], labels[None, :]]
+            extra["triplet_text"] = jnp.take(
+                self.triplet_table, idx, axis=0
+            )[None]                                       # [1, M, M, R, T]
         scores = self._head_apply(params["head"], tokens, valid, extra)
         R = scores.shape[0]
 

@@ -56,6 +56,15 @@ from openpsg_tpu.ops.mask_ops import downsample_nearest
 
 _INT_SENTINEL = np.iinfo(np.int32).max
 
+# Auto micro-batch selection (tools/infer.py default path, bench.py pinned
+# side): per-image is fastest when EOS early-exit keeps decode short, the
+# micro-batched program wins when decode runs long because the 7 GB int8
+# weight stream is paid once per micro-batch.  Measured crossover on v5e-1
+# @1344² (PARITY.md): per-image ≈ 308 ms + 11.3 ms/decode-step, mb2 ≈
+# 352 ms + 5.65 ms/step → equal near 11 steps; switch slightly early.
+AUTO_MB_DECODE_STEPS = 10
+AUTO_MB_SIZE = 2
+
 QFORMER_INSTRUCTION = "Is there a relation between {} and {}?"   # ref :25
 LLM_INSTRUCTION = "What are the relations between {} and {}? Assistant: "  # ref :35
 MAX_INSTR_LEN = 16
@@ -342,10 +351,18 @@ class PSGv4:
         masks_small = seg_out["masks"]
         Qall = cls_logits.shape[0]
         C = int(c.fusion_candidates)
+        # exactness guard: count of threshold-passing queries BEFORE the
+        # top-C cut (the fusion 'keep' criterion, fusion.py sigmoid mode).
+        # postprocess warns host-side when it exceeds C — the one case
+        # where candidate pre-selection could diverge from full fusion.
+        all_scores = jnp.max(
+            jax.nn.sigmoid(cls_logits.astype(jnp.float32)), axis=-1
+        )
+        pass_count = jnp.sum(
+            (all_scores > c.object_mask_thr).astype(jnp.int32)
+        )
         if C and C < Qall:
-            sel_score = jnp.max(
-                jax.nn.sigmoid(cls_logits.astype(jnp.float32)), axis=-1
-            )
+            sel_score = all_scores
             _, cand = jax.lax.top_k(sel_score, C)
             cand = jnp.sort(cand)
             cls_logits = jnp.take(cls_logits, cand, axis=0)
@@ -388,18 +405,18 @@ class PSGv4:
         )
         return (
             seg_out["mask_features"], object_masks, valid, labels,
-            sel_oid, obj_scores, pan_full,
+            sel_oid, obj_scores, pan_full, pass_count,
         )
 
     def _relation_tail(
         self, params, mask_features, object_masks, valid, labels, sel_oid,
-        obj_scores, pan_full,
+        obj_scores, pan_full, pass_count=None,
     ) -> Dict[str, jnp.ndarray]:
         """Relation stage shared by predicted- and GT-mask inference:
         pair instructions → Q-Former → existence filter → batched decode."""
         out, prefix, pmask = self._tail_pre(
             params, mask_features, object_masks, valid, labels, sel_oid,
-            obj_scores, pan_full,
+            obj_scores, pan_full, pass_count,
         )
         out["gen_tokens"], out["gen_scores"] = self._tail_decode(
             params, prefix, pmask
@@ -408,7 +425,7 @@ class PSGv4:
 
     def _tail_pre(
         self, params, mask_features, object_masks, valid, labels, sel_oid,
-        obj_scores, pan_full,
+        obj_scores, pan_full, pass_count=None,
     ):
         """Relation stage up to (and excluding) LLM generation: Q-Former +
         existence heads + top-K prefix assembly.  Split out so
@@ -455,6 +472,8 @@ class PSGv4:
             "object_scores": obj_scores,
             "object_labels": labels,
         }
+        if pass_count is not None:
+            out["fusion_pass_count"] = pass_count
 
         K = c.head.top_pairs
         if "binary_logits" in head_out:
@@ -626,7 +645,7 @@ class PSGv4:
             out_shardings=NamedSharding(mesh, P("dp")),
         )
 
-    def make_pipelined_infer(self, n_images: int):
+    def make_pipelined_infer(self, n_images: Optional[int] = None):
         """Micro-batched single-chip inference: segmenter + Q-Former run
         SEQUENTIALLY per image (``lax.map`` — peak activation memory stays
         at one image's worth, which is what made plain ``vmap`` batch>1
@@ -639,7 +658,10 @@ class PSGv4:
         step is paid once for the whole micro-batch.
 
         Returns ``fn(params, images[N,H,W,3], img_hws[N,2]) -> stacked
-        device tree``; feed slices to :meth:`postprocess`."""
+        device tree``; feed slices to :meth:`postprocess`.  ``n_images``
+        is ignored (jit specializes per input shape; kept for backward
+        compatibility)."""
+        del n_images
         return jax.jit(functools.partial(PSGv4._pipelined_impl, self))
 
     def _pipelined_impl(self, params, images, hws):
@@ -690,13 +712,12 @@ class PSGv4:
         int8 LLM; this one keeps one image's segmenter activations live at
         a time and amortizes the HBM-bound decode weight stream across the
         flattened pair batch).  Same result surface as :meth:`infer_batch`."""
-        if not hasattr(self, "_pipelined_fn_cache"):
-            self._pipelined_fn_cache = {}
+        if not hasattr(self, "_pipelined_fn"):
+            # one jit wrapper; jit itself specializes per batch shape
+            self._pipelined_fn = self.make_pipelined_infer()
         n = images.shape[0]
-        if n not in self._pipelined_fn_cache:
-            self._pipelined_fn_cache[n] = self.make_pipelined_infer(n)
         dev = jax.device_get(
-            self._pipelined_fn_cache[n](
+            self._pipelined_fn(
                 self.params,
                 jnp.asarray(images),
                 jnp.asarray(img_hws, jnp.int32),
@@ -712,6 +733,24 @@ class PSGv4:
         M = self.cfg.head.max_objects_padded
         valid = dev["object_valid"]
         object_id_list = [int(x) for x in dev["object_ids"][valid]]
+
+        # fusion_candidates exactness guard: pre-selection is exact only
+        # while every threshold-passing query made the top-C cut
+        # (config docstring); flag the image where that breaks so users can
+        # raise fusion_candidates (or set 0 for unrestricted fusion).
+        C = int(self.cfg.fusion_candidates)
+        if C and "fusion_pass_count" in dev:
+            pc = int(dev["fusion_pass_count"])
+            if pc > C:
+                import warnings
+
+                warnings.warn(
+                    f"panoptic fusion saw {pc} threshold-passing queries but "
+                    f"fusion_candidates={C}: candidate pre-selection may "
+                    "diverge from unrestricted fusion on this image — raise "
+                    "fusion_candidates (0 disables the cap)",
+                    RuntimeWarning,
+                )
 
         # LLM triplets: decode tokens → predicate names.  Generated rows are
         # EOS-terminated with pad_id after (greedy_decode); the reference

@@ -476,11 +476,19 @@ class M2FTrainer:
             tokens = pooled + cls_emb
 
         extra = p._host_extra()
+        lab = batch_i.object_labels
         if getattr(p, "pair_text_matrix", None) is not None:
-            lab = batch_i.object_labels
             extra["pair_text"] = p.pair_text_matrix[
                 lab[:, None], lab[None, :]
             ][None]
+        if getattr(p, "triplet_lookup", None) is not None:
+            # real per-relation triplet text at TRAIN time too (the
+            # reference gathers it inside forward_train,
+            # mask2former_relation_v2.py:311-335)
+            idx = p.triplet_lookup[lab[:, None], lab[None, :]]
+            extra["triplet_text"] = jnp.take(
+                p.triplet_table, idx, axis=0
+            )[None]                                     # [1, M, M, R, T]
         target = batch_i.relation_target.transpose(2, 0, 1)  # [R, M, M]
         pair = (
             batch_i.object_valid[:, None] & batch_i.object_valid[None, :]

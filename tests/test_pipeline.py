@@ -477,7 +477,7 @@ class TestBatchedInference:
         rng = np.random.default_rng(11)
         imgs = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.float32)
         hws = np.asarray([[64, 64], [58, 61]], np.int32)
-        fn = p.make_pipelined_infer(2)
+        fn = p.make_pipelined_infer()
         dev = jax.device_get(
             fn(p.params, jnp.asarray(imgs), jnp.asarray(hws, jnp.int32))
         )

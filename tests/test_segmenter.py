@@ -313,3 +313,33 @@ class TestFusionCandidatePreselection:
         full_ids = np.asarray(full.object_ids)[np.asarray(full.survive)]
         sub_ids = np.asarray(sub.object_ids)[np.asarray(sub.survive)]
         np.testing.assert_array_equal(np.sort(full_ids), np.sort(sub_ids))
+
+    def test_runtime_guard_trips_when_pass_count_exceeds_C(self):
+        """VERDICT r3 weak #3: an image where more queries pass
+        object_mask_thr than fusion_candidates must WARN host-side (the
+        exactness condition is violated; silent divergence otherwise)."""
+        import dataclasses as dc
+        import warnings
+
+        import jax
+        import numpy as np
+        import pytest
+
+        from openpsg_tpu.models.detectors.psg_v4 import PSGv4, PSGv4Config
+
+        base = PSGv4Config.tiny_test()
+        # random-init class logits ≈ 0 → sigmoid ≈ 0.5 > 0.25: every query
+        # passes, so C=2 < pass_count trips the guard deterministically
+        cfg = dc.replace(base, fusion_candidates=2)
+        m = PSGv4(cfg, jax.random.PRNGKey(0))
+        img = np.random.default_rng(0).integers(
+            0, 255, (64, 64, 3)
+        ).astype(np.float32)
+        with pytest.warns(RuntimeWarning, match="fusion_candidates"):
+            m.infer(img, (64, 64))
+
+        # unrestricted fusion (C=0) must not warn
+        m2 = PSGv4(dc.replace(base, fusion_candidates=0), jax.random.PRNGKey(0))
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            m2.infer(img, (64, 64))

@@ -66,7 +66,11 @@ def parse_args():
                          "predicted panoptic masks with ground truth, "
                          "isolating relation-head quality (the reference's "
                          "commented-out harness, tools/infer.py:102-147)")
-    return ap.parse_args()
+    args = ap.parse_args()
+    if args.micro_batch and args.micro_batch < 2:
+        ap.error("--micro-batch must be ≥ 2 (1 is the plain per-image "
+                 "path; use no flag instead)")
+    return args
 
 
 def main():
@@ -240,7 +244,9 @@ def main():
             )
         with timer.section("model"):
             if args.gt_masks:
-                assert B == 1, "--gt-masks runs per image (batch-size 1)"
+                assert B == 1, (
+                    "--gt-masks runs per image: drop --batch-size/--micro-batch"
+                )
                 gm, go, gv = _load_gt_objects(items[0][1], exs[0])
                 results = [
                     model.infer_gt(

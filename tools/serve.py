@@ -265,8 +265,11 @@ def make_server(args):
         buckets=None if args.single_bucket else aspect_buckets(scale),
     )
 
+    # --micro-batch is the single-chip pipelined program: never build a dp
+    # mesh for it, even on a multi-chip host where batch_size would divide
+    # the device count (the two batching modes are alternatives)
     mesh = None
-    if args.batch_size > 1:
+    if args.batch_size > 1 and not args.micro_batch:
         from openpsg_tpu.parallel.mesh import make_mesh
 
         ndev = jax.device_count()
@@ -275,7 +278,6 @@ def make_server(args):
 
     if args.micro_batch:
         assert isinstance(model, PSGv4), "--micro-batch is a v4 path"
-        assert mesh is None, "--micro-batch is the single-chip path"
     service = InferenceService(
         model, preproc, batch_size=args.batch_size,
         max_wait_s=args.max_wait_ms / 1e3, mesh=mesh,
