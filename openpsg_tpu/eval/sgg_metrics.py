@@ -34,6 +34,7 @@ def sgg_recall(
     ks: Sequence[int] = (20, 50, 100),
     iou_thr: float = 0.5,
     num_predicates: int = NUM_RELATION_CLASSES,
+    per_predicate: bool = False,
 ) -> Dict[str, float]:
     """images: list of dicts with keys
         pred_masks  [Np, H, W] bool — predicted object masks (list order =
@@ -98,4 +99,12 @@ def sgg_recall(
         out[f"mR@{k}"] = (
             float(np.nanmean(per_cls) * 100) if np.isfinite(per_cls).any() else 0.0
         )
+        if per_predicate:
+            # recall per predicate id, only ids present in GT (mR@K is
+            # their mean) — lets callers read e.g. a HELD-OUT predicate's
+            # zero-shot recall from the standard grading path
+            out[f"perR@{k}"] = {
+                int(r): float(per_cls[r] * 100)
+                for r in np.nonzero(tot > 0)[0]
+            }
     return out

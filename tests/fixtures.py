@@ -14,9 +14,20 @@ import numpy as np
 from openpsg_tpu.utils.panoptic import id2rgb
 
 
-def make_fixture(root: str, n_images: int = 4, hw=(96, 64), seed: int = 0):
+def make_fixture(
+    root: str,
+    n_images: int = 4,
+    hw=(96, 64),
+    seed: int = 0,
+    relations=None,
+):
     """``hw``: one (H, W) for all images, or a list cycled per image
-    (mixed aspects exercise the multi-bucket inference path)."""
+    (mixed aspects exercise the multi-bucket inference path).
+
+    ``relations``: per-image GT triplet lists — ``None`` keeps the default
+    ``[[0, 2, 4], [1, 0, 23]]``, or pass a callable ``f(i) -> [[s,o,r],…]``
+    (lets the open-set selfcheck give train and held-out images different
+    predicate vocabularies)."""
     import cv2
 
     rng = np.random.default_rng(seed)
@@ -65,7 +76,10 @@ def make_fixture(root: str, n_images: int = 4, hw=(96, 64), seed: int = 0):
                 "height": H,
                 "width": W,
                 "segments_info": segments_info,
-                "relations": [[0, 2, 4], [1, 0, 23]],  # in(4), looking-at(23)
+                "relations": (
+                    [[0, 2, 4], [1, 0, 23]]  # in(4), looking-at(23)
+                    if relations is None else [list(t) for t in relations(i)]
+                ),
             }
         )
     payload = {

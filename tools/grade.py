@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--gt-json", required=True)
     ap.add_argument("--data-dir", required=True, help="root for GT panoptic PNGs")
     ap.add_argument("--ks", type=int, nargs="+", default=[20, 50, 100])
+    ap.add_argument("--per-predicate", action="store_true",
+                    help="also report recall per predicate id (the mR@K "
+                         "components) — e.g. to read a held-out predicate's "
+                         "zero-shot recall in the open-set journey")
     args = ap.parse_args()
 
     import cv2
@@ -94,8 +98,10 @@ def main():
 
     global LAST_IMAGES
     LAST_IMAGES = images
-    res = sgg_recall(images, ks=tuple(args.ks))
-    print(json.dumps({k: round(v, 2) for k, v in res.items()}))
+    res = sgg_recall(images, ks=tuple(args.ks), per_predicate=args.per_predicate)
+    print(json.dumps({
+        k: (v if isinstance(v, dict) else round(v, 2)) for k, v in res.items()
+    }))
     return res
 
 
