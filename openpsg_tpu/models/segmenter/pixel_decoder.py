@@ -49,9 +49,17 @@ class _ScannedEncoderLayer(nn.Module):
 def _gn32(x, dtype, name):
     """GroupNorm(32) over a SINGLE [H, W, C] map.  flax GroupNorm treats
     the leading axis as batch (it would normalize per-row here — torch-GN-
-    incompatible), so normalize with an explicit batch axis."""
+    incompatible), so normalize with an explicit batch axis.
+
+    ``use_fast_variance=False``: flax's default one-pass variance
+    (E[x²] − mean²) cancels catastrophically on high-mean channels —
+    conv outputs with |mean|/std ≈ 3e3 lose ~7 significant digits and the
+    normalized map diverges from torch ``F.group_norm`` by 1e-1 (caught
+    by the assembled full-trunk golden, tests/test_full_trunk_golden.py).
+    Torch always uses the two-pass form; match it."""
     return nn.GroupNorm(
-        num_groups=32, epsilon=1e-5, dtype=dtype, name=name
+        num_groups=32, epsilon=1e-5, dtype=dtype, name=name,
+        use_fast_variance=False,
     )(x[None])[0]
 
 
