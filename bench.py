@@ -151,19 +151,26 @@ def main():
             lm["kernel"] = lm["kernel"].at[:, eos_id].mul(eos_boost)
 
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.integers(0, 255, (size, size_w, 3)).astype(np.float32))
-    hw = jnp.asarray([size, size_w - 8], jnp.int32)
-    if micro_batch > 1:
-        img = jnp.stack([img + i for i in range(micro_batch)])
-        hw = jnp.stack([hw] * micro_batch)
+    img1 = jnp.asarray(rng.integers(0, 255, (size, size_w, 3)).astype(np.float32))
+    hw1 = jnp.asarray([size, size_w - 8], jnp.int32)
+
+    def batched_inputs(mb):
+        if mb == 1:
+            return img1, hw1
+        return (
+            jnp.stack([img1 + i for i in range(mb)]),
+            jnp.stack([hw1] * mb),
+        )
+
+    img, hw = batched_inputs(micro_batch)
 
     infer_impl = pipeline._infer_jit.__wrapped__
 
-    def make_run(pl, n):
-        if micro_batch > 1:
-            # the EXACT shipped program (tools/infer.py --micro-batch →
-            # make_pipelined_infer): lax.map segmenter + Q-Former, then ONE
-            # flattened [N·K]-pair LLM prefill+decode
+    def make_run(pl, n, mb):
+        if mb > 1:
+            # the EXACT shipped program (tools/infer.py --micro-batch /
+            # auto-selection → make_pipelined_infer): lax.map segmenter +
+            # Q-Former, then ONE flattened [N·K]-pair LLM prefill+decode
             def per_iter(params, images, hws, carry):
                 return pl._pipelined_impl(
                     params, images + carry * 1e-9, hws
@@ -208,19 +215,21 @@ def main():
         float(trivial(img + 1.0))
     rtt = (time.time() - t0) / 3
 
-    def slope(pl, label):
-        run_n = make_run(pl, iters)
-        run_3n = make_run(pl, 3 * iters)
+    def slope(pl, label, mb=None):
+        mb = micro_batch if mb is None else mb
+        b_img, b_hw = batched_inputs(mb)
+        run_n = make_run(pl, iters, mb)
+        run_3n = make_run(pl, 3 * iters, mb)
         t0 = time.time()
-        s = float(run_n(pl.params, img, hw))   # includes compile
-        float(run_3n(pl.params, img, hw))
+        s = float(run_n(pl.params, b_img, b_hw))   # includes compile
+        float(run_3n(pl.params, b_img, b_hw))
         compile_and_first = time.time() - t0
 
         def sample(fn):
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
-                float(fn(pl.params, img, hw))
+                float(fn(pl.params, b_img, b_hw))
                 best = min(best, time.time() - t0)
             return best
 
@@ -257,9 +266,25 @@ def main():
             pinned = copy.copy(pipeline)
             pinned.cfg = dataclasses.replace(cfg, decode_early_exit=False)
             p_step, p_cf, _ = slope(pinned, "pinned16")
-            detail["pinned16_img_per_s"] = round(micro_batch / p_step, 3)
+            detail["pinned16_per_image_img_per_s"] = round(
+                micro_batch / p_step, 3
+            )
             detail["pinned16_step_ms"] = round(p_step * 1e3, 2)
             detail["pinned16_compile_plus_first_s"] = round(p_cf, 1)
+            # DEFAULT-PATH worst case: tools/infer.py (no flags) calibrates
+            # realized decode steps on the first image and auto-selects the
+            # micro-batched program when steps >= AUTO_MB_DECODE_STEPS —
+            # 16 pinned steps trips it, so the flag-free path runs mb2 in
+            # this regime.  Measure that program; the per-image number above
+            # stays reported for transparency.
+            from openpsg_tpu.models.detectors.psg_v4 import AUTO_MB_SIZE
+
+            amb = max(micro_batch, AUTO_MB_SIZE)
+            a_step, a_cf, _ = slope(pinned, "pinned16_auto", mb=amb)
+            detail["pinned16_img_per_s"] = round(amb / a_step, 3)
+            detail["pinned16_auto_micro_batch"] = amb
+            detail["pinned16_auto_step_ms"] = round(a_step * 1e3, 2)
+            detail["pinned16_auto_compile_plus_first_s"] = round(a_cf, 1)
     else:
         detail["decode"] = "pinned16"
 

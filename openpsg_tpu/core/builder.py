@@ -169,6 +169,13 @@ def build_detector_from_config(cfg, rng: Optional[jax.Array] = None):
         )
         if tpu.get("input_hw"):
             pcfg = dataclasses.replace(pcfg, input_hw=tuple(tpu["input_hw"]))
+        # deployment knobs (PSGv4Config docstrings): decode budget/early
+        # exit and the fusion pre-selection caps are TPU sizing choices,
+        # so they live in the config's `tpu` dict like the other presets
+        for knob in ("max_new_tokens", "decode_early_exit",
+                     "fusion_stride", "fusion_candidates"):
+            if knob in tpu:
+                pcfg = dataclasses.replace(pcfg, **{knob: tpu[knob]})
         # real tokenizers (reference: SentencePiece for the LLM, wordpiece
         # for the Q-Former, relation_transformer_head_v4.py:85-86, 99-105).
         # Accept explicit *_tokenizer_path fields or model-name fields that

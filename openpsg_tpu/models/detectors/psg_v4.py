@@ -803,6 +803,15 @@ class PSGv4:
                     rel_pred.append(list(trip))
                     rel_scores.append(float(sc))
 
+        # realized decode cost for this image: the early-exit while_loop ran
+        # max-generated-length + 1 (EOS check) steps, capped at max_new.
+        # tools/infer.py's auto micro-batch calibration reads this off the
+        # first image to pick per-image vs micro-batched for the rest.
+        n_gen = (dev["gen_tokens"] != pad_id).sum(axis=1)
+        decode_steps = int(min(int(n_gen.max()) + 1, self.cfg.max_new_tokens))
+        if not self.cfg.decode_early_exit:
+            decode_steps = int(self.cfg.max_new_tokens)   # pinned: always max
+
         return {
             "pan_results": dev["pan_seg"],
             "rel_results": {
@@ -810,4 +819,5 @@ class PSGv4:
                 "relation": rel_pred,
             },
             "rel_scores": rel_scores,
+            "decode_steps": decode_steps,
         }

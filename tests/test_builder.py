@@ -138,7 +138,7 @@ class TestPromptPathConfig:
             0, 255, (64, 64, 3)
         ).astype(np.float32)
         res = m.infer(img, (60, 64))
-        assert set(res) == {"pan_results", "rel_results", "rel_scores"}
+        assert set(res) >= {"pan_results", "rel_results", "rel_scores"}
         for s in res["rel_scores"]:
             assert np.isfinite(s)
 

@@ -298,7 +298,7 @@ class TestM2FPipeline:
         model = PSGMask2FormerRelation(cfg, jax.random.PRNGKey(0))
         img = np.random.default_rng(0).integers(0, 255, (64, 64, 3)).astype(np.float32)
         res = model.infer(img, (64, 60))
-        assert set(res) == {"pan_results", "rel_results", "rel_scores"}
+        assert set(res) >= {"pan_results", "rel_results", "rel_scores"}
         for s, o, r in res["rel_results"]["relation"]:
             assert s != o                       # diagonal suppressed
             assert 0 <= r < 56
@@ -468,7 +468,7 @@ class TestV2TextIntegration:
         # pipelines share init rng; only the text matrix differs
         assert (np.asarray(m1.pair_text_matrix).sum() > 0)
         assert (np.asarray(m2.pair_text_matrix).sum() == 0)
-        assert set(r1) == set(r2) == {"pan_results", "rel_results", "rel_scores"}
+        assert set(r1) == set(r2) and set(r1) >= {"pan_results", "rel_results", "rel_scores"}
 
     @staticmethod
     def _triplet_cfg(experts, moe):

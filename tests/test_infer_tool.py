@@ -176,3 +176,80 @@ def test_infer_micro_batch(mixed_fixture, tmp_path, capsys, monkeypatch):
         assert [s["category_id"] for s in m["segments_info"]] == [
             s["category_id"] for s in p["segments_info"]
         ]
+
+
+class TestAutoMicroBatch:
+    """Flag-free v4 auto-selection (VERDICT r3 next #4a): the default path
+    must switch itself to the micro-batched program when decode runs long,
+    and stay per-image when it doesn't."""
+
+    @staticmethod
+    def _run(tmp_path, monkeypatch, ann, root, name, extra, cfg_extra=""):
+        import infer as infer_tool
+
+        cfg_path = tmp_path / f"cfg_{name}.py"
+        cfg_path.write_text(
+            f"_base_ = ['{REPO}/configs/psg/tiny_v4_ov.py']\n" + cfg_extra
+        )
+        outdir = tmp_path / name
+        monkeypatch.setattr(
+            sys, "argv",
+            ["infer.py", "--config", str(cfg_path),
+             "--test-file", ann, "--data-dir", root,
+             "--output-dir", str(outdir),
+             "--img-scale", "64", "64", "--single-bucket"] + extra,
+        )
+        infer_tool.main()
+        return json.load(open(outdir / "submission" / "relation.json"))
+
+    def test_pinned_decode_switches_immediately(
+        self, mixed_fixture, tmp_path, capsys, monkeypatch
+    ):
+        root, ann = mixed_fixture
+        cfg = "tpu = dict(decode_early_exit=False)\n"
+        auto = self._run(tmp_path, monkeypatch, ann, root, "auto", [], cfg)
+        out = capsys.readouterr().out
+        assert "[auto] decode_early_exit=False" in out
+        pinned = self._run(
+            tmp_path, monkeypatch, ann, root, "plain",
+            ["--no-auto-micro-batch"], cfg,
+        )
+        out2 = capsys.readouterr().out
+        assert "[auto]" not in out2
+        for a, p in zip(auto, pinned):
+            assert a["relations"] == p["relations"]
+
+    def test_calibration_switches_after_first_image(
+        self, mixed_fixture, tmp_path, capsys, monkeypatch
+    ):
+        from openpsg_tpu.models.detectors import psg_v4
+
+        root, ann = mixed_fixture
+        # threshold 1: any realized decode trips the switch after image 1 —
+        # deterministic drive of the mid-run re-chunk path
+        monkeypatch.setattr(psg_v4, "AUTO_MB_DECODE_STEPS", 1)
+        auto = self._run(tmp_path, monkeypatch, ann, root, "calib", [])
+        out = capsys.readouterr().out
+        assert "[auto] first image decoded" in out
+        plain = self._run(
+            tmp_path, monkeypatch, ann, root, "pi", ["--no-auto-micro-batch"]
+        )
+        capsys.readouterr()
+        assert [r["pan_seg_file_name"] for r in auto] == [
+            r["pan_seg_file_name"] for r in plain
+        ]
+        for a, p in zip(auto, plain):
+            assert a["relations"] == p["relations"]
+
+    def test_short_decode_stays_per_image(
+        self, mixed_fixture, tmp_path, capsys, monkeypatch
+    ):
+        # decode budget capped at 4 < AUTO_MB_DECODE_STEPS=10: calibration
+        # must KEEP the per-image path (faster in the short-decode regime).
+        # (Without the cap the tiny model's random LLM never emits EOS and
+        # realizes all 16 default steps — correctly trip-switching.)
+        root, ann = mixed_fixture
+        self._run(tmp_path, monkeypatch, ann, root, "short", [],
+                  "tpu = dict(max_new_tokens=4)\n")
+        out = capsys.readouterr().out
+        assert "[auto]" not in out

@@ -16,6 +16,14 @@ pads everything to the square cap (reference-shaped, one program);
 ``--batch-size N`` runs the dp-sharded batched path per bucket group;
 ``--micro-batch N`` (v4, single chip) runs segmenters sequentially and
 one flattened LLM decode per group (amortized weight stream, no OOM).
+
+The flag-free v4 path AUTO-SELECTS between per-image and micro-batched:
+it calibrates on the first image's realized decode step count and
+switches past the measured crossover (AUTO_MB_DECODE_STEPS — long
+predicates make the HBM-bound decode weight stream dominate, and the
+micro-batched program pays it once per AUTO_MB_SIZE images).  Realistic
+short decodes keep the faster per-image program; ``--no-auto-micro-batch``
+pins per-image unconditionally.
 """
 
 from __future__ import annotations
@@ -61,6 +69,13 @@ def parse_args():
     ap.add_argument("--single-bucket", action="store_true",
                     help="pad every image to the square cap (one jitted "
                          "program; default uses aspect buckets)")
+    ap.add_argument("--no-auto-micro-batch", action="store_true",
+                    help="disable the default calibration that switches the "
+                         "flag-free v4 path to the micro-batched program "
+                         "when the first image's realized decode step count "
+                         "crosses the measured per-image/micro-batch "
+                         "crossover (long predicates → the HBM-bound decode "
+                         "weight stream dominates and amortizing it wins)")
     ap.add_argument("--gt-masks", action="store_true",
                     help="GT-segmenter upper-bound ablation: replace the "
                          "predicted panoptic masks with ground truth, "
@@ -146,14 +161,38 @@ def main():
         if ndev > 1 and args.batch_size % ndev == 0:
             mesh = make_mesh(dp=ndev, tp=1)
 
-    if args.micro_batch:
-        from openpsg_tpu.models.detectors.psg_v4 import PSGv4
+    from openpsg_tpu.models.detectors.psg_v4 import (
+        AUTO_MB_DECODE_STEPS,
+        AUTO_MB_SIZE,
+        PSGv4,
+    )
 
+    if args.micro_batch:
         assert isinstance(model, PSGv4), "--micro-batch is a v4 path"
         assert args.batch_size <= 1 and mesh is None, (
             "--micro-batch is the single-chip alternative to --batch-size"
         )
     B = max(args.micro_batch or args.batch_size, 1)
+
+    # auto micro-batch: the flag-free v4 path calibrates on the FIRST
+    # image's realized decode step count and switches the remainder to the
+    # micro-batched program past the measured crossover (long decode ⇒ the
+    # per-step 7 GB int8 weight stream dominates; amortizing it across
+    # AUTO_MB_SIZE images lifts the worst case 2.13 → 2.63 img/s/chip,
+    # PARITY.md).  Short realistic decode keeps the faster per-image path.
+    auto_mb = (
+        isinstance(model, PSGv4) and not args.micro_batch
+        and args.batch_size <= 1 and not args.gt_masks
+        and not args.no_auto_micro_batch and len(records) > 1
+    )
+    if auto_mb and not model.cfg.decode_early_exit:
+        # pinned decode always runs max_new_tokens steps: no calibration
+        # needed, the micro-batched program wins outright
+        print(f"[auto] decode_early_exit=False pins "
+              f"{model.cfg.max_new_tokens} decode steps: using micro-batch "
+              f"{AUTO_MB_SIZE} (disable with --no-auto-micro-batch)")
+        args.micro_batch = B = AUTO_MB_SIZE
+        auto_mb = False
 
     # group records by resolution bucket (each bucket = one jitted program;
     # batched chunks need uniform shapes).  Bucket choice comes from the
@@ -162,15 +201,20 @@ def main():
         h, w = int(d.get("height") or 0), int(d.get("width") or 0)
         return preproc.bucket_for(h, w) if h and w else preproc.bucket_hw
 
-    groups = {}
-    for idx, d in enumerate(records):
-        groups.setdefault(rec_bucket(d), []).append((idx, d))
-    chunks = []   # (bucket, [(orig_idx, record), ...of ≤B])
-    for bucket in sorted(groups, key=lambda b: -b[0] * b[1]):
-        items = groups[bucket]
-        chunks += [
-            (bucket, items[s : s + B]) for s in range(0, len(items), B)
-        ]
+    def build_chunks(item_list, chunk_b):
+        groups = {}
+        for idx, d in item_list:
+            groups.setdefault(rec_bucket(d), []).append((idx, d))
+        out = []   # (bucket, [(orig_idx, record), ...of ≤chunk_b])
+        for bucket in sorted(groups, key=lambda b: -b[0] * b[1]):
+            items = groups[bucket]
+            out += [
+                (bucket, items[s : s + chunk_b])
+                for s in range(0, len(items), chunk_b)
+            ]
+        return groups, out
+
+    groups, chunks = build_chunks(list(enumerate(records)), B)
     if len(groups) > 1:
         print("buckets: " + ", ".join(
             f"{b[0]}x{b[1]}:{len(v)}" for b, v in sorted(groups.items())
@@ -233,14 +277,18 @@ def main():
     pending = pool.submit(_prep_chunk, chunks[0]) if chunks else None
 
     done = 0
-    for ci, (bucket, items) in enumerate(chunks):
+    ci = 0
+    while ci < len(chunks):
+        bucket, items = chunks[ci]
         import cv2
 
         with timer.section("load+preprocess"):
-            exs = pending.result()
+            exs = pending.result() if pending else _prep_chunk(chunks[ci])
+            # while auto-calibration is armed the next chunks may be
+            # rebuilt after this step — defer the prefetch until decided
             pending = (
                 pool.submit(_prep_chunk, chunks[ci + 1])
-                if ci + 1 < len(chunks) else None
+                if not auto_mb and ci + 1 < len(chunks) else None
             )
         with timer.section("model"):
             if args.gt_masks:
@@ -303,10 +351,27 @@ def main():
                     )
                     print(rec["file_name"])
                     print(table)
+        if auto_mb:
+            # one-time calibration off the first image's realized decode
+            auto_mb = False
+            steps_seen = results[0].get("decode_steps")
+            if (steps_seen is not None
+                    and steps_seen >= AUTO_MB_DECODE_STEPS
+                    and ci + 1 < len(chunks)):
+                remaining = [it for _, its in chunks[ci + 1 :] for it in its]
+                _, tail = build_chunks(remaining, AUTO_MB_SIZE)
+                chunks = chunks[: ci + 1] + tail
+                args.micro_batch = B = AUTO_MB_SIZE
+                print(f"[auto] first image decoded {steps_seen} steps ≥ "
+                      f"{AUTO_MB_DECODE_STEPS}: switching to micro-batch "
+                      f"{AUTO_MB_SIZE} (disable with --no-auto-micro-batch)")
+            if pending is None and ci + 1 < len(chunks):
+                pending = pool.submit(_prep_chunk, chunks[ci + 1])
         done += len(items)
         if done % 50 < B:
             rate = done / (time.time() - t0)
             print(f"[{done}/{len(records)}] {rate:.2f} img/s")
+        ci += 1
 
     prof.__exit__(None, None, None)
     path = writer.finalize()
