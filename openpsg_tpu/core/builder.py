@@ -387,6 +387,16 @@ def _m2f_config(model_cfg, head_dict, tpu, relations):
         segmenter=seg, head_version=version,
         head_v1=v1, head_v2=v2, head_v3=v3,
         max_objects=max_obj, max_objects_padded=max_pad,
+        # optional v1 token embellishments (reference relation_head fields,
+        # baseline_r50.py:160-163; `positional_encoding` is a Sine-PE dict
+        # or None — Sine has no params, so presence IS the toggle)
+        embedding_add_cls=head_dict.get("embedding_add_cls", True),
+        merge_cls_type=head_dict.get("merge_cls_type", "add"),
+        use_positional_encoding=(
+            head_dict.get("positional_encoding") is not None
+        ),
+        use_background_feature=head_dict.get("use_background_feature", False),
+        object_token_size=int(head_dict.get("object_token_size", 1)),
         object_mask_thr=model_cfg.get("test_cfg", {}).get("object_mask_thr", 0.8)
         if model_cfg.get("test_cfg") else 0.8,
         input_hw=input_hw,

@@ -62,6 +62,16 @@ class M2FRelationConfig:
     max_objects: int = 30               # v1 pads/limits to 30 tokens
     max_objects_padded: int = 32
     merge_cls_type: str = "add"         # cat | add (reference _get_input)
+    # optional v1 token embellishments (reference mask2former_relation.py
+    # :111-199, 289-315; every shipping reference config disables them —
+    # baseline_r50.py:162-163 — but the switches are part of the surface)
+    embedding_add_cls: bool = True
+    use_positional_encoding: bool = False   # mask-pooled SinePositionalEncoding
+    use_background_feature: bool = False    # inverse-mask pooled feature added
+    # chunked mask pooling: S tokens per object on the GT-train path
+    # (reference `_mask_pooling(output_size=S)`; the detector hardcodes 1
+    # at mask2former_relation.py:47 — >1 is the latent module surface)
+    object_token_size: int = 1
     object_mask_thr: float = 0.8        # mmdet fusion defaults
     iou_thr: float = 0.8
     input_hw: Optional[Tuple[int, int]] = None
@@ -98,6 +108,23 @@ class PSGMask2FormerRelation:
         self.relation_names = relation_names or RELATION_CLASSES
         self.num_things = num_things if num_things is not None else NUM_THING_CLASSES
         self.text_kv = text_kv
+
+        if (cfg.use_positional_encoding or cfg.use_background_feature) and (
+            cfg.embedding_add_cls and cfg.merge_cls_type == "cat"
+        ):
+            # the reference ADDS the D-wide PE/background vector to the
+            # token after the cls merge — with 'cat' (2D-wide tokens) that
+            # addition is a shape error in torch too
+            # (mask2former_relation.py:297-315); fail loudly at build
+            raise ValueError(
+                "positional_encoding/use_background_feature require "
+                "merge_cls_type='add' (or embedding_add_cls=False)"
+            )
+        if cfg.object_token_size > 1 and cfg.head_version != "v1":
+            raise ValueError(
+                "object_token_size > 1 is a v1 GT-train surface "
+                "(reference hardcodes 1, mask2former_relation.py:47)"
+            )
 
         # v2 text features: the reference looks up dbm KVs per predicted
         # pair INSIDE forward (mask2former_relation_v2.py:345-354, a host
@@ -393,6 +420,54 @@ class PSGMask2FormerRelation:
         )
         return self.postprocess(jax.device_get(dev))
 
+    def _object_tokens(self, cls_table, mf, obj_masks, labels, chunked):
+        """Object token assembly shared by inference (reference
+        ``_get_input``, mask2former_relation.py:250-316) and the GT-train
+        path (``_thing/_stuff_embedding``, :111-199): mask pooling on the
+        stride-4 grid (+ optional S-chunked pooling on the train path),
+        class-embedding merge, optional mask-pooled sine positional
+        encoding and inverse-mask background feature.
+
+        Returns [M·S, token_dim] (S = 1 unless ``chunked`` and
+        ``object_token_size > 1``; token order is object-major, matching
+        the reference's per-object concatenation at :225-227)."""
+        from openpsg_tpu.ops.mask_ops import mask_pool_chunked
+
+        c = self.cfg
+        feat = mf.transpose(2, 0, 1)                         # [D, H4, W4]
+        S = c.object_token_size if chunked else 1
+        pooled = mask_pool_chunked(feat, obj_masks, S)       # [M, S, D]
+        cls_emb = jnp.take(cls_table, labels, axis=0)[:, None, :]
+        if not c.embedding_add_cls:
+            tokens = pooled
+        elif c.merge_cls_type == "cat":
+            tokens = jnp.concatenate(
+                [pooled, jnp.broadcast_to(cls_emb, pooled.shape)], axis=-1
+            )
+        else:
+            tokens = pooled + cls_emb
+        if c.use_positional_encoding:
+            # reference: SinePositionalEncoding(num_feats=D/2,
+            # normalize=True) of the UNPADDED stride-4 grid, mask-pooled
+            # per object and ADDED after the cls merge (:141-148, 297-307)
+            from openpsg_tpu.models.segmenter.deform_layers import (
+                make_cumsum_points,
+                sine_pos_embed,
+            )
+
+            H4, W4 = mf.shape[:2]
+            pe = sine_pos_embed(
+                jnp.asarray(make_cumsum_points([(H4, W4)])), mf.shape[-1]
+            ).reshape(H4, W4, -1).astype(mf.dtype)
+            tokens = tokens + mask_pool_chunked(
+                pe.transpose(2, 0, 1), obj_masks, S
+            )
+        if c.use_background_feature:
+            # inverse-mask pooled feature (:150-153, 308-314)
+            inv = 1.0 - obj_masks.astype(mf.dtype)
+            tokens = tokens + mask_pool_chunked(feat, inv, S)
+        return tokens.reshape(obj_masks.shape[0] * S, -1)
+
     def _relation_tail(
         self, params, mf, obj_masks, sel_oid, valid, labels, obj_scores,
         pan_seg,
@@ -400,12 +475,13 @@ class PSGMask2FormerRelation:
         c = self.cfg
         M = c.max_objects_padded
         # mask-pooled object tokens on the stride-4 grid + class embedding
-        pooled = mask_pool(mf.transpose(2, 0, 1), obj_masks)  # [M, D]
-        cls_emb = jnp.take(params["object_cls_embed"], labels, axis=0)
-        if c.merge_cls_type == "cat":
-            tokens = jnp.concatenate([pooled, cls_emb], axis=-1)
-        else:
-            tokens = pooled + cls_emb
+        # (+ the optional sine-PE / background-feature embellishments);
+        # inference always pools ONE token per object — the reference's
+        # `_get_input` ignores object_token_size (mask2former_relation.py
+        # :250-316, plain mean pool), only the GT-train path chunks
+        tokens = self._object_tokens(
+            params["object_cls_embed"], mf, obj_masks, labels, chunked=False
+        )
 
         extra = self._zero_extra(M)
         if self.pair_text_matrix is not None:

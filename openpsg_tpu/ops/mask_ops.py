@@ -35,6 +35,54 @@ def mask_pool(features: jnp.ndarray, masks: jnp.ndarray, eps: float = 1e-8) -> j
     return num / jnp.maximum(den, eps)
 
 
+def mask_pool_chunked(
+    features: jnp.ndarray, masks: jnp.ndarray, size: int
+) -> jnp.ndarray:
+    """Reference ``_mask_pooling(output_size=S)`` with static shapes.
+
+    features: [C, H, W]; masks: [N, H, W]; → [N, S, C] object tokens.
+
+    Semantics (kings_sgg/models/detectors/mask2former_relation.py:84-109):
+    take the masked pixels (``mask >= 0.5``) in row-major scan order, split
+    them into S contiguous chunks — the first ``n % S`` chunks one pixel
+    longer — and mean each chunk.  If ``0 < n < S`` the pixel sequence is
+    tiled and truncated to exactly S, so token k is the single pixel of
+    rank ``k % n``.  Empty masks yield zero tokens.
+
+    TPU design: instead of gathering a dynamic-length pixel list (dynamic
+    shapes), each pixel's chunk id is computed from its mask-rank
+    (``cumsum``) and the pooling becomes ONE [C, P] × [P, S] matmul per
+    object — MXU work, jit-safe, differentiable w.r.t. ``features``.
+    """
+    if size == 1:
+        return mask_pool(features, masks)[:, None, :]
+    C = features.shape[0]
+    flat = features.reshape(C, -1)                       # [C, P]
+    m = (masks >= 0.5).reshape(masks.shape[0], -1)       # [N, P]
+    ks = jnp.arange(size)
+
+    def weights_one(mrow):
+        n = mrow.sum()
+        r0 = jnp.cumsum(mrow) - 1                        # pixel rank, 0-based
+        base, rem = n // size, n % size
+        big = jnp.where(
+            r0 < rem * (base + 1),
+            r0 // jnp.maximum(base + 1, 1),
+            rem + (r0 - rem * (base + 1)) // jnp.maximum(base, 1),
+        )
+        w_big = mrow[:, None] & (big[:, None] == ks[None, :])
+        # n < S: tile-and-truncate — token k is the pixel of rank k % n
+        w_small = mrow[:, None] & (
+            (ks[None, :] % jnp.maximum(n, 1)) == r0[:, None]
+        )
+        return jnp.where(n >= size, w_big, w_small)      # [P, S]
+
+    w = jax.vmap(weights_one)(m).astype(features.dtype)  # [N, P, S]
+    num = jnp.einsum("cp,nps->nsc", flat, w)
+    den = jnp.sum(w, axis=1)[:, :, None]                 # [N, S, 1]
+    return num / jnp.maximum(den, 1.0)
+
+
 def pair_or_masks(masks: jnp.ndarray) -> jnp.ndarray:
     """All ordered-pair unions of N masks.
 

@@ -459,21 +459,32 @@ class M2FTrainer:
     def loss_single(self, trainable, frozen, batch_i) -> Dict[str, jnp.ndarray]:
         import jax.numpy as jnp
 
-        from openpsg_tpu.ops.mask_ops import mask_pool
-
         p = self.pipeline
         image = normalize_image(batch_i.image)
         seg_out = p.segmenter.apply(frozen["segmenter"], image)
         mf = jax.lax.stop_gradient(seg_out["mask_features"])
 
-        pooled = mask_pool(mf.transpose(2, 0, 1), batch_i.object_masks)
-        cls_emb = jnp.take(
-            trainable["object_cls_embed"], batch_i.object_labels, axis=0
+        # GT-mask token assembly incl. the optional embellishments (sine
+        # PE, background feature, S-chunked pooling) — reference
+        # `_thing/_stuff_embedding` (mask2former_relation.py:111-199)
+        tokens = p._object_tokens(
+            trainable["object_cls_embed"], mf, batch_i.object_masks,
+            batch_i.object_labels, chunked=True,
         )
-        if p.cfg.merge_cls_type == "cat":
-            tokens = jnp.concatenate([pooled, cls_emb], axis=-1)
-        else:
-            tokens = pooled + cls_emb
+        S = p.cfg.object_token_size
+        obj_valid = batch_i.object_valid
+        rel_target = batch_i.relation_target
+        if S > 1:
+            # tokens are object-major [M·S]; the reference's rel_target
+            # indices stay OBJECT indices (< n ≤ M, mask2former_relation.py
+            # :229-247), i.e. literally the top-left [M, M] block of the
+            # [M·S, M·S] pair grid — replicate that, zero-fill the rest
+            M = obj_valid.shape[0]
+            obj_valid = jnp.repeat(obj_valid, S)
+            expanded = jnp.zeros(
+                (M * S, M * S) + rel_target.shape[2:], rel_target.dtype
+            )
+            rel_target = expanded.at[:M, :M].set(rel_target)
 
         extra = p._host_extra()
         lab = batch_i.object_labels
@@ -489,10 +500,8 @@ class M2FTrainer:
             extra["triplet_text"] = jnp.take(
                 p.triplet_table, idx, axis=0
             )[None]                                     # [1, M, M, R, T]
-        target = batch_i.relation_target.transpose(2, 0, 1)  # [R, M, M]
-        pair = (
-            batch_i.object_valid[:, None] & batch_i.object_valid[None, :]
-        )
+        target = rel_target.transpose(2, 0, 1)   # [R, M·S, M·S]
+        pair = obj_valid[:, None] & obj_valid[None, :]
 
         def mcce(scores):  # v1 loss family on one [R, M, M] map
             masked = jnp.where(pair[None], scores, losses.NEG_INF)
@@ -505,10 +514,10 @@ class M2FTrainer:
 
         if p.cfg.head_version == "v1":
             scores = p._head_apply(
-                trainable["head"], tokens, batch_i.object_valid, extra,
+                trainable["head"], tokens, obj_valid, extra,
             )
             return p.head.loss(
-                scores[None], target[None], batch_i.object_valid[None]
+                scores[None], target[None], obj_valid[None]
             )
         if p.cfg.head_version == "v2":
             # the reference computes ONE loss per enabled expert (+ moe),
@@ -517,7 +526,7 @@ class M2FTrainer:
             from openpsg_tpu.models.relation.head_v2 import RelationHeadV2
 
             maps = p.head.apply(
-                trainable["head"], tokens[None], batch_i.object_valid[None],
+                trainable["head"], tokens[None], obj_valid[None],
                 pair_text_embeds=extra.get("pair_text"),
                 triplet_text_embeds=extra.get("triplet_text"),
             )
@@ -532,7 +541,7 @@ class M2FTrainer:
         # v3 reuses the v1 'v1' loss family (reference heads re-implement
         # the same multilabel CCE)
         scores = p._head_apply(
-            trainable["head"], tokens, batch_i.object_valid, extra,
+            trainable["head"], tokens, obj_valid, extra,
         )
         loss, masked = mcce(scores)
         out = {"loss_relation": loss}
