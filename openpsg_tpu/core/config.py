@@ -201,3 +201,33 @@ def replace_cfg_vals(cfg: "Config") -> "Config":
         return obj
 
     return Config(walk(root), filename=cfg.filename)
+
+
+def update_data_root(cfg: "Config") -> "Config":
+    """mmdet's ``MMDET_DATASETS`` env override (reference
+    tools/train.py:117-118 → mmdet.utils.update_data_root): when the env
+    var is set, every string value that contains ``cfg.data_root`` is
+    rewritten onto the new root, and ``cfg.data_root`` itself is replaced.
+    No-op without the env var or a ``data_root`` key."""
+    import os
+
+    dst = os.environ.get("MMDET_DATASETS")
+    src = cfg.get("data_root")
+    if not dst or not isinstance(src, str) or not src:
+        return cfg
+    # mmdet joins with a trailing separator; tolerate with/without
+    dst = dst if dst.endswith("/") else dst + "/"
+    src_norm = src if src.endswith("/") else src + "/"
+
+    def walk(obj):
+        if isinstance(obj, dict):
+            return {k: walk(v) for k, v in obj.items()}
+        if isinstance(obj, (list, tuple)):
+            return type(obj)(walk(v) for v in obj)
+        if isinstance(obj, str):
+            return obj.replace(src_norm, dst).replace(
+                src.rstrip("/"), dst.rstrip("/")
+            )
+        return obj
+
+    return Config(walk(cfg.to_dict()), filename=cfg.filename)

@@ -130,6 +130,28 @@ def _parse_cfg_value(val: str):
     return parse(val)
 
 
+def _ckpt_meta():
+    """Version + git-hash checkpoint metadata (reference tools/train.py
+    :231-236 embeds mmdet_version+git_hash and CLASSES in every save)."""
+    import functools
+    import subprocess
+
+    @functools.lru_cache(maxsize=1)
+    def _git_hash():
+        try:
+            return subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                capture_output=True, text=True, timeout=5,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ).stdout.strip()[:7] or "unknown"
+        except Exception:
+            return "unknown"
+
+    import openpsg_tpu
+
+    return {"version": openpsg_tpu.__version__ + "+" + _git_hash()}
+
+
 def main():
     args = parse_args()
     import jax
@@ -168,6 +190,9 @@ def main():
     from openpsg_tpu.core.config import replace_cfg_vals
 
     cfg = replace_cfg_vals(cfg)   # ${var} interpolation (ref train.py:114-115)
+    from openpsg_tpu.core.config import update_data_root
+
+    cfg = update_data_root(cfg)   # MMDET_DATASETS override (ref :117-118)
     if args.cfg_options:
         opts = dict(kv.split("=", 1) for kv in args.cfg_options)
         cfg.merge_from_dict({k: _parse_cfg_value(v) for k, v in opts.items()})
@@ -431,7 +456,8 @@ def main():
             if args.max_steps and global_step >= args.max_steps:
                 break
         ckpt.save(global_step, trainable, opt_state,
-                  meta={"epoch": epoch + 1, "classes": model.class_names})
+                  meta={"epoch": epoch + 1, "classes": model.class_names,
+                        **_ckpt_meta()})
         if args.validate:
             model.params.update(jax.device_get(trainable))
             pq = _run_pq_validation(cfg, model, preproc, args.val_limit)
