@@ -31,7 +31,8 @@ def _load() -> Optional[ctypes.CDLL]:
             for cc in ("g++", "c++", "clang++"):
                 try:
                     subprocess.run(
-                        [cc, "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
+                        [cc, "-O3", "-shared", "-fPIC", _SRC, "-lz",
+                         "-o", _SO],
                         check=True, capture_output=True, timeout=120,
                     )
                     break
@@ -52,6 +53,15 @@ def _load() -> Optional[ctypes.CDLL]:
             i32, ctypes.c_int64,
             i8, ctypes.c_int64, ctypes.c_int64,
         ]
+        lib.paint_index.argtypes = [
+            i32, ctypes.c_int64, i32, ctypes.c_int64, i8,
+        ]
+        lib.encode_palette_png.argtypes = [
+            i8, ctypes.c_int64, ctypes.c_int64,
+            i8, ctypes.c_int64,
+            i8, ctypes.c_int64,
+        ]
+        lib.encode_palette_png.restype = ctypes.c_int64
         _lib = lib
     except Exception:
         _lib = None
@@ -130,3 +140,48 @@ def rgb_to_masks_downsampled(
         rgb, rgb.shape[0], rgb.shape[1], seg, len(seg), out, oh, ow
     )
     return out
+
+
+def paint_index(ids: np.ndarray, segment_ids: Sequence[int]) -> np.ndarray:
+    """[h, w] id map + K segment ids → [h, w] uint8 palette indices
+    (0 = background, s+1 = segment s).  One native pass; numpy fallback
+    is a sort + searchsorted (still one vector pass, not K image scans)."""
+    seg = np.ascontiguousarray(segment_ids, np.int32)
+    ids = np.ascontiguousarray(ids, np.int32)
+    lib = _load()
+    if lib is not None and len(seg) <= 254:
+        out = np.empty(ids.shape, np.uint8)
+        lib.paint_index(ids.reshape(-1), ids.size, seg, len(seg),
+                        out.reshape(-1))
+        return out
+    order = np.argsort(seg, kind="stable")
+    sorted_seg = seg[order]
+    pos = np.searchsorted(sorted_seg, ids)
+    pos = np.minimum(pos, max(len(seg) - 1, 0))
+    if len(seg) == 0:
+        return np.zeros(ids.shape, np.uint8)
+    hit = sorted_seg[pos] == ids
+    return np.where(hit, (order[pos] + 1).astype(np.int64), 0).astype(np.uint8)
+
+
+def encode_palette_png(
+    idx: np.ndarray, palette_rgb: np.ndarray
+) -> Optional[bytes]:
+    """[h, w] uint8 palette indices + [n, 3] uint8 RGB palette → PNG bytes
+    (8-bit color type 3 — cv2.imread expands it to BGR, so readers see the
+    same pixels as an RGB truecolor file).  Returns None without the
+    native library (callers fall back to cv2.imencode)."""
+    lib = _load()
+    if lib is None:
+        return None
+    idx = np.ascontiguousarray(idx, np.uint8)
+    pal = np.ascontiguousarray(palette_rgb, np.uint8)
+    assert pal.ndim == 2 and pal.shape[1] == 3 and pal.shape[0] <= 256
+    h, w = idx.shape
+    cap = h * (w + 1) + h * (w + 1) // 1000 + 1100 + 3 * pal.shape[0]
+    buf = np.empty(cap, np.uint8)
+    n = lib.encode_palette_png(idx.reshape(-1), h, w, pal.reshape(-1),
+                               pal.shape[0], buf, cap)
+    if n <= 0:
+        return None
+    return buf[:n].tobytes()

@@ -27,6 +27,40 @@ from openpsg_tpu.data.vocab import INSTANCE_OFFSET
 from openpsg_tpu.utils.panoptic import random_colors, rgb2id
 
 
+def paint_panoptic_indexed(
+    pan_results: np.ndarray,
+    object_id_list: List[int],
+    seed: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, List[Dict[str, Any]], List[int], np.ndarray]:
+    """Index-map painting core: one pass over the id map (native
+    ``paint_index`` or a searchsorted fallback — NOT one ``pan == oid``
+    image scan per segment, which caps a pod host at ~3 img/s,
+    tools/bench_host.py) plus a ≤256-entry RGB palette.
+
+    Returns ``(idx, palette_rgb, segments_info, kept_oids, colors)``:
+    ``idx`` is [H, W] uint8 (0 = background → palette black),
+    ``palette_rgb`` is [K+1, 3]; ``palette_rgb[idx]`` reproduces the RGB
+    image exactly.
+    """
+    from openpsg_tpu import native
+
+    kept = [int(oid) for oid in object_id_list if oid != 133]
+    colors = random_colors(max(len(kept), 1), seed=seed)
+    idx = native.paint_index(pan_results, kept)
+    palette = np.zeros((len(kept) + 1, 3), np.uint8)
+    palette[1:] = colors[: len(kept)]
+    segments_info: List[Dict[str, Any]] = []
+    for i, oid in enumerate(kept):
+        r, g, b = (int(x) for x in colors[i])
+        segments_info.append(
+            dict(
+                category_id=int(oid % INSTANCE_OFFSET) + 1,
+                id=int(rgb2id(np.asarray([r, g, b], np.uint8))),
+            )
+        )
+    return idx, palette, segments_info, kept, colors
+
+
 def paint_panoptic(
     pan_results: np.ndarray,
     object_id_list: List[int],
@@ -43,20 +77,10 @@ def paint_panoptic(
     is BGR for cv2 writers, and ``colors`` always has >= 1 entry (the
     empty-image dummy-fill path needs one).
     """
-    H, W = pan_results.shape
-    kept = [int(oid) for oid in object_id_list if oid != 133]
-    colors = random_colors(max(len(kept), 1), seed=seed)
-    out_bgr = np.zeros((H, W, 3), np.uint8)
-    segments_info: List[Dict[str, Any]] = []
-    for i, oid in enumerate(kept):
-        r, g, b = (int(x) for x in colors[i])
-        out_bgr[pan_results == oid] = (b, g, r)  # cv2 BGR; file RGB=(r,g,b)
-        segments_info.append(
-            dict(
-                category_id=int(oid % INSTANCE_OFFSET) + 1,
-                id=int(rgb2id(np.asarray([r, g, b], np.uint8))),
-            )
-        )
+    idx, palette, segments_info, kept, colors = paint_panoptic_indexed(
+        pan_results, object_id_list, seed=seed
+    )
+    out_bgr = palette[..., ::-1][idx]        # LUT expand, BGR for cv2
     return out_bgr, segments_info, kept, colors
 
 
@@ -84,17 +108,25 @@ class SubmissionWriter:
         relation: List[List[int]],
         test_idx: Optional[int] = None,
     ) -> None:
-        import cv2
-
         test_idx = self._counter if test_idx is None else test_idx
         self._counter += 1
 
-        out_bgr, segments_info, _, colors = paint_panoptic(
+        idx, palette, segments_info, _, colors = paint_panoptic_indexed(
             pan_results, object_id_list,
             seed=None if self.seed is None else self.seed + test_idx,
         )
 
-        cv2.imwrite(os.path.join(self.panseg_dir, f"{test_idx}.png"), out_bgr)
+        from openpsg_tpu import native
+
+        path = os.path.join(self.panseg_dir, f"{test_idx}.png")
+        png = native.encode_palette_png(idx, palette)
+        if png is not None:                        # native fast path
+            with open(path, "wb") as f:
+                f.write(png)
+        else:                                      # no toolchain: cv2
+            import cv2
+
+            cv2.imwrite(path, palette[..., ::-1][idx])
 
         if len(relation) == 0:
             relation = [[0, 0, 0]]

@@ -209,7 +209,11 @@ def _record_for(res, ex, seed: int):
     SubmissionWriter via utils.submission.paint_panoptic."""
     import cv2
 
-    from openpsg_tpu.utils.submission import paint_panoptic, relations_1indexed
+    from openpsg_tpu import native
+    from openpsg_tpu.utils.submission import (
+        paint_panoptic_indexed,
+        relations_1indexed,
+    )
 
     nh, nw = ex["img_shape"]
     oh, ow = ex["ori"]
@@ -217,17 +221,20 @@ def _record_for(res, ex, seed: int):
         res["pan_results"][:nh, :nw].astype(np.float64), (ow, oh),
         interpolation=cv2.INTER_NEAREST,
     ).astype(np.int64)
-    out_bgr, segments_info, kept, _ = paint_panoptic(
+    idx, palette, segments_info, kept, _ = paint_panoptic_indexed(
         pan_ori, res["rel_results"]["object_id_list"], seed=seed
     )
-    ok, png = cv2.imencode(".png", out_bgr)
-    assert ok
+    png = native.encode_palette_png(idx, palette)   # host fast path
+    if png is None:                                  # no toolchain: cv2
+        ok, enc = cv2.imencode(".png", palette[..., ::-1][idx])
+        assert ok
+        png = enc.tobytes()
     return dict(
         object_id_list=kept,
         relations=relations_1indexed(res["rel_results"]["relation"]),
         relation_scores=[float(s) for s in res.get("rel_scores", [])],
         segments_info=segments_info,
-        pan_seg_png=base64.b64encode(png.tobytes()).decode("ascii"),
+        pan_seg_png=base64.b64encode(png).decode("ascii"),
     )
 
 
