@@ -121,6 +121,16 @@ def main():
     seg_cfg = SegmenterConfig(dtype=jnp.bfloat16)
     if queries:
         seg_cfg = dataclasses.replace(seg_cfg, num_queries=queries)
+    # opt-in encoder sample-point pruning, e.g. BENCH_ENC_POINTS=2,2,2,4
+    # (fine-first level order; quality knob — headline keeps parity OFF)
+    enc_points = os.environ.get("BENCH_ENC_POINTS", "")
+    if enc_points:
+        seg_cfg = dataclasses.replace(
+            seg_cfg,
+            enc_points_per_level=tuple(
+                int(t) for t in enc_points.split(",")
+            ),
+        )
     cfg = PSGv4Config(
         segmenter=seg_cfg,
         head=HeadV4Config(
@@ -254,6 +264,8 @@ def main():
     }
     if act_int8:
         detail["prefill"] = "int8_activations"
+    if enc_points:
+        detail["enc_points_per_level"] = enc_points
     if micro_batch > 1:
         detail["micro_batch"] = micro_batch  # images per program (pipelined)
     if eos_boost > 0:

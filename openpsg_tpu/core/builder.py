@@ -135,9 +135,18 @@ def _segmenter_cfg_from_dict(tpu: Dict[str, Any]):
 
     preset = tpu.get("segmenter_preset", "swin_t")
     if preset == "tiny":
-        return SegmenterConfig.tiny_test()
-    dtype = jnp.bfloat16 if tpu.get("bf16", True) else jnp.float32
-    return SegmenterConfig(dtype=dtype)
+        seg = SegmenterConfig.tiny_test()
+    else:
+        dtype = jnp.bfloat16 if tpu.get("bf16", True) else jnp.float32
+        seg = SegmenterConfig(dtype=dtype)
+    if tpu.get("enc_points_per_level"):
+        # deploy-time encoder sample-point pruning (quality/speed knob,
+        # SegmenterConfig docstring); configs give a list — tuple-ize for
+        # the frozen/hashable dataclass
+        seg = dataclasses.replace(
+            seg, enc_points_per_level=tuple(tpu["enc_points_per_level"])
+        )
+    return seg
 
 
 def build_detector_from_config(cfg, rng: Optional[jax.Array] = None):

@@ -8,7 +8,7 @@ image (no batch dim); batch via ``jax.vmap`` at the detector level.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,12 +52,21 @@ def make_cumsum_points(spatial_shapes: Sequence[Tuple[int, int]]) -> np.ndarray:
 
 
 class MSDeformAttnLayer(nn.Module):
-    """Learned-offset multi-scale deformable attention."""
+    """Learned-offset multi-scale deformable attention.
+
+    ``points_per_level`` (optional, static): deploy-time sample-point
+    pruning — only the first K_l of the K learned points are gathered per
+    level and the softmax weights are renormalized over the kept subset
+    (a convex combination again).  The PARAMETER tree is unchanged (the
+    offset/weight Denses keep their full K width, so converted
+    checkpoints load as-is); only the gather work shrinks.  None = exact
+    parity."""
 
     dim: int = 256
     num_heads: int = 8
     num_levels: int = 3
     num_points: int = 4
+    points_per_level: Optional[Tuple[int, ...]] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -91,6 +100,17 @@ class MSDeformAttnLayer(nn.Module):
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).reshape(
             1, Lq, nH, L, K
         )
+        if self.points_per_level is not None:
+            # renormalize over the kept (level, point<K_l) subset so the
+            # pruned combination stays convex; dropped columns keep their
+            # (now unused) weights — ms_deform_attn never gathers them
+            keep = np.zeros((L, K), np.float32)
+            for lvl, kl in enumerate(self.points_per_level):
+                keep[lvl, : int(kl)] = 1.0
+            attn = attn * keep
+            attn = attn / jnp.maximum(
+                attn.sum(axis=(-2, -1), keepdims=True), 1e-9
+            )
 
         if reference_points.shape[-1] == 2:
             # offsets in units of each level's pixels (Deformable DETR eq. 2)
@@ -110,7 +130,10 @@ class MSDeformAttnLayer(nn.Module):
                 + off.astype(jnp.float32) / K * wh[None, :, None, None, None, :] * 0.5
             )
 
-        out = ms_deform_attn(v, spatial_shapes, loc, attn)[0]  # [Lq, C]
+        out = ms_deform_attn(
+            v, spatial_shapes, loc, attn,
+            points_per_level=self.points_per_level,
+        )[0]                                                   # [Lq, C]
         return nn.Dense(self.dim, dtype=self.dtype, name="output_proj")(out)
 
 
@@ -150,6 +173,7 @@ class DeformableEncoderLayer(nn.Module):
     num_levels: int = 3
     num_points: int = 4
     ffn_hidden: int = 2048
+    points_per_level: Optional[Tuple[int, ...]] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -157,6 +181,7 @@ class DeformableEncoderLayer(nn.Module):
         q = src + pos_embed
         attn_out = MSDeformAttnLayer(
             self.dim, self.num_heads, self.num_levels, self.num_points,
+            points_per_level=self.points_per_level,
             dtype=self.dtype, name="self_attn",
         )(q, src, spatial_shapes, reference_points)
         src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src + attn_out)

@@ -36,6 +36,9 @@ class Mask2FormerConfig:
     # (baseline_r50.py:70-75 vs :100-104).  None → ffn_hidden.
     enc_ffn_hidden: Any = None
     num_classes: int = 133
+    # deploy-time encoder sample-point pruning (see SegmenterConfig /
+    # PixelDecoder docstrings); None = exact parity
+    enc_points_per_level: Any = None
     dtype: Any = jnp.float32
 
     @staticmethod
@@ -76,7 +79,9 @@ class Mask2FormerSegmenter(nn.Module):
         memory, spatial_shapes, mask_features = PixelDecoder(
             dim=c.dim, num_layers=c.enc_layers,
             ffn_hidden=c.enc_ffn_hidden or c.ffn_hidden,
-            mask_dim=c.mask_dim, dtype=c.dtype, name="pixel_decoder",
+            mask_dim=c.mask_dim,
+            enc_points_per_level=c.enc_points_per_level,
+            dtype=c.dtype, name="pixel_decoder",
         )(feats)
         out = Mask2FormerDecoder(
             dim=c.dim, num_queries=c.num_queries, num_layers=c.dec_layers,

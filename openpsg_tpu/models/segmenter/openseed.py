@@ -20,7 +20,7 @@ exactly the reference's precompute-at-init pattern.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -66,6 +66,14 @@ class SegmenterConfig:
     # on this order.  Keep this field and the conversion-time argument in
     # sync (VALIDATION.md runbook).
     ckpt_level_strides: Tuple[int, ...] = (32, 16, 8, 64)
+    # Deploy-time encoder sample-point pruning (per level, fine-first
+    # internal order, each <= num_points).  None = exact checkpoint
+    # parity (all 4 points on all levels).  The encoder is the one
+    # inference stage ~10x off its hardware floor and is gather-RATE
+    # bound, so gathers scale down proportionally; weights renormalize
+    # over the kept points and the param tree is unchanged (PARITY.md,
+    # measured).  A quality knob — keep None unless validated on data.
+    enc_points_per_level: Optional[Tuple[int, ...]] = None
     dtype: Any = jnp.float32
 
     @staticmethod
@@ -99,7 +107,8 @@ class OpenSeedSegmenter(nn.Module):
         memory, spatial_shapes, mask_features = PixelDecoder(
             dim=c.dim, num_layers=c.enc_layers, num_points=c.num_points,
             ffn_hidden=c.ffn_hidden, mask_dim=c.mask_dim,
-            total_levels=c.total_levels, dtype=c.dtype,
+            total_levels=c.total_levels,
+            enc_points_per_level=c.enc_points_per_level, dtype=c.dtype,
             name="pixel_decoder",
         )(feats)
         internal_strides = [8, 16, 32] + [64 * (2 ** i)

@@ -34,6 +34,7 @@ class _ScannedEncoderLayer(nn.Module):
     num_points: int
     ffn_hidden: int
     spatial_shapes: tuple
+    points_per_level: tuple = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -41,7 +42,8 @@ class _ScannedEncoderLayer(nn.Module):
         src, ref, pos_embed = carry
         src = DeformableEncoderLayer(
             self.dim, self.num_heads, self.num_levels, self.num_points,
-            self.ffn_hidden, dtype=self.dtype, name="layer",
+            self.ffn_hidden, points_per_level=self.points_per_level,
+            dtype=self.dtype, name="layer",
         )(src, self.spatial_shapes, ref, pos_embed)
         return (src, ref, pos_embed), None
 
@@ -74,6 +76,12 @@ class PixelDecoder(nn.Module):
     # downsamples of the last (MaskDINO TOTAL_NUM_FEATURE_LEVELS=4 adds a
     # stride-64 level via a 3x3/s2 conv on res5)
     total_levels: int = 3
+    # deploy-time encoder sample-point pruning (per level, each <= K):
+    # the encoder is the one stage ~10x off its hardware floor and is
+    # gather-RATE bound (PARITY.md speed-of-light table) — gathering only
+    # K_l of the K learned points per level shaves time proportionally.
+    # Params are unchanged (checkpoints load as-is); None = exact parity.
+    enc_points_per_level: tuple = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -136,8 +144,12 @@ class PixelDecoder(nn.Module):
             length=self.num_layers,
         )(
             self.dim, self.num_heads, self.total_levels, self.num_points,
-            self.ffn_hidden, tuple(spatial_shapes), dtype=self.dtype,
-            name="layers",
+            self.ffn_hidden, tuple(spatial_shapes),
+            points_per_level=(
+                tuple(self.enc_points_per_level)
+                if self.enc_points_per_level else None
+            ),
+            dtype=self.dtype, name="layers",
         )
         (src, _, _), _ = scanned((src, ref, pos_embed), None)
 

@@ -26,7 +26,7 @@ one-hot-MXU alternative (slower — kept as groundwork).
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +37,7 @@ def ms_deform_attn(
     spatial_shapes: Sequence[Tuple[int, int]],  # static [(h, w)] * L
     sampling_locations: jnp.ndarray,    # [B, Lq, n_heads, L, K, 2] in [0,1]
     attention_weights: jnp.ndarray,     # [B, Lq, n_heads, L, K] (softmaxed)
+    points_per_level: "Optional[Tuple[int, ...]]" = None,
 ) -> jnp.ndarray:                       # [B, Lq, n_heads * head_dim]
     """Multi-scale deformable attention core — vmap-safe entry point.
 
@@ -48,18 +49,32 @@ def ms_deform_attn(
     autodiff, the op is wrapped in ``custom_vjp``: the primal (inference)
     path is the fast one, while fwd/bwd route through the plain
     differentiable implementation (segmenter training uses that).
+
+    ``points_per_level`` (static, per level, each ≤ K): only the FIRST
+    K_l of the K sample points are gathered on level l — the deploy-time
+    sample-point-pruning knob (the op is gather-RATE bound, so dropped
+    points are time off the bill).  Weights for the kept points are used
+    as given; callers renormalize if they want a convex combination.
+    None (default) = exact parity, all K points on every level.
     """
-    return _msda_dispatch(tuple(map(tuple, spatial_shapes)))(
-        value, sampling_locations, attention_weights
-    )
+    if points_per_level is not None:
+        points_per_level = tuple(int(k) for k in points_per_level)
+        assert len(points_per_level) == len(spatial_shapes)
+        assert all(
+            0 < k <= sampling_locations.shape[4] for k in points_per_level
+        ), points_per_level
+    return _msda_dispatch(
+        tuple(map(tuple, spatial_shapes)), points_per_level
+    )(value, sampling_locations, attention_weights)
 
 
 @functools.lru_cache(maxsize=None)
-def _msda_vmap_safe(spatial_shapes):
+def _msda_vmap_safe(spatial_shapes, points_per_level=None):
     @jax.custom_batching.custom_vmap
     def f(value, sampling_locations, attention_weights):
         return _ms_deform_attn_flat(
-            value, spatial_shapes, sampling_locations, attention_weights
+            value, spatial_shapes, sampling_locations, attention_weights,
+            points_per_level,
         )
 
     @f.def_vmap
@@ -82,11 +97,13 @@ def _msda_vmap_safe(spatial_shapes):
 
 
 @functools.lru_cache(maxsize=None)
-def _msda_dispatch(spatial_shapes):
-    fast = _msda_vmap_safe(spatial_shapes)
+def _msda_dispatch(spatial_shapes, points_per_level=None):
+    fast = _msda_vmap_safe(spatial_shapes, points_per_level)
 
     def plain(value, loc, aw):
-        return _ms_deform_attn_flat(value, spatial_shapes, loc, aw)
+        return _ms_deform_attn_flat(
+            value, spatial_shapes, loc, aw, points_per_level
+        )
 
     @jax.custom_vjp
     def op(value, loc, aw):
@@ -110,6 +127,7 @@ def _ms_deform_attn_flat(
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
+    points_per_level: "Optional[Tuple[int, ...]]" = None,
 ) -> jnp.ndarray:
     """Flat (unmapped) multi-scale deformable attention.
 
@@ -171,13 +189,16 @@ def _ms_deform_attn_flat(
     # consumer and the [Lq, L·K·4, hd] intermediate never hits HBM.
     # Measured at the 1344px 4-level encoder geometry: 47.6 → 19.1 ms/layer
     # vs the single-big-gather + einsum formulation (identical output).
+    # sample-point pruning: only the first K_l points per level get
+    # gathered (the op is gather-rate bound — see module docstring)
+    kpl = points_per_level or (K,) * L
     per_b = []
     for b in range(B):
         per_h = []
         for hh in range(n_heads):
             acc = jnp.zeros((Lq, head_dim), jnp.float32)
             for lvl in range(L):
-                for k in range(K):
+                for k in range(kpl[lvl]):
                     g = jnp.take(
                         quad_all[b, :, hh], base[b, :, hh, lvl, k], axis=0
                     ).reshape(Lq, 4, head_dim)
