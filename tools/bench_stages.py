@@ -51,10 +51,16 @@ def main():
     )
 
     seg_cfg = SegmenterConfig(dtype=jnp.bfloat16)
-    if queries:
-        import dataclasses as _dc
+    import dataclasses as _dc
 
+    if queries:
         seg_cfg = _dc.replace(seg_cfg, num_queries=queries)
+    enc_points = os.environ.get("BENCH_ENC_POINTS", "")
+    if enc_points:   # e.g. BENCH_ENC_POINTS=2,2,2,4 (fine-first)
+        seg_cfg = _dc.replace(
+            seg_cfg,
+            enc_points_per_level=tuple(int(t) for t in enc_points.split(",")),
+        )
     cfg = PSGv4Config(
         segmenter=seg_cfg,
         head=HeadV4Config(qformer=QFormerConfig(dtype=jnp.bfloat16),
@@ -137,7 +143,9 @@ def main():
     pixdec = PixelDecoder(
         dim=sc.dim, num_layers=sc.enc_layers, num_points=sc.num_points,
         ffn_hidden=sc.ffn_hidden, mask_dim=sc.mask_dim,
-        total_levels=sc.total_levels, dtype=sc.dtype, name="pixel_decoder",
+        total_levels=sc.total_levels,
+        enc_points_per_level=sc.enc_points_per_level,
+        dtype=sc.dtype, name="pixel_decoder",
     )
     px_params = {"params": params["segmenter"]["params"]["pixel_decoder"]}
 
