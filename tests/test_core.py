@@ -130,3 +130,59 @@ class TestReplaceCfgVals:
         )
         assert cfg["model"]["head"]["lr"] == 0.01      # typed whole-ref
         assert cfg["model"]["head"]["tag"] == "run-0.01"
+
+
+class TestUpdateDataRoot:
+    """MMDET_DATASETS env override (reference tools/train.py:117-118 →
+    mmdet.utils.update_data_root)."""
+
+    def _cfg(self, tmp_path):
+        p = tmp_path / "c.py"
+        p.write_text(
+            "data_root = 'data/coco/'\n"
+            "data = dict(train=dict(ann_file='data/coco/psg.json',\n"
+            "                       img_prefix='data/coco'),\n"
+            "            other=123)\n"
+        )
+        from openpsg_tpu.core.config import Config
+
+        return Config.fromfile(str(p), import_custom_modules=False)
+
+    def test_noop_without_env(self, tmp_path, monkeypatch):
+        from openpsg_tpu.core.config import update_data_root
+
+        monkeypatch.delenv("MMDET_DATASETS", raising=False)
+        cfg = update_data_root(self._cfg(tmp_path))
+        assert cfg["data_root"] == "data/coco/"
+
+    def test_rewrites_all_strings(self, tmp_path, monkeypatch):
+        from openpsg_tpu.core.config import update_data_root
+
+        monkeypatch.setenv("MMDET_DATASETS", "/mnt/ssd/coco")
+        cfg = update_data_root(self._cfg(tmp_path))
+        assert cfg["data_root"] == "/mnt/ssd/coco/"
+        assert cfg["data"]["train"]["ann_file"] == "/mnt/ssd/coco/psg.json"
+        # prefix WITHOUT trailing slash also rewritten (mmdet behavior)
+        assert cfg["data"]["train"]["img_prefix"] == "/mnt/ssd/coco"
+        assert cfg["data"]["other"] == 123
+
+
+def test_ckpt_meta_has_version_and_hash():
+    """tools/train.py embeds framework version + git hash in every save
+    (reference train.py:231-236 mmdet_version + git hash)."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "train_tool", _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "tools", "train.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    meta = mod._ckpt_meta()
+    import openpsg_tpu
+
+    assert meta["version"].startswith(openpsg_tpu.__version__ + "+")
+    assert len(meta["version"].split("+", 1)[1]) >= 4   # short git hash
