@@ -389,3 +389,108 @@ class TestFullTrunkGolden:
             np.asarray(out["masks"]) / scale, want_masks / scale,
             rtol=2e-3, atol=2e-3,
         )
+
+
+def torch_tiny_r50_mirror(state, img_hwc):
+    """Independent torch mirror of the mmdet ResNet backbone at the
+    tiny_r50 test geometry (depths 1/1/1/1, base 8): stem 7x7/s2 +
+    eval-mode BN + 3x3/s2 maxpool, one bottleneck per stage with the
+    stride on conv2 (mmdet pytorch-style) and a projection shortcut on
+    every first block.  Returns 4 HWC numpy maps (strides 4/8/16/32)."""
+    import torch
+    import torch.nn.functional as F
+
+    t = lambda k: torch.tensor(state["backbone." + k])
+
+    def bn(x, base, eps=1e-5):
+        return F.batch_norm(
+            x, t(base + ".running_mean"), t(base + ".running_var"),
+            t(base + ".weight"), t(base + ".bias"),
+            training=False, eps=eps,
+        )
+
+    x = torch.tensor(np.asarray(img_hwc).transpose(2, 0, 1))[None]
+    x = F.conv2d(x, t("conv1.weight"), stride=2, padding=3)
+    x = torch.relu(bn(x, "bn1"))
+    x = F.max_pool2d(x, 3, stride=2, padding=1)
+
+    outs = []
+    for st in range(4):
+        p = f"layer{st + 1}.0."
+        stride = 1 if st == 0 else 2
+        res = F.conv2d(x, t(p + "downsample.0.weight"), stride=stride)
+        res = bn(res, p + "downsample.1")
+        h = torch.relu(bn(F.conv2d(x, t(p + "conv1.weight")), p + "bn1"))
+        h = F.conv2d(h, t(p + "conv2.weight"), stride=stride, padding=1)
+        h = torch.relu(bn(h, p + "bn2"))
+        h = bn(F.conv2d(h, t(p + "conv3.weight")), p + "bn3")
+        x = torch.relu(h + res)
+        outs.append(x[0].permute(1, 2, 0).numpy())
+    return outs
+
+
+class TestMmdetFullTrunkGolden:
+    """Assembled v1/v2/v3-family trunk golden: ONE converted
+    ``Mask2FormerSegmenter`` forward (tiny R50 -> MSDeformAttn pixel
+    decoder -> masked transformer decoder -> cls/masks/mask_features)
+    against the composed torch mirrors.  Pins the seams the per-stage
+    goldens (tests/test_weight_convert.py) cover only transitively:
+    which backbone map feeds which input projection, the memory level
+    layout handed to the decoder, and the R50 value path itself (stem
+    pad/pool, frozen-BN folding, stride placement).  Reference contract:
+    mmdet Mask2Former via /root/reference/kings_sgg/models/detectors/
+    mask2former_relation.py:318-330 + configs/psg/baseline_r50.py:26-109."""
+
+    def test_whole_converted_m2f_trunk_matches_torch_mirror(self):
+        from test_weight_convert import (
+            synthetic_mmdet_m2f_state,
+            torch_m2f_masked_decoder_mirror,
+            torch_m2f_pixel_decoder_mirror,
+        )
+
+        from openpsg_tpu.models.segmenter.mask2former import (
+            Mask2FormerConfig,
+            Mask2FormerSegmenter,
+        )
+        from openpsg_tpu.models.segmenter.weight_convert import (
+            convert_mask2former,
+        )
+
+        state = synthetic_mmdet_m2f_state(enc=2, dec=3)
+        cfg = Mask2FormerConfig(
+            backbone="tiny_r50", dim=32, mask_dim=32, num_queries=10,
+            enc_layers=2, dec_layers=3, ffn_hidden=64, num_classes=8,
+        )
+        params = convert_mask2former(state, cfg)
+
+        rng = np.random.default_rng(7)
+        img = rng.normal(size=(64, 64, 3)).astype(np.float32)
+
+        # ---- composed torch mirrors ----
+        feats = torch_tiny_r50_mirror(state, img)
+        want_mem, want_mf = torch_m2f_pixel_decoder_mirror(
+            state, feats, enc_layers=2, C=32
+        )
+        want_q, want_cls, want_masks = torch_m2f_masked_decoder_mirror(
+            state, want_mem, want_mf, n_layers=3,
+            shapes_int=[(8, 8), (4, 4), (2, 2)], C=32,
+        )
+
+        # ---- ours: the WHOLE segmenter, one jitted forward ----
+        seg = Mask2FormerSegmenter(cfg)
+        out = jax.jit(
+            lambda p, im: seg.apply({"params": p}, im)
+        )(params, jnp.asarray(img))
+
+        np.testing.assert_allclose(
+            np.asarray(out["mask_features"]), want_mf, rtol=1e-3, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["query_embed"]), want_q, rtol=1e-3, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["cls_logits"]), want_cls, rtol=1e-3, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["masks"]), want_masks, rtol=1e-3, atol=2e-3
+        )

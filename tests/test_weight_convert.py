@@ -1499,9 +1499,6 @@ class TestMask2FormerConvert:
         (coarse-first) level order.  The layer-level goldens can't see
         miswired glue (a dropped level embed, GN axis mix-up, FPN conv
         transpose); this can."""
-        import torch
-        import torch.nn.functional as F
-
         from openpsg_tpu.models.segmenter.pixel_decoder import PixelDecoder
         from openpsg_tpu.models.segmenter.weight_convert import convert_mask2former
 
@@ -1509,7 +1506,7 @@ class TestMask2FormerConvert:
         params = convert_mask2former(state, self._cfg())
         pdp = params["pixel_decoder"]
 
-        C, nH, K = 32, 8, 4
+        C = 32
         rng = np.random.default_rng(21)
         # feature maps for a 64x64 image: strides 4/8/16/32
         chs = (32, 64, 128, 256)
@@ -1517,111 +1514,10 @@ class TestMask2FormerConvert:
         feats = [rng.normal(size=(h, w, c)).astype(np.float32) * 0.5
                  for (h, w), c in zip(hw, chs)]
 
-        # ---- torch mirror, checkpoint (coarse-first) level order ----
-        pd = "panoptic_head.pixel_decoder."
-        t = lambda k: torch.tensor(state[pd + k])
-        shapes_ck = [(2, 2), (4, 4), (8, 8)]       # strides 32, 16, 8
-        feat_of = {32: feats[3], 16: feats[2], 8: feats[1]}
-        strides_ck = (32, 16, 8)
+        want_mem, want_mf = torch_m2f_pixel_decoder_mirror(
+            state, feats, enc_layers=2, C=C
+        )
 
-        def conv(x_nchw, w, b=None, pad=0):
-            return F.conv2d(x_nchw, w, b, padding=pad)
-
-        toks, poss = [], []
-        for j, s in enumerate(strides_ck):
-            x = torch.tensor(feat_of[s].transpose(2, 0, 1))[None]
-            x = conv(x, t(f"input_convs.{j}.conv.weight"),
-                     t(f"input_convs.{j}.conv.bias"))
-            x = F.group_norm(x, 32, t(f"input_convs.{j}.gn.weight"),
-                             t(f"input_convs.{j}.gn.bias"), eps=1e-5)
-            h, w = shapes_ck[j]
-            toks.append(x[0].reshape(C, h * w).T)
-            # d2/mmdet sine positions (cumsum convention), interleaved
-            nm = torch.ones(1, h, w)
-            ye = nm.cumsum(1) / (h + 1e-6) * (2 * np.pi)
-            xe = nm.cumsum(2) / (w + 1e-6) * (2 * np.pi)
-            half = C // 2
-            dim_t = 10000.0 ** (
-                2 * torch.div(torch.arange(half), 2, rounding_mode="floor") / half
-            )
-            px, py = xe[..., None] / dim_t, ye[..., None] / dim_t
-            px = torch.stack((px[..., 0::2].sin(), px[..., 1::2].cos()), -1).flatten(3)
-            py = torch.stack((py[..., 0::2].sin(), py[..., 1::2].cos()), -1).flatten(3)
-            pos = torch.cat((py, px), 3)[0].reshape(h * w, C)
-            poss.append(pos + t("level_encoding.weight")[j])
-        src = torch.cat(toks, 0)
-        pos = torch.cat(poss, 0)
-
-        # reference points at pixel centers, per level, valid_ratios=1
-        refs = []
-        for (h, w) in shapes_ck:
-            ys, xs = np.meshgrid((np.arange(h) + 0.5) / h,
-                                 (np.arange(w) + 0.5) / w, indexing="ij")
-            refs.append(np.stack([xs, ys], -1).reshape(-1, 2))
-        ref = torch.tensor(np.concatenate(refs, 0).astype(np.float32))
-
-        L = 3
-        starts = np.cumsum([0] + [h * w for h, w in shapes_ck])
-        normalizer = torch.tensor([(w, h) for (h, w) in shapes_ck],
-                                  dtype=torch.float32)
-
-        def msda(base, q, v):
-            Lq = q.shape[0]
-            hd = C // nH
-            val = q.new_zeros(Lq, nH, hd)
-            vv = v @ t(base + ".value_proj.weight").T + t(base + ".value_proj.bias")
-            off = (q @ t(base + ".sampling_offsets.weight").T
-                   + t(base + ".sampling_offsets.bias")).reshape(Lq, nH, L, K, 2)
-            aw = (q @ t(base + ".attention_weights.weight").T
-                  + t(base + ".attention_weights.bias")).reshape(Lq, nH, L * K)
-            aw = torch.softmax(aw, -1).reshape(Lq, nH, L, K)
-            loc = ref[:, None, None, None, :] + off / normalizer[None, None, :, None, :]
-            out = torch.zeros(Lq, nH, hd)
-            for lvl, (h, w) in enumerate(shapes_ck):
-                vl = (vv[starts[lvl]:starts[lvl + 1]]
-                      .reshape(h, w, nH, hd).permute(2, 3, 0, 1))  # [nH,hd,h,w]
-                g = loc[:, :, lvl] * 2.0 - 1.0                      # [Lq,nH,K,2]
-                sm = F.grid_sample(vl, g.permute(1, 0, 2, 3),
-                                   mode="bilinear", padding_mode="zeros",
-                                   align_corners=False)             # [nH,hd,Lq,K]
-                out += (sm * aw[:, :, lvl].permute(1, 0, 2)[:, None]).sum(-1).permute(2, 0, 1)
-            return out.reshape(Lq, C) @ t(base + ".output_proj.weight").T + t(
-                base + ".output_proj.bias")
-
-        x = src
-        for l in range(2):
-            b = f"encoder.layers.{l}"
-            a = msda(b + ".attentions.0", x + pos, x)
-            x = F.layer_norm(x + a, (C,), t(b + ".norms.0.weight"),
-                             t(b + ".norms.0.bias"))
-            f1 = torch.relu(x @ t(b + ".ffns.0.layers.0.0.weight").T
-                            + t(b + ".ffns.0.layers.0.0.bias"))
-            f2 = f1 @ t(b + ".ffns.0.layers.1.weight").T + t(b + ".ffns.0.layers.1.bias")
-            x = F.layer_norm(x + f2, (C,), t(b + ".norms.1.weight"),
-                             t(b + ".norms.1.bias"))
-
-        # FPN: stride-8 encoder block up to stride 4
-        h8, w8 = 8, 8
-        enc8 = x[starts[2]:starts[3]].reshape(h8, w8, C).permute(2, 0, 1)[None]
-        lat = torch.tensor(feats[0].transpose(2, 0, 1))[None]
-        lat = conv(lat, t("lateral_convs.0.conv.weight"))
-        lat = F.group_norm(lat, 32, t("lateral_convs.0.gn.weight"),
-                           t("lateral_convs.0.gn.bias"), eps=1e-5)
-        up = F.interpolate(enc8, size=(16, 16), mode="bilinear",
-                           align_corners=False)
-        fused = lat + up
-        fused = conv(fused, t("output_convs.0.conv.weight"), pad=1)
-        fused = F.group_norm(fused, 32, t("output_convs.0.gn.weight"),
-                             t("output_convs.0.gn.bias"), eps=1e-5)
-        fused = torch.relu(fused)
-        mf = conv(fused, t("mask_feature.weight"), t("mask_feature.bias"))
-        want_mf = mf[0].permute(1, 2, 0).numpy()
-
-        # memory in checkpoint order -> internal (fine-first) order
-        blocks = [x[starts[j]:starts[j + 1]].numpy() for j in range(3)]
-        want_mem = np.concatenate([blocks[2], blocks[1], blocks[0]], 0)
-
-        # ---- ours ----
         pdm = PixelDecoder(dim=C, num_layers=2, ffn_hidden=64, mask_dim=C)
         mem, shapes, got_mf = jax.jit(
             lambda p, f: pdm.apply({"params": p}, f)
@@ -1629,6 +1525,228 @@ class TestMask2FormerConvert:
         assert tuple(shapes) == ((8, 8), (4, 4), (2, 2))
         np.testing.assert_allclose(np.asarray(mem), want_mem, rtol=3e-4, atol=3e-4)
         np.testing.assert_allclose(np.asarray(got_mf), want_mf, rtol=3e-4, atol=3e-4)
+
+
+def torch_m2f_pixel_decoder_mirror(state, feats, enc_layers, C=32, nH=8, K=4):
+    """Independent torch mirror of mmdet's MSDeformAttnPixelDecoder in
+    CHECKPOINT (coarse-first) level order, as a reusable golden fixture
+    (also composed into the assembled full-trunk golden,
+    tests/test_full_trunk_golden.py).
+
+    ``feats``: 4 HWC numpy maps at strides 4/8/16/32 (fine-first).
+    Returns ``(memory fine-first [Lv, C], mask_features [H4, W4, C])``.
+    """
+    import torch
+    import torch.nn.functional as F
+
+    pd = "panoptic_head.pixel_decoder."
+    t = lambda k: torch.tensor(state[pd + k])
+    shapes_ck = [tuple(feats[3].shape[:2]), tuple(feats[2].shape[:2]),
+                 tuple(feats[1].shape[:2])]        # strides 32, 16, 8
+    feat_of = {32: feats[3], 16: feats[2], 8: feats[1]}
+    strides_ck = (32, 16, 8)
+
+    def conv(x_nchw, w, b=None, pad=0):
+        return F.conv2d(x_nchw, w, b, padding=pad)
+
+    toks, poss = [], []
+    for j, s in enumerate(strides_ck):
+        x = torch.tensor(feat_of[s].transpose(2, 0, 1))[None]
+        x = conv(x, t(f"input_convs.{j}.conv.weight"),
+                 t(f"input_convs.{j}.conv.bias"))
+        x = F.group_norm(x, 32, t(f"input_convs.{j}.gn.weight"),
+                         t(f"input_convs.{j}.gn.bias"), eps=1e-5)
+        h, w = shapes_ck[j]
+        toks.append(x[0].reshape(C, h * w).T)
+        # d2/mmdet sine positions (cumsum convention), interleaved
+        nm = torch.ones(1, h, w)
+        ye = nm.cumsum(1) / (h + 1e-6) * (2 * np.pi)
+        xe = nm.cumsum(2) / (w + 1e-6) * (2 * np.pi)
+        half = C // 2
+        dim_t = 10000.0 ** (
+            2 * torch.div(torch.arange(half), 2, rounding_mode="floor") / half
+        )
+        px, py = xe[..., None] / dim_t, ye[..., None] / dim_t
+        px = torch.stack((px[..., 0::2].sin(), px[..., 1::2].cos()), -1).flatten(3)
+        py = torch.stack((py[..., 0::2].sin(), py[..., 1::2].cos()), -1).flatten(3)
+        pos = torch.cat((py, px), 3)[0].reshape(h * w, C)
+        poss.append(pos + t("level_encoding.weight")[j])
+    src = torch.cat(toks, 0)
+    pos = torch.cat(poss, 0)
+
+    # reference points at pixel centers, per level, valid_ratios=1
+    refs = []
+    for (h, w) in shapes_ck:
+        ys, xs = np.meshgrid((np.arange(h) + 0.5) / h,
+                             (np.arange(w) + 0.5) / w, indexing="ij")
+        refs.append(np.stack([xs, ys], -1).reshape(-1, 2))
+    ref = torch.tensor(np.concatenate(refs, 0).astype(np.float32))
+
+    L = 3
+    starts = np.cumsum([0] + [h * w for h, w in shapes_ck])
+    normalizer = torch.tensor([(w, h) for (h, w) in shapes_ck],
+                              dtype=torch.float32)
+
+    def msda(base, q, v):
+        Lq = q.shape[0]
+        hd = C // nH
+        val = q.new_zeros(Lq, nH, hd)
+        vv = v @ t(base + ".value_proj.weight").T + t(base + ".value_proj.bias")
+        off = (q @ t(base + ".sampling_offsets.weight").T
+               + t(base + ".sampling_offsets.bias")).reshape(Lq, nH, L, K, 2)
+        aw = (q @ t(base + ".attention_weights.weight").T
+              + t(base + ".attention_weights.bias")).reshape(Lq, nH, L * K)
+        aw = torch.softmax(aw, -1).reshape(Lq, nH, L, K)
+        loc = ref[:, None, None, None, :] + off / normalizer[None, None, :, None, :]
+        out = torch.zeros(Lq, nH, hd)
+        for lvl, (h, w) in enumerate(shapes_ck):
+            vl = (vv[starts[lvl]:starts[lvl + 1]]
+                  .reshape(h, w, nH, hd).permute(2, 3, 0, 1))  # [nH,hd,h,w]
+            g = loc[:, :, lvl] * 2.0 - 1.0                      # [Lq,nH,K,2]
+            sm = F.grid_sample(vl, g.permute(1, 0, 2, 3),
+                               mode="bilinear", padding_mode="zeros",
+                               align_corners=False)             # [nH,hd,Lq,K]
+            out += (sm * aw[:, :, lvl].permute(1, 0, 2)[:, None]).sum(-1).permute(2, 0, 1)
+        return out.reshape(Lq, C) @ t(base + ".output_proj.weight").T + t(
+            base + ".output_proj.bias")
+
+    x = src
+    for l in range(enc_layers):
+        b = f"encoder.layers.{l}"
+        a = msda(b + ".attentions.0", x + pos, x)
+        x = F.layer_norm(x + a, (C,), t(b + ".norms.0.weight"),
+                         t(b + ".norms.0.bias"))
+        f1 = torch.relu(x @ t(b + ".ffns.0.layers.0.0.weight").T
+                        + t(b + ".ffns.0.layers.0.0.bias"))
+        f2 = f1 @ t(b + ".ffns.0.layers.1.weight").T + t(b + ".ffns.0.layers.1.bias")
+        x = F.layer_norm(x + f2, (C,), t(b + ".norms.1.weight"),
+                         t(b + ".norms.1.bias"))
+
+    # FPN: stride-8 encoder block up to stride 4
+    h8, w8 = feats[1].shape[:2]
+    enc8 = x[starts[2]:starts[3]].reshape(h8, w8, C).permute(2, 0, 1)[None]
+    lat = torch.tensor(feats[0].transpose(2, 0, 1))[None]
+    lat = conv(lat, t("lateral_convs.0.conv.weight"))
+    lat = F.group_norm(lat, 32, t("lateral_convs.0.gn.weight"),
+                       t("lateral_convs.0.gn.bias"), eps=1e-5)
+    up = F.interpolate(enc8, size=tuple(feats[0].shape[:2]), mode="bilinear",
+                       align_corners=False)
+    fused = lat + up
+    fused = conv(fused, t("output_convs.0.conv.weight"), pad=1)
+    fused = F.group_norm(fused, 32, t("output_convs.0.gn.weight"),
+                         t("output_convs.0.gn.bias"), eps=1e-5)
+    fused = torch.relu(fused)
+    mf = conv(fused, t("mask_feature.weight"), t("mask_feature.bias"))
+    want_mf = mf[0].permute(1, 2, 0).numpy()
+
+    # memory in checkpoint order -> internal (fine-first) order
+    blocks = [x[starts[j]:starts[j + 1]].numpy() for j in range(3)]
+    want_mem = np.concatenate([blocks[2], blocks[1], blocks[0]], 0)
+
+    return want_mem, want_mf
+
+
+
+def torch_m2f_masked_decoder_mirror(state, memory, mask_features,
+                                    n_layers, shapes_int, C=32, nH=8):
+    """Independent torch mirror of mmdet's Mask2FormerHead decoder loop
+    (level round-robin, per-layer gates, post-norm broadcast, cls/mask
+    heads), reusable golden fixture (also composed into the assembled
+    full-trunk golden, tests/test_full_trunk_golden.py).
+
+    ``memory``: fine-first [Lv, C]; ``mask_features``: [H4, W4, C].
+    Returns ``(query_embed [Q, C], cls_logits, masks)``.
+    """
+    import torch
+    import torch.nn.functional as F
+
+    ph = "panoptic_head."
+    t = lambda k: torch.tensor(state[ph + k])
+    ln = lambda x, k: F.layer_norm(x, (C,), t(k + ".weight"), t(k + ".bias"))
+    tmf = torch.tensor(mask_features.transpose(2, 0, 1))[None]  # [1,C,16,16]
+    qpos = t("query_embed.weight")
+    x = t("query_feat.weight")
+
+    # per-level keys/pos in OUR memory layout, checkpoint level index
+    # ckpt level j: stride (32,16,8)[j] -> our block (2,1,0)[j]
+    starts = np.cumsum([0] + [h * w for h, w in shapes_int])
+    def level(j):
+        blk = {0: 2, 1: 1, 2: 0}[j]
+        h, w = shapes_int[blk]
+        k = torch.tensor(memory[starts[blk]:starts[blk + 1]])
+        nm = torch.ones(1, h, w)
+        ye = nm.cumsum(1) / (h + 1e-6) * (2 * np.pi)
+        xe = nm.cumsum(2) / (w + 1e-6) * (2 * np.pi)
+        half = C // 2
+        dim_t = 10000.0 ** (
+            2 * torch.div(torch.arange(half), 2, rounding_mode="floor") / half
+        )
+        px, py = xe[..., None] / dim_t, ye[..., None] / dim_t
+        px = torch.stack((px[..., 0::2].sin(), px[..., 1::2].cos()), -1).flatten(3)
+        py = torch.stack((py[..., 0::2].sin(), py[..., 1::2].cos()), -1).flatten(3)
+        pos = torch.cat((py, px), 3)[0].reshape(h * w, C)
+        pos = pos + t("level_embed.weight")[j]
+        return k, pos, (h, w)
+
+    def head_gate(q, size):
+        z = ln(q, "transformer_decoder.post_norm")
+        for i in (0, 2, 4):
+            z = z @ t(f"mask_embed.{i}.weight").T + t(f"mask_embed.{i}.bias")
+            if i != 4:
+                z = torch.relu(z)
+        mp = torch.einsum("qc,chw->qhw", z, tmf[0])[None]
+        mp = F.interpolate(mp, size=size, mode="bilinear",
+                           align_corners=False)[0]
+        allowed = mp.flatten(1) > 0.0
+        empty = ~allowed.any(1)
+        allowed[empty] = True
+        return allowed
+
+    def mha(base, q, k, v, mask=None):
+        out, _ = F.multi_head_attention_forward(
+            q[:, None, :], k[:, None, :], v[:, None, :],
+            C, nH,
+            t(base + ".attn.in_proj_weight"), t(base + ".attn.in_proj_bias"),
+            None, None, False, 0.0,
+            t(base + ".attn.out_proj.weight"), t(base + ".attn.out_proj.bias"),
+            training=False, need_weights=False,
+            attn_mask=(~mask if mask is not None else None),
+        )
+        return out[:, 0]
+
+    for l in range(n_layers):
+        b = f"transformer_decoder.layers.{l}"
+        k, pos, size = level(l % len(shapes_int))
+        allowed = head_gate(x, size)
+        ca = mha(b + ".attentions.0", x + qpos, k + pos, k, allowed)
+        x = ln(x + ca, b + ".norms.0")
+        sa = mha(b + ".attentions.1", x + qpos, x + qpos, x)
+        x = ln(x + sa, b + ".norms.1")
+        f1 = torch.relu(x @ t(b + ".ffns.0.layers.0.0.weight").T
+                        + t(b + ".ffns.0.layers.0.0.bias"))
+        f2 = f1 @ t(b + ".ffns.0.layers.1.weight").T + t(b + ".ffns.0.layers.1.bias")
+        x = ln(x + f2, b + ".norms.2")
+
+    dec = ln(x, "transformer_decoder.post_norm")
+    want_cls = (dec @ t("cls_embed.weight").T + t("cls_embed.bias")).numpy()
+    z = dec
+    for i in (0, 2, 4):
+        z = z @ t(f"mask_embed.{i}.weight").T + t(f"mask_embed.{i}.bias")
+        if i != 4:
+            z = torch.relu(z)
+    want_masks = torch.einsum("qc,chw->qhw", z, tmf[0]).numpy()
+    want_q = dec.numpy()
+    return want_q, want_cls, want_masks
+
+
+class TestMask2FormerDecoderGlueGolden:
+    def _cfg(self):
+        from openpsg_tpu.models.segmenter.mask2former import Mask2FormerConfig
+
+        return Mask2FormerConfig(
+            backbone="tiny_r50", dim=32, mask_dim=32, num_queries=10,
+            enc_layers=2, dec_layers=3, ffn_hidden=64, num_classes=8,
+        )
 
     def test_full_masked_decoder_matches_torch_golden(self):
         """GLUE-level value parity for the whole Mask2FormerDecoder: level
@@ -1655,83 +1773,10 @@ class TestMask2FormerConvert:
                             ).astype(np.float32)
         mask_features = rng.normal(size=(16, 16, C)).astype(np.float32)
 
-        # ---- torch mirror ----
-        ph = "panoptic_head."
-        t = lambda k: torch.tensor(state[ph + k])
-        ln = lambda x, k: F.layer_norm(x, (C,), t(k + ".weight"), t(k + ".bias"))
-        tmf = torch.tensor(mask_features.transpose(2, 0, 1))[None]  # [1,C,16,16]
-        qpos = t("query_embed.weight")
-        x = t("query_feat.weight")
-
-        # per-level keys/pos in OUR memory layout, checkpoint level index
-        # ckpt level j: stride (32,16,8)[j] -> our block (2,1,0)[j]
-        starts = np.cumsum([0] + [h * w for h, w in shapes_int])
-        def level(j):
-            blk = {0: 2, 1: 1, 2: 0}[j]
-            h, w = shapes_int[blk]
-            k = torch.tensor(memory[starts[blk]:starts[blk + 1]])
-            nm = torch.ones(1, h, w)
-            ye = nm.cumsum(1) / (h + 1e-6) * (2 * np.pi)
-            xe = nm.cumsum(2) / (w + 1e-6) * (2 * np.pi)
-            half = C // 2
-            dim_t = 10000.0 ** (
-                2 * torch.div(torch.arange(half), 2, rounding_mode="floor") / half
-            )
-            px, py = xe[..., None] / dim_t, ye[..., None] / dim_t
-            px = torch.stack((px[..., 0::2].sin(), px[..., 1::2].cos()), -1).flatten(3)
-            py = torch.stack((py[..., 0::2].sin(), py[..., 1::2].cos()), -1).flatten(3)
-            pos = torch.cat((py, px), 3)[0].reshape(h * w, C)
-            pos = pos + t("level_embed.weight")[j]
-            return k, pos, (h, w)
-
-        def head_gate(q, size):
-            z = ln(q, "transformer_decoder.post_norm")
-            for i in (0, 2, 4):
-                z = z @ t(f"mask_embed.{i}.weight").T + t(f"mask_embed.{i}.bias")
-                if i != 4:
-                    z = torch.relu(z)
-            mp = torch.einsum("qc,chw->qhw", z, tmf[0])[None]
-            mp = F.interpolate(mp, size=size, mode="bilinear",
-                               align_corners=False)[0]
-            allowed = mp.flatten(1) > 0.0
-            empty = ~allowed.any(1)
-            allowed[empty] = True
-            return allowed
-
-        def mha(base, q, k, v, mask=None):
-            out, _ = F.multi_head_attention_forward(
-                q[:, None, :], k[:, None, :], v[:, None, :],
-                C, nH,
-                t(base + ".attn.in_proj_weight"), t(base + ".attn.in_proj_bias"),
-                None, None, False, 0.0,
-                t(base + ".attn.out_proj.weight"), t(base + ".attn.out_proj.bias"),
-                training=False, need_weights=False,
-                attn_mask=(~mask if mask is not None else None),
-            )
-            return out[:, 0]
-
-        for l in range(3):
-            b = f"transformer_decoder.layers.{l}"
-            k, pos, size = level(l % 3)
-            allowed = head_gate(x, size)
-            ca = mha(b + ".attentions.0", x + qpos, k + pos, k, allowed)
-            x = ln(x + ca, b + ".norms.0")
-            sa = mha(b + ".attentions.1", x + qpos, x + qpos, x)
-            x = ln(x + sa, b + ".norms.1")
-            f1 = torch.relu(x @ t(b + ".ffns.0.layers.0.0.weight").T
-                            + t(b + ".ffns.0.layers.0.0.bias"))
-            f2 = f1 @ t(b + ".ffns.0.layers.1.weight").T + t(b + ".ffns.0.layers.1.bias")
-            x = ln(x + f2, b + ".norms.2")
-
-        dec = ln(x, "transformer_decoder.post_norm")
-        want_cls = (dec @ t("cls_embed.weight").T + t("cls_embed.bias")).numpy()
-        z = dec
-        for i in (0, 2, 4):
-            z = z @ t(f"mask_embed.{i}.weight").T + t(f"mask_embed.{i}.bias")
-            if i != 4:
-                z = torch.relu(z)
-        want_masks = torch.einsum("qc,chw->qhw", z, tmf[0]).numpy()
-        want_q = dec.numpy()
+        want_q, want_cls, want_masks = torch_m2f_masked_decoder_mirror(
+            state, memory, mask_features, n_layers=3,
+            shapes_int=shapes_int, C=C, nH=nH,
+        )
 
         # ---- ours ----
         dm = Mask2FormerDecoder(dim=C, num_queries=Q, num_layers=3,
