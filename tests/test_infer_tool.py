@@ -199,28 +199,26 @@ class TestAutoMicroBatch:
              "--output-dir", str(outdir),
              "--img-scale", "64", "64", "--single-bucket"] + extra,
         )
-        infer_tool.main()
-        return json.load(open(outdir / "submission" / "relation.json"))
+        stats = infer_tool.main()
+        return json.load(open(outdir / "submission" / "relation.json")), stats
 
     def test_pinned_decode_switches_immediately(
-        self, mixed_fixture, tmp_path, capsys, monkeypatch
+        self, mixed_fixture, tmp_path, monkeypatch
     ):
         root, ann = mixed_fixture
         cfg = "tpu = dict(decode_early_exit=False)\n"
-        auto = self._run(tmp_path, monkeypatch, ann, root, "auto", [], cfg)
-        out = capsys.readouterr().out
-        assert "[auto] decode_early_exit=False" in out
-        pinned = self._run(
+        auto, st = self._run(tmp_path, monkeypatch, ann, root, "auto", [], cfg)
+        assert st["micro_batch"] > 1, st   # switched without any flag
+        pinned, st2 = self._run(
             tmp_path, monkeypatch, ann, root, "plain",
             ["--no-auto-micro-batch"], cfg,
         )
-        out2 = capsys.readouterr().out
-        assert "[auto]" not in out2
+        assert st2["micro_batch"] == 0, st2
         for a, p in zip(auto, pinned):
             assert a["relations"] == p["relations"]
 
     def test_calibration_switches_after_first_image(
-        self, mixed_fixture, tmp_path, capsys, monkeypatch
+        self, mixed_fixture, tmp_path, monkeypatch
     ):
         from openpsg_tpu.models.detectors import psg_v4
 
@@ -228,13 +226,12 @@ class TestAutoMicroBatch:
         # threshold 1: any realized decode trips the switch after image 1 —
         # deterministic drive of the mid-run re-chunk path
         monkeypatch.setattr(psg_v4, "AUTO_MB_DECODE_STEPS", 1)
-        auto = self._run(tmp_path, monkeypatch, ann, root, "calib", [])
-        out = capsys.readouterr().out
-        assert "[auto] first image decoded" in out
-        plain = self._run(
+        auto, st = self._run(tmp_path, monkeypatch, ann, root, "calib", [])
+        assert st["micro_batch"] > 1, st   # calibration tripped the switch
+        plain, st2 = self._run(
             tmp_path, monkeypatch, ann, root, "pi", ["--no-auto-micro-batch"]
         )
-        capsys.readouterr()
+        assert st2["micro_batch"] == 0, st2
         assert [r["pan_seg_file_name"] for r in auto] == [
             r["pan_seg_file_name"] for r in plain
         ]
@@ -242,14 +239,13 @@ class TestAutoMicroBatch:
             assert a["relations"] == p["relations"]
 
     def test_short_decode_stays_per_image(
-        self, mixed_fixture, tmp_path, capsys, monkeypatch
+        self, mixed_fixture, tmp_path, monkeypatch
     ):
         # decode budget capped at 4 < AUTO_MB_DECODE_STEPS=10: calibration
         # must KEEP the per-image path (faster in the short-decode regime).
         # (Without the cap the tiny model's random LLM never emits EOS and
         # realizes all 16 default steps — correctly trip-switching.)
         root, ann = mixed_fixture
-        self._run(tmp_path, monkeypatch, ann, root, "short", [],
-                  "tpu = dict(max_new_tokens=4)\n")
-        out = capsys.readouterr().out
-        assert "[auto]" not in out
+        _, st = self._run(tmp_path, monkeypatch, ann, root, "short", [],
+                          "tpu = dict(max_new_tokens=4)\n")
+        assert st["micro_batch"] == 0, st

@@ -379,6 +379,12 @@ def main():
     print(f"Inference finished: {len(records)} images in {dt:.1f}s "
           f"({len(records) / max(dt, 1e-9):.2f} img/s). Results: {path}")
     print(f"sections: {timer.report()}")
+    # run stats for callers/tests (the CLI ignores the return value)
+    return {
+        "n_images": len(records),
+        "micro_batch": int(args.micro_batch or 0),
+        "submission": path,
+    }
 
 
 if __name__ == "__main__":
