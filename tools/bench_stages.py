@@ -9,7 +9,8 @@ weight-only-int8 dequant path.  Timing uses the chained-``lax.scan`` method
 axon tunnel, so every measurement is ONE jit returning a scalar).
 
 Env knobs mirror bench.py: BENCH_IMAGE, BENCH_LLM_LAYERS, BENCH_LLM_INT8,
-BENCH_QUERIES, BENCH_ITERS, plus STAGES=comma,list to run a subset
+BENCH_ACT_INT8, BENCH_ENC_POINTS, BENCH_QUERIES, BENCH_ITERS, plus
+STAGES=comma,list to run a subset
 (backbone,pixel,msda,decoder,fusion,qformer,prefill,decode,micro).
 """
 
@@ -41,6 +42,7 @@ def main():
     size = int(os.environ.get("BENCH_IMAGE", 1344))
     llm_layers = int(os.environ.get("BENCH_LLM_LAYERS", 32))
     llm_int8 = bool(int(os.environ.get("BENCH_LLM_INT8", 1)))
+    act_int8 = bool(int(os.environ.get("BENCH_ACT_INT8", 0)))
     queries = int(os.environ.get("BENCH_QUERIES", 0))
     iters = int(os.environ.get("BENCH_ITERS", 8))
     stages = set(
@@ -68,6 +70,7 @@ def main():
         llm=LlamaConfig(
             n_layers=llm_layers, dim=4096, n_heads=32, n_kv_heads=32,
             ffn_hidden=11008, dtype=jnp.bfloat16, quant=llm_int8,
+            act_int8=act_int8,
         ),
         input_hw=(size, size),
     )
