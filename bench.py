@@ -214,8 +214,11 @@ def main():
         out = infer_impl(pipeline, params, image, img_hw)
         toks = out["gen_tokens"]                       # [K, T]
         n = jnp.sum(toks != pad_id, axis=1)            # real tokens per pair
-        steps = jnp.minimum(jnp.max(n) + 1, cfg.max_new_tokens)
-        return steps.astype(jnp.int32), jnp.mean(n.astype(jnp.float32))
+        # ACTUAL while_loop trips (a straggler pair whose argmax is pad_id
+        # runs steps that token counting can't see — r4 knob-matrix lesson)
+        return out["decode_trips"].astype(jnp.int32), jnp.mean(
+            n.astype(jnp.float32)
+        )
 
     # measure tunnel round-trip latency with a trivial program
     trivial = jax.jit(lambda x: jnp.sum(x))

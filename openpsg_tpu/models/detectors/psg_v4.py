@@ -418,8 +418,8 @@ class PSGv4:
             params, mask_features, object_masks, valid, labels, sel_oid,
             obj_scores, pan_full, pass_count,
         )
-        out["gen_tokens"], out["gen_scores"] = self._tail_decode(
-            params, prefix, pmask
+        out["gen_tokens"], out["gen_scores"], out["decode_trips"] = (
+            self._tail_decode(params, prefix, pmask)
         )
         return out
 
@@ -524,6 +524,7 @@ class PSGv4:
             self.cfg.max_new_tokens, eos_id=self.tokenizer.eos_id,
             pad_id=self.tokenizer.pad_id,
             early_exit=self.cfg.decode_early_exit,
+            return_trips=True,
         )
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -675,13 +676,16 @@ class PSGv4:
             (images, hws),
         )
         N, K = prefix.shape[:2]
-        toks, scores = self._tail_decode(
+        toks, scores, trips = self._tail_decode(
             params,
             prefix.reshape((N * K,) + prefix.shape[2:]),
             pmask.reshape((N * K,) + pmask.shape[2:]),
         )
         out["gen_tokens"] = toks.reshape((N, K) + toks.shape[1:])
         out["gen_scores"] = scores.reshape((N, K) + scores.shape[1:])
+        # one flattened decode serves all N images; broadcast so the
+        # per-image tree_map slicing in infer_microbatch stays uniform
+        out["decode_trips"] = jnp.full((N,), trips, jnp.int32)
         return out
 
     def infer_batch(self, images: np.ndarray, img_hws: np.ndarray, mesh=None):
@@ -803,14 +807,19 @@ class PSGv4:
                     rel_pred.append(list(trip))
                     rel_scores.append(float(sc))
 
-        # realized decode cost for this image: the early-exit while_loop ran
-        # max-generated-length + 1 (EOS check) steps, capped at max_new.
+        # realized decode cost for this image: the ACTUAL while_loop trip
+        # count, emitted by greedy_decode (pinned decode trips = max_new).
         # tools/infer.py's auto micro-batch calibration reads this off the
         # first image to pick per-image vs micro-batched for the rest.
-        n_gen = (dev["gen_tokens"] != pad_id).sum(axis=1)
-        decode_steps = int(min(int(n_gen.max()) + 1, self.cfg.max_new_tokens))
-        if not self.cfg.decode_early_exit:
-            decode_steps = int(self.cfg.max_new_tokens)   # pinned: always max
+        # NOT inferred from non-pad output tokens: a not-yet-done pair
+        # whose argmax is pad_id emits pads while the loop keeps running,
+        # so token counting undercounts (see llm/decode.py docstring).
+        # Hand-built dicts (tests, external callers feeding only tokens)
+        # may omit it; assume the pinned worst case then.
+        trips = dev.get("decode_trips")
+        decode_steps = (
+            int(trips) if trips is not None else int(self.cfg.max_new_tokens)
+        )
 
         return {
             "pan_results": dev["pan_seg"],

@@ -36,13 +36,22 @@ def greedy_decode(
     eos_id: int,
     pad_id: int = 0,
     early_exit: bool = True,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_trips: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """→ (tokens [B, max_new_tokens] int32, scores [B, max_new_tokens] f32).
 
     ``scores`` are greedy-token log-probs (for ranking triplets); positions
     after EOS hold ``pad_id`` / 0.  The emitted sequence does NOT include
     the EOS token itself (it terminates generation), matching how the
     reference splits generated text on '</s>' (:313-316).
+
+    ``return_trips`` appends the ACTUAL while_loop trip count (int32
+    scalar) — the realized decode cost.  Counting non-pad output tokens
+    UNDERCOUNTS it whenever a not-yet-done sequence's argmax is
+    ``pad_id`` itself (those steps emit pads but still run): measured on
+    the r4 knob bench, a straggler pair emitting id-0 tokens made a
+    ~12-trip decode read as 4 "realized steps", which mis-attributed
+    ~80 ms to a phantom act_int8×pruning interaction.
     """
     cfg = model.cfg
     B, Lp, _ = prefix_embeds.shape
@@ -123,4 +132,6 @@ def greedy_decode(
     carry = (jnp.int32(0), tok, score, done, cache, key_mask, key_positions,
              toks0, scores0)
     carry = jax.lax.while_loop(cond, body, carry)
+    if return_trips:
+        return carry[7], carry[8], carry[0]
     return carry[7], carry[8]

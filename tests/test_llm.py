@@ -165,6 +165,51 @@ class TestGreedyDecode:
             for p in eos_pos:
                 assert scores[b, p] == 0.0
 
+    def test_return_trips_counts_pad_emitting_steps(self, tiny_llm):
+        """``return_trips`` reports the ACTUAL while_loop trip count.
+
+        A not-yet-done sequence whose argmax is ``pad_id`` emits pads
+        while the loop keeps running, so counting non-pad output tokens
+        undercounts the realized cost (r4 knob-matrix artifact: a
+        12-trip decode read as 4 "realized steps" and mis-attributed
+        ~80 ms to a phantom act_int8×pruning interaction).  Force that
+        regime by boosting the lm_head's pad column: argmax is always
+        pad(0), EOS never fires, the loop must run all ``steps`` trips
+        while token counting sees zero."""
+        import copy
+
+        cfg, model, params = tiny_llm
+        B, Lp, steps = 3, 5, 7
+        emb = jax.random.normal(jax.random.PRNGKey(5), (B, Lp, cfg.dim))
+        mask = jnp.ones((B, Lp), bool)
+
+        # zero lm_head → all logits tie → argmax is token 0 == pad, at
+        # EVERY step, for every input (sign-independent, deterministic)
+        zeroed = copy.deepcopy(jax.device_get(params))
+        head = zeroed["params"]["core"]["lm_head"]
+        kname = "kernel" if "kernel" in head else "kernel_q"
+        head[kname] = np.zeros_like(np.asarray(head[kname]))
+
+        toks, scores, trips = greedy_decode(
+            model, zeroed, emb, mask, steps, eos_id=3,
+            return_trips=True,
+        )
+        toks = np.asarray(toks)
+        assert int(trips) == steps            # loop really ran every step
+        assert (toks != 0).sum() == 0         # ...yet every output is pad
+        # token counting would report max(n)+1 == 1 here — the undercount
+
+        # same program, eos_id=0: every pair's PREFILL token is already
+        # EOS, so the while_loop body never runs — zero trips; and the
+        # default 2-tuple API matches the triple's outputs bit-for-bit
+        t2, s2, trips_eos = greedy_decode(
+            model, zeroed, emb, mask, steps, eos_id=0, return_trips=True,
+        )
+        t3, s3 = greedy_decode(model, zeroed, emb, mask, steps, eos_id=0)
+        np.testing.assert_array_equal(np.asarray(t2), np.asarray(t3))
+        np.testing.assert_array_equal(np.asarray(s2), np.asarray(s3))
+        assert int(trips_eos) == 0
+
 
 class TestInt8Quant:
     def test_quantized_forward_close_and_decodes(self):
