@@ -1,0 +1,168 @@
+"""Pipeline-parallel LLaMA (parallel/pipeline.py) vs the unsharded module.
+
+The reference's distributed story is DDP-only (tools/train.py:84-88); pp
+is a new v5e requirement (SURVEY.md §5 "distributed": bf16 7B > 16 GB
+HBM/chip).  These tests pin the GPipe schedule — forward AND backward —
+against the plain ``LlamaWithEmbeddings`` forward on the 8-virtual-device
+CPU mesh from conftest."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openpsg_tpu.models.llm.llama import (
+    LlamaConfig,
+    LlamaWithEmbeddings,
+    quantize_llama,
+)
+from openpsg_tpu.parallel.pipeline import (
+    make_dp_pp_mesh,
+    pipelined_llama_logits,
+    pp_param_shardings,
+)
+
+
+def _tiny(quant=False, n_layers=4):
+    cfg = LlamaConfig(
+        vocab_size=64, dim=32, n_layers=n_layers, n_heads=4, n_kv_heads=2,
+        ffn_hidden=64, max_seq_len=32, dtype=jnp.float32, quant=quant,
+    )
+    return cfg, LlamaWithEmbeddings(cfg)
+
+
+def _inputs(cfg, B=8, L=10):
+    emb = jax.random.normal(jax.random.PRNGKey(0), (B, L, cfg.dim))
+    # mid-sequence pads on one row: the PSGv4 prompt layout
+    # [visual ; left-padded text] must survive the pipeline unchanged
+    amask = jnp.ones((B, L), bool).at[2, 3:5].set(False)
+    pos = jnp.maximum(jnp.cumsum(amask.astype(jnp.int32), axis=1) - 1, 0)
+    return emb, amask, pos
+
+
+class TestPipelinedForward:
+    @pytest.mark.parametrize("pp,dp,n_micro", [(4, 2, 4), (2, 4, 2), (8, 1, 1)])
+    def test_matches_unsharded(self, pp, dp, n_micro):
+        cfg, model = _tiny(n_layers=8)
+        emb, amask, pos = _inputs(cfg)
+        params = model.init(
+            jax.random.PRNGKey(1), input_embeds=emb, attention_mask=amask,
+            positions=pos,
+        )
+        ref, _ = model.apply(
+            params, input_embeds=emb, attention_mask=amask, positions=pos
+        )
+        mesh = make_dp_pp_mesh(pp=pp, dp=dp)
+        params_s = jax.device_put(params, pp_param_shardings(params, mesh))
+        out = jax.jit(
+            lambda p, e, m, po: pipelined_llama_logits(
+                model, p, e, m, po, mesh, n_micro=n_micro
+            )
+        )(params_s, emb, amask, pos)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-5
+        )
+
+    def test_last_logit_only(self):
+        cfg, model = _tiny()
+        emb, amask, pos = _inputs(cfg)
+        params = model.init(
+            jax.random.PRNGKey(1), input_embeds=emb, attention_mask=amask,
+            positions=pos,
+        )
+        ref, _ = model.apply(
+            params, input_embeds=emb, attention_mask=amask, positions=pos,
+            last_logit_only=True,
+        )
+        mesh = make_dp_pp_mesh(pp=4)
+        params_s = jax.device_put(params, pp_param_shardings(params, mesh))
+        out = jax.jit(
+            lambda p, e, m, po: pipelined_llama_logits(
+                model, p, e, m, po, mesh, n_micro=2, last_logit_only=True
+            )
+        )(params_s, emb, amask, pos)
+        assert out.shape == ref.shape == (emb.shape[0], 1, cfg.vocab_size)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-5
+        )
+
+    def test_int8_weights(self):
+        """The frozen 7B ships weight-only int8 (LlamaConfig.quant); its
+        QDense leaves (int8 kernel_q + f32 scale) must shard and scan on
+        the pp layer axis like dense kernels."""
+        cfg, model = _tiny()
+        emb, amask, pos = _inputs(cfg)
+        params = model.init(
+            jax.random.PRNGKey(1), input_embeds=emb, attention_mask=amask,
+            positions=pos,
+        )
+        qcfg, qmodel = _tiny(quant=True)
+        qparams = jax.tree_util.tree_map(
+            jnp.asarray, quantize_llama(jax.device_get(params))
+        )
+        ref, _ = qmodel.apply(
+            qparams, input_embeds=emb, attention_mask=amask, positions=pos
+        )
+        mesh = make_dp_pp_mesh(pp=4, dp=2)
+        qparams_s = jax.device_put(qparams, pp_param_shardings(qparams, mesh))
+        out = jax.jit(
+            lambda p, e, m, po: pipelined_llama_logits(
+                qmodel, p, e, m, po, mesh, n_micro=2
+            )
+        )(qparams_s, emb, amask, pos)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-5
+        )
+
+
+class TestPipelinedBackward:
+    def test_grads_match_unsharded(self):
+        """jax.grad through the pipeline IS pipelined backprop (ppermute's
+        transpose is the reverse shift); per-layer grads must equal the
+        unsharded module's — incl. with per-stage remat, the memory shape
+        a real 7B run needs."""
+        cfg, model = _tiny()
+        emb, amask, pos = _inputs(cfg)
+        params = model.init(
+            jax.random.PRNGKey(1), input_embeds=emb, attention_mask=amask,
+            positions=pos,
+        )
+        tgt = jax.random.randint(
+            jax.random.PRNGKey(2), emb.shape[:2], 0, cfg.vocab_size
+        )
+
+        def loss_ref(p):
+            lg, _ = model.apply(
+                p, input_embeds=emb, attention_mask=amask, positions=pos
+            )
+            lp = jnp.take_along_axis(
+                jax.nn.log_softmax(lg), tgt[..., None], -1
+            )
+            return -jnp.mean(lp)
+
+        mesh = make_dp_pp_mesh(pp=4, dp=2)
+        params_s = jax.device_put(params, pp_param_shardings(params, mesh))
+
+        def loss_pp(p):
+            lg = pipelined_llama_logits(
+                model, p, emb, amask, pos, mesh, n_micro=4, remat=True
+            )
+            lp = jnp.take_along_axis(
+                jax.nn.log_softmax(lg), tgt[..., None], -1
+            )
+            return -jnp.mean(lp)
+
+        g_ref = jax.grad(loss_ref)(params)["params"]["core"]["layers"]
+        g_pp = jax.jit(jax.grad(loss_pp))(params_s)["params"]["core"]
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), g_ref,
+            g_pp["layers"],
+        )
+        assert max(jax.tree_util.tree_leaves(diffs)) < 3e-5, diffs
+        # grads keep the pp sharding (optimizer state will inherit it)
+        specs = {
+            jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(lambda g: g.sharding.spec, g_pp["layers"])
+            )[0]
+        }
+        assert any("pp" in str(s) for s in specs), specs
