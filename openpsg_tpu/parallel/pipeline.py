@@ -28,6 +28,15 @@ permutation, so ``jax.grad`` through this function IS pipelined backprop
 (the reverse schedule), which is what makes the dp×pp TRAIN step in
 ``__graft_entry__.dryrun_multichip`` work.
 
+The two paths COMPOSE: ``make_dp_pp_mesh(pp, dp, tp)`` builds a
+("dp", "pp", "tp") mesh where ``shard_map`` is manual over dp/pp only
+(``axis_names``) and tp stays GSPMD-auto — ``pp_param_shardings`` lays
+the Megatron rules of ``parallel/sharding.py`` onto the feature axes of
+the pp-sharded layer leaves, sharding propagation carries them through
+each stage's matmuls, and XLA inserts the per-block tp psums INSIDE the
+pipeline ticks.  dp×pp×tp over one mesh: 3D parallelism with zero
+changes to the model code.
+
 Scope: the no-cache forward (prefill / teacher-forced training — the
 shapes that dominate training).  Autoregressive decode keeps the tp
 path: a 1-token pipeline tick would be all bubble.
@@ -52,27 +61,53 @@ from openpsg_tpu.models.llm.llama import (
 from flax import linen as nn
 
 
-def make_dp_pp_mesh(pp: int, dp: Optional[int] = None, devices=None) -> Mesh:
-    """Mesh over ("dp", "pp").  Defaults: all remaining devices on dp."""
+def make_dp_pp_mesh(
+    pp: int, dp: Optional[int] = None, tp: int = 1, devices=None
+) -> Mesh:
+    """Mesh over ("dp", "pp") — or ("dp", "pp", "tp") when ``tp > 1``
+    (tensor parallelism INSIDE each pipeline stage; tp innermost so its
+    per-matmul collectives ride the fastest ICI links).  Defaults: all
+    remaining devices on dp."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        assert n % pp == 0, (n, pp)
-        dp = n // pp
-    assert dp * pp == n, f"dp({dp}) * pp({pp}) != devices({n})"
-    return Mesh(np.asarray(devices).reshape(dp, pp), ("dp", "pp"))
+        assert n % (pp * tp) == 0, (n, pp, tp)
+        dp = n // (pp * tp)
+    assert dp * pp * tp == n, f"dp({dp}) * pp({pp}) * tp({tp}) != devices({n})"
+    if tp == 1:
+        return Mesh(np.asarray(devices).reshape(dp, pp), ("dp", "pp"))
+    return Mesh(np.asarray(devices).reshape(dp, pp, tp), ("dp", "pp", "tp"))
 
 
 def pp_param_shardings(params: Any, mesh: Mesh) -> Any:
-    """Sharding tree for ``LlamaWithEmbeddings`` params under dp×pp:
-    stacked layer leaves split on their leading (layer) axis over ``pp``,
-    everything else (embeddings, final norm, lm_head) replicated."""
+    """Sharding tree for ``LlamaWithEmbeddings`` params under dp×pp(×tp):
+    stacked layer leaves split on their leading (layer) axis over ``pp``;
+    when the mesh carries a ``tp`` axis the Megatron rules of
+    ``parallel/sharding.py`` compose on the trailing feature axes (the
+    rules are rank-aware, so they target in/out dims of the stacked
+    ``[L, in, out]`` leaves, never the layer axis); everything else
+    (embeddings, final norm, lm_head) follows the tp rules alone —
+    replicated on a plain dp×pp mesh."""
+    from openpsg_tpu.parallel.sharding import param_sharding_rules
+
+    has_tp = "tp" in mesh.axis_names and mesh.shape["tp"] > 1
 
     def plan(path, leaf):
         on_layers = any(getattr(k, "key", None) == "layers" for k in path)
+        axes = [None] * leaf.ndim
+        if has_tp:
+            spec = param_sharding_rules(path, leaf)
+            # divisibility degrade, as plan_shardings does
+            if all(
+                ax is None
+                or (dim < leaf.ndim and leaf.shape[dim] % mesh.shape[ax] == 0)
+                for dim, ax in enumerate(spec)
+            ):
+                axes = list(spec) + [None] * (leaf.ndim - len(spec))
         if on_layers:
-            return NamedSharding(mesh, P("pp"))
-        return NamedSharding(mesh, P())
+            assert axes[0] is None, (path, axes)  # layer axis is pp-only
+            axes[0] = "pp"
+        return NamedSharding(mesh, P(*axes))
 
     return jax.tree_util.tree_map_with_path(plan, params)
 
@@ -181,11 +216,16 @@ def pipelined_llama_logits(
             "pp",
         )
 
+    # manual only over dp/pp; a "tp" mesh axis (make_dp_pp_mesh(tp>1))
+    # stays GSPMD-auto — the Megatron shardings on the layer leaves'
+    # feature axes (pp_param_shardings) propagate through each stage's
+    # matmuls and XLA inserts the per-block tp psums inside the pipeline
     hidden = jax.shard_map(
         pipeline,
         mesh=mesh,
         in_specs=(P("pp"), P(None, "dp"), P(None, "dp"), P(None, "dp")),
         out_specs=P(None, "dp"),
+        axis_names=frozenset({"dp", "pp"}),
         check_vma=False,
     )(core["layers"], emb_s, pos_s, mask_s)
     hidden = hidden.reshape(B, L, D)
