@@ -1,4 +1,7 @@
-"""Training step for the v4 pipeline (pjit over a dp×tp mesh).
+"""Training step for the v4 pipeline (pjit over a dp×tp mesh; the LLM
+forward can also run GPipe-pipeline-parallel over dp×pp×tp via
+``make_pipelined_train_step`` — tools/train.py selects it when
+``tpu.mesh`` carries ``pp > 1``).
 
 Reference recipe (configs/psg/baseline_v4_ov.py:150-165, README.md:14-22):
 AdamW lr 1e-4 wd 0.05 eps 1e-8 betas (0.9, 0.999), grad-clip 0.01, linear
@@ -227,18 +230,43 @@ class V4Trainer:
 
     def loss_single(self, trainable, frozen, batch_i: TrainBatch) -> Dict[str, jnp.ndarray]:
         """Losses for ONE image (no batch dim); vmapped by train_step."""
+        params = {**frozen, **trainable}
+        out, full_embeds, full_mask, positions = self._pre_llm(
+            params, "segmenter" in trainable, batch_i
+        )
+        logits, _ = self._llm_train.apply(
+            params["llm"],
+            input_embeds=full_embeds,
+            attention_mask=full_mask,
+            positions=positions,
+        )
+        per_pair = self._llm_pair_ce(
+            logits, batch_i.llm_label_ids, batch_i.llm_label_mask
+        )
+        lv = batch_i.llm_valid.astype(jnp.float32)
+        out["rel_llm_loss"] = jnp.sum(per_pair * lv) / jnp.maximum(
+            jnp.sum(lv), 1.0
+        )
+        return out
+
+    def _pre_llm(self, params, segmenter_trainable: bool, batch_i: TrainBatch):
+        """Everything up to (but not including) the LLM forward: segmenter
+        + head + relation-classification losses, plus the assembled
+        teacher-forcing sequences ([T, Rq+Lp+L] embeds/mask/positions).
+        Split out so make_pipelined_train_step can hoist the LLM forward
+        of ALL images out of the per-image vmap into ONE pipeline-parallel
+        call."""
         p = self.pipeline
         c = p.cfg
         M = c.head.max_objects_padded
         R = c.head.num_relation_classes
-        params = {**frozen, **trainable}
 
         image = normalize_image(batch_i.image)
         seg_out = p.segmenter.apply(
             params["segmenter"], image, params["class_embeds"]
         )
         mask_features = seg_out["mask_features"]
-        if "segmenter" not in trainable:
+        if not segmenter_trainable:
             mask_features = jax.lax.stop_gradient(mask_features)
 
         labels = batch_i.object_labels
@@ -320,32 +348,29 @@ class V4Trainer:
         positions = jnp.maximum(
             jnp.cumsum(full_mask.astype(jnp.int32), axis=1) - 1, 0
         )
-        logits, _ = self._llm_train.apply(
-            params["llm"],
-            input_embeds=full_embeds,
-            attention_mask=full_mask,
-            positions=positions,
-        )
-        L = lab_ids.shape[1]
+        return out, full_embeds, full_mask, positions
+
+    @staticmethod
+    def _llm_pair_ce(logits, lab_ids, lab_mask):
+        """Per-pair mean CE over the label region of teacher-forced
+        logits ([T, Rq+Lp+L, V] — or any leading batch of sequences)."""
+        L = lab_ids.shape[-1]
         # Boundary-inclusive shift: logits at positions [-(L+1) .. -2]
         # predict label tokens [0 .. L-1].  The reference slices logits to
         # the label region THEN shifts (:332-341), which silently never
         # trains the first label token (the prompt→label boundary) — fine
         # with a pretrained LLM prior, fatal from scratch (decode emits
         # EOS immediately).  Intended-semantics fix per SURVEY.md §7.3.
-        shift_logits = logits[:, -(L + 1):-1]
+        shift_logits = logits[..., -(L + 1):-1, :]
         shift_labels = lab_ids
         shift_mask = lab_mask.astype(jnp.float32)
         # per-pair mean CE, then mean over valid pairs (reference stacks
         # per-pair means, :338-341, 350-351)
         logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), -1)
         nll = -jnp.take_along_axis(logp, shift_labels[..., None], -1)[..., 0]
-        per_pair = jnp.sum(nll * shift_mask, -1) / jnp.maximum(
+        return jnp.sum(nll * shift_mask, -1) / jnp.maximum(
             jnp.sum(shift_mask, -1), 1.0
         )
-        lv = batch_i.llm_valid.astype(jnp.float32)
-        out["rel_llm_loss"] = jnp.sum(per_pair * lv) / jnp.maximum(jnp.sum(lv), 1.0)
-        return out
 
     def make_train_step(self, optimizer):
         def train_step(trainable, opt_state, frozen, batch: TrainBatch):
@@ -354,6 +379,73 @@ class V4Trainer:
                     lambda b: self.loss_single(tr, frozen, b)
                 )(batch)
                 loss_dict = jax.tree_util.tree_map(jnp.mean, per_image)
+                total = sum(loss_dict.values())
+                return total, loss_dict
+
+            (total, loss_dict), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(trainable)
+            updates, opt_state = optimizer.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            loss_dict["loss"] = total
+            loss_dict["grad_norm"] = optax.global_norm(grads)
+            return trainable, opt_state, loss_dict
+
+        return train_step
+
+    def make_pipelined_train_step(self, optimizer, mesh, n_micro=None):
+        """Train step whose LLM teacher-forcing forward runs
+        pipeline-parallel (GPipe, parallel/pipeline.py) over a
+        ("dp","pp"[,"tp"]) mesh from ``make_dp_pp_mesh``.
+
+        The per-image vmap only covers ``_pre_llm`` (segmenter + head +
+        relation-cls losses); the B·T teacher-forced pair sequences are
+        flattened into ONE ``pipelined_llama_logits`` call — shard_map
+        can't nest inside vmap, and one big no-cache forward is exactly
+        the shape GPipe wants.  ``jax.grad`` through it is pipelined
+        backprop, so this serves BOTH recipes: frozen LLM (grads flow
+        through to the Q-Former) and trainable LLM (layer grads arrive
+        pp(/tp)-sharded; optimizer moments inherit the layout).
+        Numerically equal to make_train_step (test-pinned).
+
+        ``n_micro`` defaults to the pp stage count when it divides B·T,
+        else 1 (correct, all-bubble)."""
+        from openpsg_tpu.parallel.pipeline import pipelined_llama_logits
+
+        def train_step(trainable, opt_state, frozen, batch: TrainBatch):
+            def loss_fn(tr):
+                params = {**frozen, **tr}
+                seg_tr = "segmenter" in tr
+
+                outs, emb, msk, pos = jax.vmap(
+                    lambda b: self._pre_llm(params, seg_tr, b)
+                )(batch)
+                B, T, Lf, D = emb.shape
+                nm = n_micro
+                if nm is None:
+                    pp = mesh.shape["pp"]
+                    nm = pp if (B * T) % pp == 0 else 1
+                logits = pipelined_llama_logits(
+                    self._llm_train,
+                    params["llm"],
+                    emb.reshape(B * T, Lf, D),
+                    msk.reshape(B * T, Lf),
+                    pos.reshape(B * T, Lf),
+                    mesh,
+                    n_micro=nm,
+                    remat=True,
+                )
+                per_pair = self._llm_pair_ce(
+                    logits.reshape(B, T, Lf, -1),
+                    batch.llm_label_ids,
+                    batch.llm_label_mask,
+                )                                               # [B, T]
+                lv = batch.llm_valid.astype(jnp.float32)
+                rel_llm = jnp.sum(per_pair * lv, -1) / jnp.maximum(
+                    jnp.sum(lv, -1), 1.0
+                )                                               # [B]
+                loss_dict = jax.tree_util.tree_map(jnp.mean, outs)
+                loss_dict["rel_llm_loss"] = jnp.mean(rel_llm)
                 total = sum(loss_dict.values())
                 return total, loss_dict
 

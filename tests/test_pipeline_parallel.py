@@ -232,6 +232,103 @@ class TestPipelineTensorComposition:
         assert any("pp" in s and "tp" in s for s in specs), specs[:6]
 
 
+class TestPipelinedTrainStep:
+    """V4Trainer.make_pipelined_train_step == make_train_step: the LLM
+    teacher-forcing forward is hoisted out of the per-image vmap into ONE
+    GPipe call (tools/train.py wires it from ``tpu.mesh = dict(dp, pp,
+    tp)``); losses and updated params must match the plain step."""
+
+    def test_matches_plain_step(self):
+        from openpsg_tpu.models.detectors.psg_v4 import PSGv4, PSGv4Config
+        from openpsg_tpu.train.trainer import (
+            TrainBatch,
+            V4Trainer,
+            build_llm_labels,
+            make_lr_schedule,
+            make_optimizer,
+            sample_training_pairs,
+        )
+
+        p = PSGv4(PSGv4Config.tiny_test(), jax.random.PRNGKey(0))
+        M = p.cfg.head.max_objects_padded
+        R = p.cfg.head.num_relation_classes
+        H = W = 64
+        B = 2
+        rng = np.random.default_rng(0)
+
+        rows = []
+        for _ in range(B):
+            valid = np.zeros(M, bool)
+            valid[:4] = True
+            t = np.zeros((M, M, R), np.float32)
+            t[0, 1, 3] = 1
+            t[2, 0, 10] = 1
+            qi, qw, li, lv = sample_training_pairs(
+                rng, t, np.repeat(valid, M) & np.tile(valid, M),
+                sample_size=p.cfg.head.sampled_qformer_batch_size,
+            )
+            ids, msk = build_llm_labels(p.tokenizer, p.relation_names, t, li, 12)
+            rows.append(dict(
+                image=rng.integers(0, 255, (H, W, 3)).astype(np.float32),
+                object_masks=rng.uniform(size=(M, H // 4, W // 4)) > 0.8,
+                object_labels=rng.integers(0, 133, M).astype(np.int32),
+                object_valid=valid, relation_target=t,
+                qf_sel_idx=qi, qf_sel_weight=qw, llm_sel_idx=li,
+                llm_valid=lv, llm_label_ids=ids, llm_label_mask=msk,
+            ))
+        batch = TrainBatch(**{
+            k: jnp.asarray(np.stack([r[k] for r in rows]))
+            for k in rows[0]
+        })
+
+        trainer = V4Trainer(p)
+        opt = make_optimizer(make_lr_schedule(steps_per_epoch=10))
+        trainable = {"head": p.params["head"]}
+        frozen = {k: v for k, v in p.params.items() if k != "head"}
+        opt_state = opt.init(trainable)
+
+        ref_tr, _, ref_m = jax.jit(trainer.make_train_step(opt))(
+            trainable, opt_state, frozen, batch
+        )
+
+        from openpsg_tpu.parallel.pipeline import (
+            make_dp_pp_mesh,
+            pp_param_shardings,
+        )
+        from openpsg_tpu.parallel.sharding import batch_sharding, replicated
+
+        mesh = make_dp_pp_mesh(pp=2, dp=2, tp=2)   # full 3D, 8 devices
+        frozen_s = {
+            k: (
+                jax.device_put(v, pp_param_shardings(v, mesh))
+                if k == "llm"
+                else jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, replicated(mesh)), v
+                )
+            )
+            for k, v in frozen.items()
+        }
+        trainable_s = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, replicated(mesh)), trainable
+        )
+        batch_s = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, batch_sharding(mesh)), batch
+        )
+        pp_tr, _, pp_m = jax.jit(
+            trainer.make_pipelined_train_step(opt, mesh)
+        )(trainable_s, opt.init(trainable_s), frozen_s, batch_s)
+
+        for k in ref_m:
+            np.testing.assert_allclose(
+                float(pp_m[k]), float(ref_m[k]), rtol=1e-4, atol=1e-5,
+                err_msg=k,
+            )
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), ref_tr, pp_tr
+        )
+        assert max(jax.tree_util.tree_leaves(diffs)) < 1e-4, diffs
+
+
 class TestPipelinedBackward:
     def test_grads_match_unsharded(self):
         """jax.grad through the pipeline IS pipelined backprop (ppermute's

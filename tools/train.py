@@ -238,7 +238,8 @@ def main():
     # cfg.tpu.mesh the dp axis plays the reference's per-GPU role
     _mesh_cfg = dict(cfg.get("tpu", {}) or {}).get("mesh") or {}
     _dp = int(_mesh_cfg.get("dp", 0) or 0)
-    if not _dp or _dp * int(_mesh_cfg.get("tp", 1)) > jax.device_count():
+    _model_par = int(_mesh_cfg.get("tp", 1)) * int(_mesh_cfg.get("pp", 1))
+    if not _dp or _dp * _model_par > jax.device_count():
         _dp = max(jax.device_count(), 1)
     batch_size = cfg.data.get("samples_per_gpu", 1) * _dp
     steps_per_epoch = max(len(dataset) // batch_size, 1)
@@ -308,8 +309,43 @@ def main():
     # tensor-sharded over tp, trainable + small frozen groups replicated
     # (replaces the reference's NCCL DDP, configs/psg/baseline_v4_ov.py:176)
     mesh = None
+    pp_mesh = None
     mesh_cfg = dict(cfg.get("tpu", {}) or {}).get("mesh")
-    if mesh_cfg:
+    pp_n = int((mesh_cfg or {}).get("pp", 1))
+    if pp_n > 1:
+        # pipeline(-composed) mesh: the LLM layer axis shards over 'pp',
+        # Megatron tp composes inside each stage, batch shards over 'dp'
+        # (parallel/pipeline.py; trainer.make_pipelined_train_step)
+        assert is_v4, "tpu.mesh.pp applies to the v4 (LLM) recipe only"
+        dp_n = int(mesh_cfg.get("dp", 1))
+        tp_n = int(mesh_cfg.get("tp", 1))
+        if dp_n * pp_n * tp_n <= jax.device_count():
+            from openpsg_tpu.parallel.pipeline import (
+                make_dp_pp_mesh,
+                pp_param_shardings,
+            )
+            from openpsg_tpu.parallel.sharding import batch_sharding, replicated
+
+            pp_mesh = make_dp_pp_mesh(pp=pp_n, dp=dp_n, tp=tp_n)
+            logger.info(f"mesh: {dict(pp_mesh.shape)} (GPipe pp"
+                        + ("×tp" if tp_n > 1 else "") + ")")
+            for grp in (frozen, trainable):
+                for k in grp:
+                    grp[k] = (
+                        jax.device_put(grp[k], pp_param_shardings(grp[k], pp_mesh))
+                        if k == "llm"
+                        else jax.tree_util.tree_map(
+                            lambda x: jax.device_put(x, replicated(pp_mesh)),
+                            grp[k],
+                        )
+                    )
+            batch_shard = batch_sharding(pp_mesh)
+        else:
+            logger.info(
+                f"tpu.mesh wants {dp_n * pp_n * tp_n} devices, have "
+                f"{jax.device_count()} — running unsharded"
+            )
+    elif mesh_cfg:
         dp_n = int(mesh_cfg.get("dp", 1))
         tp_n = int(mesh_cfg.get("tp", 1))
         if dp_n * tp_n > 1 and dp_n * tp_n <= jax.device_count():
@@ -353,7 +389,14 @@ def main():
             )
 
     opt_state = opt.init(trainable)
-    step_fn = jax.jit(trainer.make_train_step(opt), donate_argnums=(0, 1))
+    step_fn = jax.jit(
+        trainer.make_pipelined_train_step(
+            opt, pp_mesh, n_micro=(mesh_cfg or {}).get("pp_micro")
+        )
+        if pp_mesh is not None
+        else trainer.make_train_step(opt),
+        donate_argnums=(0, 1),
+    )
 
     ckpt_dir = os.path.join(work_dir, "ckpts")
     ckpt = PartCheckpointer(
@@ -436,7 +479,7 @@ def main():
                     object_valid=jnp.asarray(arrays["object_valid"]),
                     relation_target=jnp.asarray(arrays["relation_target"]),
                 )
-            if mesh is not None:
+            if mesh is not None or pp_mesh is not None:
                 batch = jax.tree_util.tree_map(
                     lambda x: jax.device_put(x, batch_shard), batch
                 )
