@@ -18,25 +18,71 @@ pads everything to the square cap (reference-shaped, one program);
 one flattened LLM decode per group (amortized weight stream, no OOM).
 
 The flag-free v4 path AUTO-SELECTS between per-image and micro-batched:
-it calibrates on the first image's realized decode step count and
-switches past the measured crossover (AUTO_MB_DECODE_STEPS — long
-predicates make the HBM-bound decode weight stream dominate, and the
-micro-batched program pays it once per AUTO_MB_SIZE images).  Realistic
-short decodes keep the faster per-image program; ``--no-auto-micro-batch``
-pins per-image unconditionally.
+it tracks the MEDIAN realized decode step count over a rolling window of
+AUTO_MB_CALIB_K images and switches past the measured crossover
+(AUTO_MB_DECODE_STEPS — long predicates make the HBM-bound decode weight
+stream dominate, and the micro-batched program pays it once per
+AUTO_MB_SIZE images); it switches BACK (with hysteresis) when later
+images measure short.  Realistic short decodes keep the faster per-image
+program; ``--no-auto-micro-batch`` pins per-image unconditionally.
 """
 
 from __future__ import annotations
 
 import argparse
+import collections
 import json
 import os
+import statistics
 import sys
 import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class AutoMBController:
+    """Rolling-median auto micro-batch selection (v4 flag-free path).
+
+    Per processed image, :meth:`observe` records the realized decode trip
+    count; :meth:`decide` returns the new chunk size (``mb`` or ``1``)
+    when the MEDIAN of the last ``k`` observations crosses the threshold,
+    else ``None``.  Hysteresis: switch up at ``median >= threshold``,
+    back down only at ``median <= threshold - hysteresis`` (the
+    micro-batched program reports the chunk-joint trip count — the max
+    over its images — which biases mb-mode samples upward).  The window
+    clears on every switch so the next decision uses post-switch
+    evidence only.  Replaces the r4 one-shot first-image calibration
+    (an atypical first decode pinned the whole run on the wrong
+    program — VERDICT r4 weak #5)."""
+
+    def __init__(self, threshold: int, k: int, hysteresis: int, mb: int):
+        self.threshold, self.k, self.hyst, self.mb = threshold, k, hysteresis, mb
+        self.window: collections.deque = collections.deque(maxlen=k)
+        self.mode = 1
+        self.switches: list = []   # (n_observed_so_far, new_mode)
+        self._seen = 0
+
+    def observe(self, decode_steps) -> None:
+        if decode_steps is not None:
+            self.window.append(int(decode_steps))
+            self._seen += 1
+
+    def decide(self):
+        if len(self.window) < self.k:
+            return None
+        med = statistics.median(self.window)
+        new = None
+        if self.mode == 1 and med >= self.threshold:
+            new = self.mb
+        elif self.mode > 1 and med <= self.threshold - self.hyst:
+            new = 1
+        if new is not None:
+            self.mode = new
+            self.window.clear()
+            self.switches.append((self._seen, new))
+        return new
 
 
 def parse_args():
@@ -72,10 +118,11 @@ def parse_args():
     ap.add_argument("--no-auto-micro-batch", action="store_true",
                     help="disable the default calibration that switches the "
                          "flag-free v4 path to the micro-batched program "
-                         "when the first image's realized decode step count "
-                         "crosses the measured per-image/micro-batch "
+                         "when the rolling-median realized decode step "
+                         "count crosses the measured per-image/micro-batch "
                          "crossover (long predicates → the HBM-bound decode "
-                         "weight stream dominates and amortizing it wins)")
+                         "weight stream dominates and amortizing it wins; "
+                         "short medians switch back)")
     ap.add_argument("--gt-masks", action="store_true",
                     help="GT-segmenter upper-bound ablation: replace the "
                          "predicted panoptic masks with ground truth, "
@@ -162,7 +209,9 @@ def main():
             mesh = make_mesh(dp=ndev, tp=1)
 
     from openpsg_tpu.models.detectors.psg_v4 import (
+        AUTO_MB_CALIB_K,
         AUTO_MB_DECODE_STEPS,
+        AUTO_MB_HYSTERESIS,
         AUTO_MB_SIZE,
         PSGv4,
     )
@@ -174,10 +223,10 @@ def main():
         )
     B = max(args.micro_batch or args.batch_size, 1)
 
-    # auto micro-batch: the flag-free v4 path calibrates on the FIRST
-    # image's realized decode step count and switches the remainder to the
-    # micro-batched program past the measured crossover (long decode ⇒ the
-    # per-step 7 GB int8 weight stream dominates; amortizing it across
+    # auto micro-batch: the flag-free v4 path tracks the rolling-median
+    # realized decode step count and switches between per-image and the
+    # micro-batched program around the measured crossover (long decode ⇒
+    # the per-step 7 GB int8 weight stream dominates; amortizing it across
     # AUTO_MB_SIZE images lifts the worst case 2.13 → 2.63 img/s/chip,
     # PARITY.md).  Short realistic decode keeps the faster per-image path.
     auto_mb = (
@@ -185,6 +234,7 @@ def main():
         and args.batch_size <= 1 and not args.gt_masks
         and not args.no_auto_micro_batch and len(records) > 1
     )
+    ctrl = None
     if auto_mb and not model.cfg.decode_early_exit:
         # pinned decode always runs max_new_tokens steps: no calibration
         # needed, the micro-batched program wins outright
@@ -192,7 +242,11 @@ def main():
               f"{model.cfg.max_new_tokens} decode steps: using micro-batch "
               f"{AUTO_MB_SIZE} (disable with --no-auto-micro-batch)")
         args.micro_batch = B = AUTO_MB_SIZE
-        auto_mb = False
+    elif auto_mb:
+        ctrl = AutoMBController(
+            threshold=AUTO_MB_DECODE_STEPS, k=AUTO_MB_CALIB_K,
+            hysteresis=AUTO_MB_HYSTERESIS, mb=AUTO_MB_SIZE,
+        )
 
     # group records by resolution bucket (each bucket = one jitted program;
     # batched chunks need uniform shapes).  Bucket choice comes from the
@@ -284,11 +338,11 @@ def main():
 
         with timer.section("load+preprocess"):
             exs = pending.result() if pending else _prep_chunk(chunks[ci])
-            # while auto-calibration is armed the next chunks may be
-            # rebuilt after this step — defer the prefetch until decided
+            # prefetch optimistically; a (rare, hysteresis-damped) auto-mb
+            # switch rebuilds the remaining chunks and resubmits below
             pending = (
                 pool.submit(_prep_chunk, chunks[ci + 1])
-                if not auto_mb and ci + 1 < len(chunks) else None
+                if ci + 1 < len(chunks) else None
             )
         with timer.section("model"):
             if args.gt_masks:
@@ -351,22 +405,26 @@ def main():
                     )
                     print(rec["file_name"])
                     print(table)
-        if auto_mb:
-            # one-time calibration off the first image's realized decode
-            auto_mb = False
-            steps_seen = results[0].get("decode_steps")
-            if (steps_seen is not None
-                    and steps_seen >= AUTO_MB_DECODE_STEPS
-                    and ci + 1 < len(chunks)):
-                remaining = [it for _, its in chunks[ci + 1 :] for it in its]
-                _, tail = build_chunks(remaining, AUTO_MB_SIZE)
-                chunks = chunks[: ci + 1] + tail
-                args.micro_batch = B = AUTO_MB_SIZE
-                print(f"[auto] first image decoded {steps_seen} steps ≥ "
-                      f"{AUTO_MB_DECODE_STEPS}: switching to micro-batch "
-                      f"{AUTO_MB_SIZE} (disable with --no-auto-micro-batch)")
-            if pending is None and ci + 1 < len(chunks):
-                pending = pool.submit(_prep_chunk, chunks[ci + 1])
+        if ctrl is not None:
+            # rolling-median calibration over realized decode trip counts;
+            # switches both ways (hysteresis in the controller)
+            for res in results:
+                ctrl.observe(res.get("decode_steps"))
+            new_b = ctrl.decide()
+            if new_b is not None:
+                args.micro_batch = 0 if new_b == 1 else new_b
+                print(f"[auto] median decode steps crossed "
+                      f"{AUTO_MB_DECODE_STEPS}"
+                      f"{'' if new_b > 1 else f'−{AUTO_MB_HYSTERESIS}'}: "
+                      f"switching to "
+                      f"{'micro-batch %d' % new_b if new_b > 1 else 'per-image'}"
+                      f" (disable with --no-auto-micro-batch)")
+                if ci + 1 < len(chunks):
+                    remaining = [it for _, its in chunks[ci + 1 :] for it in its]
+                    _, tail = build_chunks(remaining, new_b)
+                    chunks = chunks[: ci + 1] + tail
+                    B = new_b
+                    pending = pool.submit(_prep_chunk, chunks[ci + 1])
         done += len(items)
         if done % 50 < B:
             rate = done / (time.time() - t0)
@@ -383,6 +441,7 @@ def main():
     return {
         "n_images": len(records),
         "micro_batch": int(args.micro_batch or 0),
+        "mb_switches": list(ctrl.switches) if ctrl is not None else [],
         "submission": path,
     }
 

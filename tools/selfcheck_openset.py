@@ -23,21 +23,40 @@ selfcheck demonstrates that capability end to end, from scratch:
      held-out predicate's zero-shot recall next to the closed-set
      predicates' recall and the chance level.
 
-Why zero-shot works here (and in the paper): the held-out name
-"standing on" shares the token "on" with trained predicates, so its
-span-pooled classifier vector correlates with the trained "on"
-direction — pairs whose visual configuration was labeled "on"-like in
-training also score the novel finer-grained name highly.  That is the
-text-embedding-transfer mechanism the OV design exists for; no
-held-out supervision is involved (the word "standing" stays an
-untrained embedding row).
+TWO tiers of held-out predicate (r5, VERDICT r4 #5):
 
-Exit 0 iff held-out zero-shot R@10 > chance AND closed-set recall stays
-sane.  Chance here = P(a specific GT triplet lands in a random top-K of
-the N·(N-1)·R candidate grid), printed alongside.  Measured (2026-08):
-held-out rank 7-9 of 54 candidates — behind the trained predicates on
-the same pair (as expected) but far above the chance median of 27;
-zero-shot R@10 = R@20 = 100, chance@10 = 18.5%.
+  EASY ("standing on") — shares the token "on" with trained predicates,
+  so its span-pooled classifier vector correlates with the trained "on"
+  direction: pairs whose visual configuration was labeled "on"-like in
+  training also score the novel finer-grained name highly.  That is the
+  text-embedding-transfer mechanism the OV design exists for; no
+  held-out supervision is involved (the word "standing" stays an
+  untrained embedding row).  Asserted: zero-shot R@10 > chance@10.
+
+  HARD ("kissing") — shares NO token with any training predicate (the
+  runtime prints the measured token-id overlap; the prompt tokenizer is
+  word-level, so the overlap is exactly empty).  MEASURED NEGATIVE
+  CONTROL: with the tiny FROM-SCRATCH trunk the "kissing" embedding row
+  is untrained, there is no pretrained semantics to transfer, and the
+  novel name ranks at the BOTTOM of the candidate list (measured rank
+  56 of 60 on every test image).  That is the correct behavior for
+  this setup — semantic (overlap-free) zero-shot is exactly the
+  capability that rides the PRETRAINED LLM weights, which are
+  environment-blocked (PARITY.md known-gap #4).  What the two tiers
+  together PROVE from scratch is the transfer MECHANISM: the easy
+  tier's recall comes from the text path (shared-token classifier
+  direction) and not from pair-prior leakage — if any pair-level prior
+  were doing the work, the hard tier (same GT pair quality, trained
+  "over" configuration) would score equally well.  Asserted:
+  median(easy rank) ≪ median(hard rank).
+
+Exit 0 iff easy-tier zero-shot R@10 > chance, closed-set recall stays
+sane, AND the tier contrast holds (easy median rank < half the hard
+median rank).  Chance = P(a specific GT triplet lands in a random
+top-K of the N·(N-1)·R candidate grid), printed alongside.  Measured
+(2026-08): easy tier rank 8-9 of 60 candidates, zero-shot
+R@10 = R@20 = 100 vs chance@10 = 16.7; hard tier rank 56/56/56
+(below every trained-name candidate) vs chance median 30.5.
 """
 
 from __future__ import annotations
@@ -59,17 +78,22 @@ TRAIN_NAMES = [
 ]
 HELD_OUT = "standing on"
 
+HELD_OUT_HARD = "kissing"   # no word overlap with any training predicate
+
 # fixture GT: object 0=person, 1=dog-ish thing, 2=sky (fixtures.py).
 # train images label the (person, sky) pair "on" and the (thing, person)
 # pair "looking at"; held-out images relabel the SAME (person, sky)
 # visual configuration with the novel finer-grained name — the classic
-# open-vocabulary evaluation setup.
+# open-vocabulary evaluation setup.  The hard tier relabels the trained
+# (sky, thing)="over" configuration with the overlap-free novel name.
 TRAIN_RELS = [[0, 2, TRAIN_NAMES.index("on")],
               [1, 0, TRAIN_NAMES.index("looking at")],
               [2, 1, TRAIN_NAMES.index("over")]]
 HELDOUT_ID = len(TRAIN_NAMES)              # index in the EXTENDED list
+HELDOUT_HARD_ID = len(TRAIN_NAMES) + 1
 TEST_RELS = [[0, 2, HELDOUT_ID],
-             [1, 0, TRAIN_NAMES.index("looking at")]]
+             [1, 0, TRAIN_NAMES.index("looking at")],
+             [2, 1, HELDOUT_HARD_ID]]
 
 
 def main(root="/tmp/psg_openset", rel_steps=400):
@@ -179,10 +203,28 @@ def main(root="/tmp/psg_openset", rel_steps=400):
             f"_base_ = ['{repo}/configs/psg/tiny_v3_ov.py']\n"
             "model = dict(\n"
             f"    relation_head=dict(relation_classes="
-            f"{TRAIN_NAMES + [HELD_OUT]!r}),\n"
+            f"{TRAIN_NAMES + [HELD_OUT, HELD_OUT_HARD]!r}),\n"
             f"    segmenter_pretrained_path='{seg_path}',\n"
             ")\n"
         )
+
+    # token-overlap diagnostic: the tiers' lexical claims, measured on the
+    # ACTUAL prompt tokenizer (word-level) rather than asserted in prose
+    from openpsg_tpu.models.relation.tokenizer import build_prompt_tokenizer
+
+    ptok = build_prompt_tokenizer()
+    train_tok = {t for n in TRAIN_NAMES for t in ptok.encode(n)}
+    overlap = {
+        name: sorted(set(ptok.encode(name)) & train_tok)
+        for name in (HELD_OUT, HELD_OUT_HARD)
+    }
+    print(f"  token overlap vs training predicates: "
+          f"easy {HELD_OUT!r} -> {overlap[HELD_OUT]}, "
+          f"hard {HELD_OUT_HARD!r} -> {overlap[HELD_OUT_HARD]}")
+    assert overlap[HELD_OUT_HARD] == [], (
+        "hard tier must share NO token with training predicates",
+        overlap,
+    )
 
     # ---------------- phase C: tools/infer.py with extended names -----------
     print("[C] tools/infer.py --gt-masks with the extended predicate list")
@@ -213,34 +255,70 @@ def main(root="/tmp/psg_openset", rel_steps=400):
     finally:
         sys.argv = argv_save
 
-    # rank of the held-out triplet on its GT pair, straight from the
-    # submission (measured run: rank 4 of 54 — immediately after the three
-    # TRAINED GT configurations, on the correct (person, sky) pair)
+    # rank of each held-out triplet on its GT pair, straight from the
+    # submission (measured run: easy tier rank 4-9 of 60 — immediately
+    # after the TRAINED GT configurations, on the correct pair)
     with open(os.path.join(out_dir, "submission", "relation.json"),
               encoding="utf-8") as f:
         sub = json.load(f)
-    held_ranks = []
-    for rec in sub:
-        r = [i for i, (s, o, p) in enumerate(rec["relations"])
-             if p - 1 == HELDOUT_ID and (s, o) == tuple(TEST_RELS[0][:2])]
-        held_ranks.append(1 + (r[0] if r else len(rec["relations"])))
+
+    def ranks_of(pred_id, pair):
+        out = []
+        for rec in sub:
+            r = [i for i, (s, o, p) in enumerate(rec["relations"])
+                 if p - 1 == pred_id and (s, o) == pair]
+            out.append(1 + (r[0] if r else len(rec["relations"])))
+        return out
+
+    held_ranks = ranks_of(HELDOUT_ID, tuple(TEST_RELS[0][:2]))
+    hard_ranks = ranks_of(HELDOUT_HARD_ID, tuple(TEST_RELS[2][:2]))
 
     n_obj = 3
-    n_cand = n_obj * (n_obj - 1) * (len(TRAIN_NAMES) + 1)
+    n_cand = n_obj * (n_obj - 1) * (len(TRAIN_NAMES) + 2)
     chance10 = 100.0 * min(10 / n_cand, 1.0)
+    chance_median_rank = (n_cand + 1) / 2
     held10 = scores["perR@10"].get(HELDOUT_ID, 0.0)
     held20 = scores["perR@20"].get(HELDOUT_ID, 0.0)
+    hard10 = scores["perR@10"].get(HELDOUT_HARD_ID, 0.0)
+    hard20 = scores["perR@20"].get(HELDOUT_HARD_ID, 0.0)
+    hard_median = float(np.median(hard_ranks))
     closed10 = scores["perR@10"].get(TRAIN_RELS[1][2], 0.0)
     print(json.dumps({
-        "held_out_predicate": HELD_OUT,
-        "zero_shot_R@10": held10,
-        "zero_shot_R@20": held20,
-        "held_out_rank_per_image": held_ranks,
+        "easy_tier": {
+            "held_out_predicate": HELD_OUT,
+            "token_overlap": overlap[HELD_OUT],
+            "zero_shot_R@10": held10,
+            "zero_shot_R@20": held20,
+            "rank_per_image": held_ranks,
+        },
+        "hard_tier": {
+            "held_out_predicate": HELD_OUT_HARD,
+            "token_overlap": overlap[HELD_OUT_HARD],
+            "zero_shot_R@10": hard10,
+            "zero_shot_R@20": hard20,
+            "rank_per_image": hard_ranks,
+            "median_rank": hard_median,
+            "chance_median_rank": chance_median_rank,
+            "note": "negative control: from-scratch trunk has no "
+                    "semantic path for an overlap-free name (bottom "
+                    "rank is the CORRECT outcome; the semantic tier "
+                    "needs the pretrained LLM weights, PARITY.md #4)",
+        },
         "closed_set_R@10(looking at)": closed10,
         "chance_R@10_pct": round(chance10, 1),
         "candidates_per_image": n_cand,
     }))
-    ok = held10 > chance10 and closed10 > chance10
+    # easy tier: recall beats chance (lexical + visual transfer).  tier
+    # CONTRAST: the easy tier must outrank the hard tier decisively —
+    # proving the zero-shot recall rides the TEXT path (shared-token
+    # classifier direction), not a pair-level prior (both tiers sit on
+    # equally well-trained GT pair configurations).
+    easy_median = float(np.median(held_ranks))
+    ok = (
+        held10 > chance10
+        and closed10 > chance10
+        and easy_median < hard_median / 2
+    )
     print("OPENSET", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
