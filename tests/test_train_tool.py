@@ -78,3 +78,51 @@ def test_train_cli_3d_mesh(train_fixture, tmp_path, monkeypatch):
     # … and a part-checkpoint landed
     assert (wd / "ckpts").is_dir()
     assert any(os.scandir(wd / "ckpts")), "no checkpoint written"
+
+
+def test_deprecated_gpu_args_accepted(monkeypatch, capsys):
+    """Reference launch scripts pass --gpus/--gpu-ids (reference
+    tools/train.py:40-56 deprecation surface); they must parse and warn,
+    not crash."""
+    import train as train_tool
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train.py", "cfg.py", "--gpus", "1", "--gpu-ids", "0", "1"],
+    )
+    args = train_tool.parse_args()
+    assert args.gpus == 1 and args.gpu_ids == [0, 1]
+    assert "deprecated" in capsys.readouterr().err
+
+
+def test_workflow_config_enables_validation(train_fixture, tmp_path, monkeypatch):
+    """mmcv two-phase ``workflow=[('train',1),('val',1)]`` (reference
+    tools/train.py:224-230) must enable the per-epoch PQ validation pass
+    straight from the config, without --validate."""
+    root, ann = train_fixture
+    cfg_path = tmp_path / "cfg.py"
+    cfg_path.write_text(
+        f"_base_ = ['{REPO}/configs/psg/tiny_v4_ov.py']\n"
+        "workflow = [('train', 1), ('val', 1)]\n"
+        "data = dict(\n"
+        f"    train=dict(ann_file='{ann}', img_prefix='{root}',\n"
+        f"               seg_prefix='{root}', pipeline=[]),\n"
+        f"    val=dict(ann_file='{ann}', img_prefix='{root}',\n"
+        f"             seg_prefix='{root}', pipeline=[]),\n"
+        ")\n"
+        "runner = dict(max_epochs=1)\n"
+        "log_config = dict(interval=1)\n"
+    )
+    wd = tmp_path / "wd"
+    import train as train_tool
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train.py", str(cfg_path), "--work-dir", str(wd),
+         "--max-steps", "1", "--seed", "0", "--val-limit", "2"],
+    )
+    train_tool.main()
+    logs = glob.glob(str(wd / "*.log"))
+    text = "".join(open(p).read() for p in logs)
+    assert "enabling per-epoch validation" in text
+    assert "] val " in text, text[-2000:]   # the PQ line was logged
