@@ -11,49 +11,89 @@ unmeasured.  This bench biases the lm_head's EOS column (scale boost) so
 greedy decode emits realistic short predicates (1-4 tokens — real
 predicate names are 1-3 words) and the data-dependent
 ``lax.while_loop`` early exit actually triggers; the realized decode
-step count and mean generated length are measured ON DEVICE and reported
+trip count and mean generated length are measured ON DEVICE and reported
 alongside.  The pinned-16-step worst case is ALSO measured and reported
-side by side (``pinned16_img_per_s``), so both ends of the range are
-honest measurements, not arithmetic.
+side by side, so both ends of the range are honest measurements, not
+arithmetic.
+
+Timeout-proofing (r5 — r4's driver run hit rc=124 with NOTHING printed):
+  * The program count is minimal: ONE jitted program per geometry, with
+    the benchmark trip count a RUNTIME argument (``lax.fori_loop``
+    carrying the data-dependent scalar) — the old run_n/run_3n pair per
+    measurement is gone, and decode stats ride the same program.
+  * The pinned-16 worst case reuses the SAME compiled early-exit program
+    with the UN-boosted params (random weights never emit EOS → the
+    while_loop runs all 16 trips; the two loop bodies are identical, the
+    early-exit cond adds only a [K]-bool all-reduce).  Zero extra
+    compiles; the realized trip count is asserted in the output.
+  * A complete, parseable headline JSON line is printed (and flushed)
+    IMMEDIATELY after the first slope measurement; the enriched line
+    (pinned / auto-micro-batch details) follows as a SECOND line when
+    the side measurements finish.  A timeout costs detail, not the
+    number.
+  * Optional phases are gated on a wall-clock budget
+    (``BENCH_TIME_BUDGET_S``, default 1200 s) — when short, they are
+    skipped and annotated in the detail dict.
+  * ``bench.py --precompile`` (or BENCH_PRECOMPILE=1) compiles every
+    program the timed run needs and exits — run it before round end so
+    the driver's timed run hits a warm ``.jax_cache/tpu``.
 
 Timing methodology (IMPORTANT on this environment): the axon tunnel's
 ``block_until_ready`` does not actually block, and fetching arrays
-measures the tunnel's transfer bandwidth, not compute.  So the bench jits
-programs that run the pipeline N and 3N times inside ``lax.scan`` with a
-data dependency between iterations (no elision possible), each returning
-one scalar; step time = (T(3N) − T(N)) / 2N, which cancels the highly
-variable tunnel round-trip.  Per-stage timings: tools/bench_stages.py.
+measures the tunnel's transfer bandwidth, not compute.  So the bench
+jits ONE program that runs the pipeline n times inside ``lax.fori_loop``
+with a data dependency between iterations (no elision possible),
+returning one scalar; step time = (T(3N) − T(N)) / 2N, which cancels
+the highly variable tunnel round-trip.  Per-stage timings:
+tools/bench_stages.py.
 
-Prints one JSON line {"metric", "value", "unit", "vs_baseline"};
+Prints JSON lines {"metric", "value", "unit", "vs_baseline", "detail"};
 vs_baseline = value / 2.5 img/s/chip (the 20 img/s v5e-8 north-star of
 BASELINE.md divided over 8 chips; infer_batch dp-shards images, so the
-slice scales linearly).  The headline geometry is the SQUARE 1344² bucket
-— the worst case: tools/infer.py routes the dominant 4:3 val shapes to
-the cheaper 1024×1344 bucket (measure it with BENCH_IMAGE=1344x1024).
+slice scales linearly).  The headline geometry is the SQUARE 1344²
+bucket — the worst case: tools/infer.py routes the dominant 4:3 val
+shapes to the cheaper 1024×1344 bucket (measure it with
+BENCH_IMAGE=1344x1024).
 
 Size knobs via env: BENCH_IMAGE (default 1344 — the (1333,1333) test
 scale; "1344x1024" for the 4:3 bucket), BENCH_LLM_LAYERS (default 32 —
 the REAL Llama-2-7B depth), BENCH_LLM_INT8 (default 1: weight-only int8
-so the 7B fits one v5e chip's HBM; 0 = bf16), BENCH_QUERIES (default 300
-— the OpenSeeD checkpoint's decoder geometry), BENCH_ITERS (4),
-BENCH_EOS_BOOST (lm_head EOS-column scale factor, default 12; 0 disables
-the bias AND early exit → legacy pinned-16-only bench),
-BENCH_SKIP_PINNED (1 = skip the pinned-16 side measurement),
+so the 7B fits one v5e chip's HBM; 0 = bf16), BENCH_QUERIES (default
+300 — the OpenSeeD checkpoint's decoder geometry), BENCH_ITERS (4),
+BENCH_EOS_BOOST (lm_head EOS-column scale factor, default 12; 0
+disables the bias AND early exit → legacy pinned-16-only bench),
+BENCH_SKIP_PINNED (1 = skip the pinned-16 side measurements),
 BENCH_PIPELINE (default 1; N>1 = micro-batched ``make_pipelined_infer``
-path — lax.map segmenter, vmapped relation tail, N images per program;
-decode's 7 GB weight stream amortizes N-fold).
+path — lax.map segmenter, flattened [N·K]-pair decode),
+BENCH_TIME_BUDGET_S (default 1200), BENCH_ACT_INT8 / BENCH_ENC_POINTS
+(opt-in quality/perf knobs, see PARITY.md).
 """
 
 from __future__ import annotations
 
-import copy
 import dataclasses
 import json
 import os
+import sys
 import time
+
+T0 = time.time()
+
+
+def _remaining(budget: float) -> float:
+    return budget - (time.time() - T0)
+
+
+def _emit(obj) -> None:
+    print(json.dumps(obj), flush=True)
 
 
 def main():
+    precompile = ("--precompile" in sys.argv) or bool(
+        int(os.environ.get("BENCH_PRECOMPILE", 0))
+    )
+    budget = float(os.environ.get("BENCH_TIME_BUDGET_S", 1200))
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -77,16 +117,18 @@ def main():
     t.start()
     t.join(timeout=float(os.environ.get("BENCH_DEVICE_TIMEOUT_S", 600)))
     if not probe_ok:
-        print(json.dumps({
+        _emit({
             "metric": "psg_v4_e2e_infer_img_per_s",
             "value": 0.0,
             "unit": "images/sec/chip",
             "vs_baseline": 0.0,
             "detail": {"error": "device backend init timed out "
                                 "(TPU tunnel unavailable)"},
-        }))
+        })
         raise SystemExit(2)
-    from openpsg_tpu.models.detectors.psg_v4 import PSGv4, PSGv4Config
+    from openpsg_tpu.models.detectors.psg_v4 import (
+        AUTO_MB_SIZE, PSGv4, PSGv4Config,
+    )
     from openpsg_tpu.models.llm.llama import LlamaConfig
     from openpsg_tpu.models.relation.head_v4 import HeadV4Config
     from openpsg_tpu.models.relation.qformer import QFormerConfig
@@ -96,12 +138,12 @@ def main():
     # PSG-val bucket for 4:3 images resized keep-ratio into (1333,1333))
     spec = os.environ.get("BENCH_IMAGE", "1344")
     if "x" in spec:
-        size, size_w = (int(t) for t in spec.split("x"))
+        size, size_w = (int(v) for v in spec.split("x"))
     else:
         size = size_w = int(spec)
     llm_layers = int(os.environ.get("BENCH_LLM_LAYERS", 32))  # real 7B depth
     llm_int8 = bool(int(os.environ.get("BENCH_LLM_INT8", 1)))
-    queries = int(os.environ.get("BENCH_QUERIES", 0))  # 0 = config default (300)
+    queries = int(os.environ.get("BENCH_QUERIES", 0))  # 0 = config default
     iters = int(os.environ.get("BENCH_ITERS", 4))
     fusion_stride = int(os.environ.get("BENCH_FUSION_STRIDE", 1))  # 1 = parity
     fusion_candidates = int(os.environ.get("BENCH_FUSION_CANDIDATES", 64))
@@ -112,10 +154,10 @@ def main():
     act_int8 = bool(int(os.environ.get("BENCH_ACT_INT8", 0)))
     # opt-in: micro-batched inference (make_pipelined_infer) — segmenter
     # sequential via lax.map (one image's activations at a time), relation
-    # tail + LLM batched via vmap.  Decode is HBM-weight-bound and its
-    # matvec cost is FLAT in pair batch (measured 1.538 ms @20 pairs vs
-    # 1.537 @40 for the 32x int8 FFN block), so N images amortize the 7 GB
-    # weight stream N-fold.  BENCH_PIPELINE=2 → 2 images per program.
+    # tail + LLM batched.  Decode is HBM-weight-bound and its matvec cost
+    # is FLAT in pair batch (measured 1.538 ms @20 pairs vs 1.537 @40 for
+    # the 32x int8 FFN block), so N images amortize the 7 GB weight
+    # stream N-fold.  BENCH_PIPELINE=2 → 2 images per program.
     micro_batch = int(os.environ.get("BENCH_PIPELINE", 1))
 
     seg_cfg = SegmenterConfig(dtype=jnp.bfloat16)
@@ -128,7 +170,7 @@ def main():
         seg_cfg = dataclasses.replace(
             seg_cfg,
             enc_points_per_level=tuple(
-                int(t) for t in enc_points.split(",")
+                int(v) for v in enc_points.split(",")
             ),
         )
     cfg = PSGv4Config(
@@ -150,18 +192,37 @@ def main():
     pipeline = PSGv4(cfg, jax.random.PRNGKey(0))
 
     # --- EOS bias: make random-weight decode emit short predicates so the
-    # early-exit while_loop runs a realistic, measurable step count ---
+    # early-exit while_loop runs a realistic, measurable step count.  The
+    # UN-boosted tree is kept (sharing every leaf but the lm_head column
+    # scale) — running the SAME compiled program with it never emits EOS,
+    # so the while_loop runs all 16 trips == the pinned-16 worst case,
+    # with ZERO extra compiles (r5; trip counts are asserted on device).
     eos_id = pipeline.tokenizer.eos_id
     pad_id = pipeline.tokenizer.pad_id
+    params_pinned = pipeline.params
+    params = params_pinned
     if eos_boost > 0:
-        lm = pipeline.params["llm"]["params"]["core"]["lm_head"]
-        if "scale" in lm:       # int8: per-output-channel scale column
-            lm["scale"] = lm["scale"].at[eos_id].mul(eos_boost)
-        else:
-            lm["kernel"] = lm["kernel"].at[:, eos_id].mul(eos_boost)
+        lm = params_pinned["llm"]["params"]["core"]["lm_head"]
+        leaf = "scale" if "scale" in lm else "kernel"
+        boosted = (
+            lm["scale"].at[eos_id].mul(eos_boost) if leaf == "scale"
+            else lm["kernel"].at[:, eos_id].mul(eos_boost)
+        )
+        # shallow-copy only the dicts on the path to the swapped leaf;
+        # every other leaf (7 GB of int8 weights) is shared
+        params = dict(params_pinned)
+        params["llm"] = dict(params_pinned["llm"])
+        params["llm"]["params"] = dict(params_pinned["llm"]["params"])
+        params["llm"]["params"]["core"] = dict(
+            params_pinned["llm"]["params"]["core"]
+        )
+        params["llm"]["params"]["core"]["lm_head"] = {**lm, leaf: boosted}
+        pipeline.params = params
 
     rng = np.random.default_rng(0)
-    img1 = jnp.asarray(rng.integers(0, 255, (size, size_w, 3)).astype(np.float32))
+    img1 = jnp.asarray(
+        rng.integers(0, 255, (size, size_w, 3)).astype(np.float32)
+    )
     hw1 = jnp.asarray([size, size_w - 8], jnp.int32)
 
     def batched_inputs(mb):
@@ -172,91 +233,107 @@ def main():
             jnp.stack([hw1] * mb),
         )
 
-    img, hw = batched_inputs(micro_batch)
-
     infer_impl = pipeline._infer_jit.__wrapped__
 
-    def make_run(pl, n, mb):
+    def make_run(mb):
+        """ONE jitted program per geometry: the benchmark trip count is a
+        RUNTIME argument (fori_loop lowers to a while_loop carrying the
+        data-dependent scalar), so T(n) and T(3n) come from the SAME
+        compiled executable — half the compiles of the old run_n/run_3n
+        pair.  Decode stats (ACTUAL while_loop trips + mean generated
+        tokens) ride the same program, removing the old dedicated
+        decode_stats compile."""
         if mb > 1:
             # the EXACT shipped program (tools/infer.py --micro-batch /
             # auto-selection → make_pipelined_infer): lax.map segmenter +
             # Q-Former, then ONE flattened [N·K]-pair LLM prefill+decode
-            def per_iter(params, images, hws, carry):
-                return pl._pipelined_impl(
-                    params, images + carry * 1e-9, hws
-                )
+            def per_iter(p, images, hws, carry):
+                return pipeline._pipelined_impl(p, images + carry * 1e-9, hws)
         else:
-            def per_iter(params, image, img_hw, carry):
-                return infer_impl(pl, params, image + carry * 1e-9, img_hw)
+            def per_iter(p, image, img_hw, carry):
+                return infer_impl(pipeline, p, image + carry * 1e-9, img_hw)
 
         @jax.jit
-        def run_n(params, image, img_hw):
-            def body(carry, _):
+        def run(p, image, img_hw, n):
+            def body(_, carry):
+                s, _, _ = carry
                 # data dependency: perturb the image by the previous scalar
                 # so iterations can't be elided or reordered
-                out = per_iter(params, image, img_hw, carry)
-                s = (
+                out = per_iter(p, image, img_hw, s)
+                s2 = (
                     jnp.sum(out["gen_scores"])
                     + jnp.sum(out["top_pair_scores"])
                     + jnp.sum(out["object_scores"])
+                ).astype(jnp.float32)
+                trips = jnp.max(out["decode_trips"]).astype(jnp.int32)
+                toks = out["gen_tokens"]
+                mlen = jnp.mean(
+                    jnp.sum(toks != pad_id, axis=-1).astype(jnp.float32)
                 )
-                return s.astype(jnp.float32), None
-            s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
-            return s
-        return run_n
+                return s2, trips, mlen
+            init = (jnp.float32(0.0), jnp.int32(0), jnp.float32(0.0))
+            return jax.lax.fori_loop(0, n, body, init)
+        return run
 
-    # decode-length stats, computed ON DEVICE (fetching big outputs would
-    # measure the tunnel, not the model)
-    @jax.jit
-    def decode_stats(params, image, img_hw):
-        if micro_batch > 1:
-            image, img_hw = image[0], img_hw[0]
-        out = infer_impl(pipeline, params, image, img_hw)
-        toks = out["gen_tokens"]                       # [K, T]
-        n = jnp.sum(toks != pad_id, axis=1)            # real tokens per pair
-        # ACTUAL while_loop trips (a straggler pair whose argmax is pad_id
-        # runs steps that token counting can't see — r4 knob-matrix lesson)
-        return out["decode_trips"].astype(jnp.int32), jnp.mean(
-            n.astype(jnp.float32)
-        )
+    def timed(run, p, b_img, b_hw, n):
+        t0 = time.time()
+        s, trips, mlen = (float(v) for v in run(p, b_img, b_hw, jnp.int32(n)))
+        return time.time() - t0, s, int(trips), mlen
+
+    def slope(run, p, mb):
+        """(step_s, compile_plus_first_s, checksum, trips, mean_len).
+        First T(n) call includes the (cached or remote) compile; slope
+        over best-of-2 T(n)/T(3n) cancels the tunnel round-trip."""
+        b_img, b_hw = batched_inputs(mb)
+        t0 = time.time()
+        _, s, trips, mlen = timed(run, p, b_img, b_hw, iters)
+        timed(run, p, b_img, b_hw, 3 * iters)
+        compile_and_first = time.time() - t0
+        t_lo = min(timed(run, p, b_img, b_hw, iters)[0] for _ in range(2))
+        t_hi = min(timed(run, p, b_img, b_hw, 3 * iters)[0] for _ in range(2))
+        step = max(t_hi - t_lo, 1e-9) / (2 * iters)
+        return step, compile_and_first, s, trips, mlen
 
     # measure tunnel round-trip latency with a trivial program
     trivial = jax.jit(lambda x: jnp.sum(x))
-    float(trivial(img))
+    b_img, b_hw = batched_inputs(micro_batch)
+    float(trivial(b_img))
     t0 = time.time()
     for _ in range(3):
-        float(trivial(img + 1.0))
+        float(trivial(b_img + 1.0))
     rtt = (time.time() - t0) / 3
 
-    def slope(pl, label, mb=None):
-        mb = micro_batch if mb is None else mb
-        b_img, b_hw = batched_inputs(mb)
-        run_n = make_run(pl, iters, mb)
-        run_3n = make_run(pl, 3 * iters, mb)
-        t0 = time.time()
-        s = float(run_n(pl.params, b_img, b_hw))   # includes compile
-        float(run_3n(pl.params, b_img, b_hw))
-        compile_and_first = time.time() - t0
+    run_main = make_run(micro_batch)
+    want_auto = (
+        eos_boost > 0 and not skip_pinned and micro_batch < AUTO_MB_SIZE
+    )
 
-        def sample(fn):
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                float(fn(pl.params, b_img, b_hw))
-                best = min(best, time.time() - t0)
-            return best
+    if precompile:
+        # compile (and persist to .jax_cache/tpu) every program the timed
+        # run needs, then exit — no timing, no budget gates
+        print("precompile: main program...", file=sys.stderr, flush=True)
+        timed(run_main, params, b_img, b_hw, 1)
+        if want_auto:
+            print("precompile: auto-mb program...", file=sys.stderr,
+                  flush=True)
+            a_img, a_hw = batched_inputs(AUTO_MB_SIZE)
+            timed(make_run(AUTO_MB_SIZE), params_pinned, a_img, a_hw, 1)
+        print(f"precompile done in {time.time() - T0:.0f}s",
+              file=sys.stderr, flush=True)
+        return
 
-        t_lo = sample(run_n)
-        t_hi = sample(run_3n)
-        step = max(t_hi - t_lo, 1e-9) / (2 * iters)
-        return step, compile_and_first, s
+    metric = (
+        f"psg_v4_e2e_infer_img_per_s@{spec}px_llm{llm_layers}L"
+        + ("_int8" if llm_int8 else "")
+        + ("_w8a8" if act_int8 else "")
+        + ("_eosexit" if eos_boost > 0 else "")
+        + (f"_mb{micro_batch}" if micro_batch > 1 else "")
+    )
 
-    step, compile_and_first, checksum = slope(pipeline, "headline")
-    realized_steps, mean_len = (None, None)
-    if eos_boost > 0:
-        st, ml = decode_stats(pipeline.params, img, hw)
-        realized_steps, mean_len = int(st), float(ml)
-
+    step, compile_and_first, checksum, trips, mean_len = slope(
+        run_main, params, micro_batch
+    )
+    ips = micro_batch / step
     detail = {
         "compile_plus_first_s": round(compile_and_first, 1),
         "step_ms": round(step * 1e3, 2),
@@ -270,59 +347,88 @@ def main():
     if enc_points:
         detail["enc_points_per_level"] = enc_points
     if micro_batch > 1:
-        detail["micro_batch"] = micro_batch  # images per program (pipelined)
+        detail["micro_batch"] = micro_batch  # images per program
     if eos_boost > 0:
         detail["decode"] = "eos_early_exit"
-        detail["realized_decode_steps"] = realized_steps  # of max 16
+        detail["realized_decode_steps"] = trips  # of max 16
         detail["mean_generated_tokens"] = round(mean_len, 2)
         detail["eos_boost"] = eos_boost
-        if not skip_pinned:
-            # pinned-16 worst case, same params, separate jitted program
-            pinned = copy.copy(pipeline)
-            pinned.cfg = dataclasses.replace(cfg, decode_early_exit=False)
-            p_step, p_cf, _ = slope(pinned, "pinned16")
+    else:
+        detail["decode"] = "pinned16"
+    line = {
+        "metric": metric,
+        "value": round(ips, 3),
+        "unit": "images/sec/chip",
+        # target: 20 img/s on v5e-8 == 2.5 img/s/chip (BASELINE.md);
+        # dp over images scales linearly (infer_batch is dp-sharded)
+        "vs_baseline": round(ips / 2.5, 4),
+        "detail": detail,
+    }
+    # LINE 1: the headline, complete and parseable, printed the moment it
+    # exists — a timeout past this point costs detail, not the number
+    _emit({**line, "detail": {**detail, "partial": True}})
+
+    if eos_boost > 0 and not skip_pinned:
+        # pinned-16 worst case: SAME compiled program, un-boosted params
+        # (never emits EOS → all 16 while_loop trips; cond's extra work is
+        # one [K]-bool all-reduce).  No compile → only the budget for the
+        # ~12 timed pipeline runs is needed.
+        if _remaining(budget) > 10 * 2 * iters * step * 16 / max(trips, 1):
+            p_step, _, _, p_trips, _ = slope(
+                run_main, params_pinned, micro_batch
+            )
             detail["pinned16_per_image_img_per_s"] = round(
                 micro_batch / p_step, 3
             )
             detail["pinned16_step_ms"] = round(p_step * 1e3, 2)
-            detail["pinned16_compile_plus_first_s"] = round(p_cf, 1)
-            # DEFAULT-PATH worst case: tools/infer.py (no flags) calibrates
-            # realized decode steps on the first image and auto-selects the
-            # micro-batched program when steps >= AUTO_MB_DECODE_STEPS —
-            # 16 pinned steps trips it, so the flag-free path runs mb2 in
-            # this regime.  Measure that program; the per-image number above
-            # stays reported for transparency.
-            from openpsg_tpu.models.detectors.psg_v4 import AUTO_MB_SIZE
+            detail["pinned16_trips"] = p_trips  # sanity: must be 16
+        else:
+            detail["pinned16_per_image_img_per_s"] = None
+            detail["skipped"] = detail.get("skipped", []) + [
+                "pinned16 (time budget)"
+            ]
+        # DEFAULT-PATH worst case: tools/infer.py (no flags) calibrates
+        # realized decode steps on the first images and auto-selects the
+        # micro-batched program when steps >= AUTO_MB_DECODE_STEPS — 16
+        # pinned steps trips it, so the flag-free path runs mb2 in this
+        # regime.  Measure that program (one extra compile, budget-gated);
+        # the per-image number above stays reported for transparency.
+        if want_auto:
+            if _remaining(budget) > float(
+                os.environ.get("BENCH_AUTO_MB_RESERVE_S", 420)
+            ):
+                a_step, a_cf, _, a_trips, _ = slope(
+                    make_run(AUTO_MB_SIZE), params_pinned, AUTO_MB_SIZE
+                )
+                detail["pinned16_img_per_s"] = round(AUTO_MB_SIZE / a_step, 3)
+                detail["pinned16_program"] = f"mb{AUTO_MB_SIZE}"
+                detail["pinned16_auto_micro_batch"] = AUTO_MB_SIZE
+                detail["pinned16_auto_step_ms"] = round(a_step * 1e3, 2)
+                detail["pinned16_auto_compile_plus_first_s"] = round(a_cf, 1)
+                detail["pinned16_auto_trips"] = a_trips
+            else:
+                # budget-degraded: report the per-image pinned number under
+                # the stable key so the worst case is never absent, and say
+                # which program produced it
+                detail["pinned16_img_per_s"] = detail[
+                    "pinned16_per_image_img_per_s"
+                ]
+                detail["pinned16_program"] = "per_image"
+                detail["skipped"] = detail.get("skipped", []) + [
+                    "pinned16_auto_mb (time budget)"
+                ]
+        elif micro_batch >= AUTO_MB_SIZE:
+            # already measuring the micro-batched program — the headline's
+            # pinned slope IS the default-path worst case
+            detail["pinned16_img_per_s"] = detail.get(
+                "pinned16_per_image_img_per_s"
+            )
+            detail["pinned16_program"] = f"mb{micro_batch}"
 
-            amb = max(micro_batch, AUTO_MB_SIZE)
-            a_step, a_cf, _ = slope(pinned, "pinned16_auto", mb=amb)
-            detail["pinned16_img_per_s"] = round(amb / a_step, 3)
-            detail["pinned16_auto_micro_batch"] = amb
-            detail["pinned16_auto_step_ms"] = round(a_step * 1e3, 2)
-            detail["pinned16_auto_compile_plus_first_s"] = round(a_cf, 1)
-    else:
-        detail["decode"] = "pinned16"
-
-    ips = micro_batch / step
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"psg_v4_e2e_infer_img_per_s@{spec}px_llm{llm_layers}L"
-                    + ("_int8" if llm_int8 else "")
-                    + ("_w8a8" if act_int8 else "")
-                    + ("_eosexit" if eos_boost > 0 else "")
-                    + (f"_mb{micro_batch}" if micro_batch > 1 else "")
-                ),
-                "value": round(ips, 3),
-                "unit": "images/sec/chip",
-                # target: 20 img/s on v5e-8 == 2.5 img/s/chip (BASELINE.md);
-                # dp over images scales linearly (infer_batch is dp-sharded)
-                "vs_baseline": round(ips / 2.5, 4),
-                "detail": detail,
-            }
-        )
-    )
+    detail["wall_s"] = round(time.time() - T0, 1)
+    detail["partial"] = False
+    # LINE 2: same headline, enriched detail
+    _emit(line)
 
 
 if __name__ == "__main__":
