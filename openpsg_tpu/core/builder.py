@@ -65,6 +65,16 @@ def _llm_cfg_from_dict(d: Dict[str, Any], tpu: Dict[str, Any]):
     trunc = d.get("llm_truncate_num", -1)
     if trunc and trunc > 0:
         cfg = cfg.truncate(min(trunc, cfg.n_layers))
+    # deploy knobs (PARITY.md / selfcheck_knobs knob matrix): weight-only
+    # int8 (fits the 7B on one v5e chip) and dynamic int8-activation
+    # prefill (needs quant=True; measured zero R@20 delta on the r5
+    # harness).  Parity configs leave both unset.
+    if tpu.get("llm_int8") is not None or tpu.get("act_int8") is not None:
+        cfg = dataclasses.replace(
+            cfg,
+            quant=bool(tpu.get("llm_int8", cfg.quant)),
+            act_int8=bool(tpu.get("act_int8", cfg.act_int8)),
+        )
     return cfg
 
 

@@ -172,6 +172,26 @@ class TestPromptPathConfig:
         assert isinstance(m.tokenizer, SentencePieceTokenizer)
         assert m.llm_parts["pad_id"] == m.tokenizer.pad_id
 
+    def test_llm_int8_knobs_plumb_through(self):
+        """tpu.llm_int8 / tpu.act_int8 deploy knobs (r5; measured
+        zero-delta on the knob harness) reach LlamaConfig; parity
+        configs leave them unset."""
+        cfg = _tiny(Config.fromfile(os.path.join(CFG, "baseline_v4_ov.py"),
+                                    import_custom_modules=False))
+        cfg.merge_from_dict({"tpu.llm_int8": True, "tpu.act_int8": True})
+        m = build_detector_from_config(cfg, jax.random.PRNGKey(0))
+        assert m.cfg.llm.quant and m.cfg.llm.act_int8
+        # int8 param structure materialized (QDense kernel_q + scale)
+        lm = m.params["llm"]["params"]["core"]["lm_head"]
+        assert "kernel_q" in lm and "scale" in lm
+
+        parity = _tiny(Config.fromfile(
+            os.path.join(CFG, "baseline_v4_ov.py"),
+            import_custom_modules=False,
+        ))
+        mp = build_detector_from_config(parity, jax.random.PRNGKey(0))
+        assert not mp.cfg.llm.quant and not mp.cfg.llm.act_int8
+
 
 class TestLoadFromWiring:
     def test_load_from_raw_mmdet_pth(self, tmp_path):

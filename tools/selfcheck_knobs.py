@@ -1,0 +1,280 @@
+#!/usr/bin/env python
+"""Discriminative harness: measure the QUALITY COST of the perf knobs.
+
+VERDICT r4 #4: the 3-object/2-predicate selfcheck fixture saturates at
+R@20 = 100, so it can only detect catastrophic breakage — nothing
+measured what `act_int8` / `enc_points_per_level` COST, which is what
+kept them default-off.  This harness trains the tiny v4 stack from
+scratch on the RICH fixture (tests/fixtures.make_rich_fixture: 16
+images, 8 objects each, GT relations spread over the 12 confusable
+spatial PSG predicates by a deterministic class+layout rule) where
+from-scratch quality lands meaningfully below 100, then grades the SAME
+trained weights under the knob matrix:
+
+  bf16            trained weights as-is (value reference)
+  int8            weight-only int8 LLM (the production headline path;
+                  quantize_llama post-training quantization)
+  int8+act        + dynamic int8 activations at prefill (QDense act_int8
+                  — the measured 1.68x prefill MXU knob)
+  int8+prune      + encoder sample-point pruning (fine levels 4→2)
+  int8+act+prune  the full 2.53→4.40 img/s/chip knob stack (PARITY.md)
+
+Caveat (stated, not hidden): a 2-layer 64-dim scratch LLM is a PROXY for
+the 32-layer 7B — int8 error propagates differently at depth.  But it is
+the only offline instrument that makes knob cost VISIBLE at all, and a
+measurable regression here is disqualifying regardless of scale.
+
+Exit 0 iff the harness is discriminative (bf16 R@20 well below 100 and
+well above chance) — the knob deltas themselves are REPORTED for
+PARITY.md, not gated (that judgement call is recorded there).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
+))
+
+
+def main(root="/tmp/psg_knobs", seg_steps=700, rel_steps=400):
+    import jax
+
+    from openpsg_tpu.utils.logging import honor_platform_env
+    honor_platform_env()
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    import cv2
+    import jax.numpy as jnp
+    import optax
+
+    from fixtures import make_rich_fixture
+    from openpsg_tpu.data.preprocess import Preprocessor, load_image_rgb
+    from openpsg_tpu.data.psg_dataset import PSGDataset
+    from openpsg_tpu.models.detectors.psg_v4 import PSGv4, PSGv4Config
+    from openpsg_tpu.models.llm.llama import LlamaConfig, quantize_llama
+    from openpsg_tpu.models.relation.head_v4 import HeadV4Config
+    from openpsg_tpu.models.segmenter.openseed import SegmenterConfig
+    from openpsg_tpu.train.segmenter_trainer import (
+        SegTrainBatch,
+        SegmenterTrainer,
+    )
+    from openpsg_tpu.train.trainer import (
+        TrainBatch,
+        V4Trainer,
+        build_llm_labels,
+        make_optimizer,
+        sample_training_pairs,
+    )
+    from openpsg_tpu.utils.submission import SubmissionWriter
+
+    os.makedirs(root, exist_ok=True)
+    ann = make_rich_fixture(root, n_images=16, hw=(64, 64))
+
+    # tiny preset with harness geometry: 8 objects per image need the
+    # selection cap at 8 (tiny default 6) and enough decoded pairs to
+    # cover the 10 GT relations per image (tiny default top_pairs=4)
+    seg_base = SegmenterConfig.tiny_test()
+    head_cfg = dataclasses.replace(
+        HeadV4Config.tiny_test(), max_object_num=8, top_pairs=14
+    )
+    llm_base = LlamaConfig.tiny_test()
+    cfg = PSGv4Config(
+        segmenter=seg_base, head=head_cfg, llm=llm_base, input_hw=(64, 64)
+    )
+    pipeline = PSGv4(cfg, jax.random.PRNGKey(0))
+    H, _ = pipeline._model_hw()
+    M = cfg.head.max_objects_padded
+    pre = Preprocessor(scale=(H, H))
+
+    ds = PSGDataset(ann, img_prefix=root, seg_prefix=root, split="train")
+    exs = [ds.load_example(i, pre, M) for i in range(len(ds))]
+    images = jnp.asarray(np.stack([e["image"] for e in exs]))
+    gt_masks = jnp.asarray(np.stack([e["object_masks"] for e in exs]))
+    gt_labels = jnp.asarray(np.stack([e["object_labels"] for e in exs]))
+    gt_valid = jnp.asarray(np.stack([e["object_valid"] for e in exs]))
+    rel_target = jnp.asarray(np.stack([e["relation_target"] for e in exs]))
+
+    # ---------------- phase A: segmenter (as selfcheck_e2e) -------------
+    print(f"[A] segmenter pretraining on {len(exs)} rich images")
+    seg_trainer = SegmenterTrainer(
+        pipeline.segmenter,
+        num_classes=len(pipeline.class_names),
+        cls_mode="sigmoid",
+        apply_fn=lambda p, img: pipeline.segmenter.apply(
+            p["seg"], img, p["ce"]
+        ),
+    )
+    seg_batch = SegTrainBatch(images, gt_masks, gt_labels, gt_valid)
+    opt = optax.adamw(optax.cosine_decay_schedule(2e-3, seg_steps, 0.05))
+    seg_params = {
+        "seg": pipeline.params["segmenter"],
+        "ce": pipeline.params["class_embeds"],
+    }
+    opt_state = opt.init(seg_params)
+    cost_fn, seg_step = seg_trainer.make_step_fns(opt)
+    for i in range(seg_steps):
+        costs = np.asarray(cost_fn(seg_params, seg_batch))
+        match = jnp.asarray(seg_trainer.assign(costs, np.asarray(gt_valid)))
+        seg_params, opt_state, d = seg_step(
+            seg_params, opt_state, seg_batch, match
+        )
+        if i % 100 == 0 or i == seg_steps - 1:
+            print(f"  step {i}: " + " ".join(
+                f"{k}={float(v):.3f}" for k, v in d.items()
+            ))
+    pipeline.params["segmenter"] = seg_params["seg"]
+    pipeline.params["class_embeds"] = seg_params["ce"]
+
+    # ---------------- phase B: relation head + LLM ----------------------
+    print("[B] relation training (LLM unfrozen)")
+    nprng = np.random.default_rng(0)
+    S = cfg.head.sampled_qformer_batch_size
+    T = cfg.head.max_llm_forward_num
+    qf_i, qf_w, llm_i, llm_v, lab_i, lab_m = [], [], [], [], [], []
+    for e in exs:
+        v = e["object_valid"]
+        pv = np.repeat(v, M) & np.tile(v, M)
+        qi, qw, li, lv = sample_training_pairs(
+            nprng, e["relation_target"], pv, sample_size=S, llm_pairs=T
+        )
+        ids, msk = build_llm_labels(
+            pipeline.tokenizer, pipeline.relation_names,
+            e["relation_target"], li, 12,
+        )
+        qf_i.append(qi); qf_w.append(qw); llm_i.append(li)
+        llm_v.append(lv); lab_i.append(ids); lab_m.append(msk)
+    batch = TrainBatch(
+        image=images, object_masks=gt_masks, object_labels=gt_labels,
+        object_valid=gt_valid, relation_target=rel_target,
+        qf_sel_idx=jnp.asarray(np.stack(qf_i)),
+        qf_sel_weight=jnp.asarray(np.stack(qf_w)),
+        llm_sel_idx=jnp.asarray(np.stack(llm_i)),
+        llm_valid=jnp.asarray(np.stack(llm_v)),
+        llm_label_ids=jnp.asarray(np.stack(lab_i)),
+        llm_label_mask=jnp.asarray(np.stack(lab_m)),
+    )
+    trainer = V4Trainer(pipeline)
+    opt2 = make_optimizer(lambda c: 2e-3, max_norm=1.0)
+    trainable = {
+        "head": pipeline.params["head"], "llm": pipeline.params["llm"]
+    }
+    frozen = {k: v for k, v in pipeline.params.items() if k not in trainable}
+    st = opt2.init(trainable)
+    step = jax.jit(trainer.make_train_step(opt2), donate_argnums=(0, 1))
+    for i in range(rel_steps):
+        trainable, st, m = step(trainable, st, frozen, batch)
+        if i % 100 == 0 or i == rel_steps - 1:
+            print(f"  step {i}: loss={float(m['loss']):.3f} "
+                  f"llm={float(m['rel_llm_loss']):.4f}")
+    pipeline.params.update(jax.device_get(trainable))
+    trained = {k: jax.device_get(v) for k, v in pipeline.params.items()}
+
+    # ---------------- phase C: knob matrix over the SAME weights --------
+    with open(ann, encoding="utf-8") as f:
+        dataset = json.load(f)
+    test_ids = set(dataset["test_image_ids"])
+    recs = [d for d in dataset["data"]
+            if d["image_id"] in test_ids and d["relations"]]
+
+    import grade as grade_tool
+
+    def evaluate(model, out_dir):
+        writer = SubmissionWriter(out_dir, seed=0)
+        for idx, d in enumerate(recs):
+            img = load_image_rgb(os.path.join(root, d["file_name"]))
+            ex = pre(img)
+            res = model.infer(
+                ex["image"].astype(np.float32), ex["img_shape"]
+            )
+            nh, nw = ex["img_shape"]
+            pan_ori = cv2.resize(
+                res["pan_results"][:nh, :nw].astype(np.float64),
+                (img.shape[1], img.shape[0]),
+                interpolation=cv2.INTER_NEAREST,
+            ).astype(np.int64)
+            writer.add(
+                pan_ori,
+                res["rel_results"]["object_id_list"],
+                res["rel_results"]["relation"],
+                test_idx=idx,
+            )
+        writer.finalize()
+        argv_save = sys.argv
+        sys.argv = [
+            "grade.py", "--submission", out_dir, "--gt-json", ann,
+            "--data-dir", root, "--ks", "20", "50",
+        ]
+        try:
+            return grade_tool.main()
+        finally:
+            sys.argv = argv_save
+
+    def run_variant(name, quant=False, act=False, prune=False):
+        seg_cfg = dataclasses.replace(
+            seg_base,
+            enc_points_per_level=(2, 2, 4) if prune else None,
+        )
+        llm_cfg = dataclasses.replace(llm_base, quant=quant, act_int8=act)
+        cfg2 = dataclasses.replace(cfg, segmenter=seg_cfg, llm=llm_cfg)
+        m = PSGv4(cfg2, jax.random.PRNGKey(0))
+        p = dict(trained)
+        if quant:
+            p["llm"] = quantize_llama(trained["llm"])
+        m.params = p
+        scores = evaluate(m, os.path.join(root, f"out_{name}"))
+        print(f"  {name}: R@20={scores['R@20']:.1f} "
+              f"mR@20={scores['mR@20']:.1f} R@50={scores['R@50']:.1f}")
+        return scores
+
+    print("[C] knob matrix on the trained weights")
+    matrix = {
+        "bf16": run_variant("bf16"),
+        "int8": run_variant("int8", quant=True),
+        "int8+act": run_variant("int8_act", quant=True, act=True),
+        "int8+prune": run_variant("int8_prune", quant=True, prune=True),
+        "int8+act+prune": run_variant(
+            "int8_act_prune", quant=True, act=True, prune=True
+        ),
+    }
+
+    n_pairs = 8 * 7
+    n_cand = n_pairs * 56
+    # GT triplets per image = 10; chance R@20 = P(one specific candidate
+    # in a random top-20 of the full grid)
+    chance20 = 100.0 * min(20 / n_cand, 1.0)
+    base = matrix["int8"]["R@20"]   # production parity = int8 weights
+    out = {
+        "harness": {
+            "images": 16, "objects_per_image": 8,
+            "predicates": 12, "gt_relations_per_image": 10,
+            "candidates_per_image": n_cand,
+            "chance_R@20_pct": round(chance20, 2),
+        },
+        "R@20": {k: v["R@20"] for k, v in matrix.items()},
+        "mR@20": {k: v["mR@20"] for k, v in matrix.items()},
+        "R@50": {k: v["R@50"] for k, v in matrix.items()},
+        "delta_R@20_vs_int8": {
+            k: round(v["R@20"] - base, 2) for k, v in matrix.items()
+        },
+    }
+    print(json.dumps(out))
+    discriminative = chance20 * 5 < matrix["bf16"]["R@20"] < 99.5
+    print("KNOBCHECK", "PASS" if discriminative else "FAIL",
+          "(harness discriminative)" if discriminative else
+          f"(bf16 R@20={matrix['bf16']['R@20']} not in "
+          f"({chance20 * 5:.1f}, 99.5))")
+    return 0 if discriminative else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
