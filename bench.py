@@ -5,35 +5,40 @@ Measures the flagship v4 pipeline (Swin-T segmenter at real widths →
 deformable encoder/decoder → panoptic fusion → Q-Former over all 1024
 pairs → batched LLM greedy decode over top-20 pairs).
 
-Decode realism: with random weights the LLM never emits EOS, so earlier
-rounds pinned all 16 decode steps and the early-exit win stayed
-unmeasured.  This bench biases the lm_head's EOS column (scale boost) so
-greedy decode emits realistic short predicates (1-4 tokens — real
-predicate names are 1-3 words) and the data-dependent
-``lax.while_loop`` early exit actually triggers; the realized decode
-trip count and mean generated length are measured ON DEVICE and reported
-alongside.  The pinned-16-step worst case is ALSO measured and reported
-side by side, so both ends of the range are honest measurements, not
-arithmetic.
+Decode realism (r5 methodology): real predicate names are 1-3 words =
+1-4 tokens, and the batch-wide EOS early exit waits for the LONGEST of
+the top-K pairs plus its EOS step — so realistic decode runs ~4 of the
+16 worst-case while_loop trips.  With random weights the realized trip
+count is pure value noise (earlier rounds biased the lm_head EOS column,
+but the whole batch flips from 10.5- to 0.05-token decodes between
+boost 12 and 24 — the transition is unusable for calibration).  Since
+r5 the decode trip count is instead set EXACTLY via the runtime
+``trip_budget`` argument (a traced scalar in the while_loop cond — a
+real tail-latency SLO knob shipped in ``greedy_decode``): the headline
+runs the SAME compiled program as deployment with budget
+``BENCH_DECODE_TRIPS`` (default 4), the pinned-16 worst case runs it
+with budget 16, and the realized trip count is measured on device and
+asserted.  Both ends are honest measurements of one executable; no
+logit tampering, no value-noise sensitivity.
 
 Timeout-proofing (r5 — r4's driver run hit rc=124 with NOTHING printed):
   * The program count is minimal: ONE jitted program per geometry, with
     the benchmark trip count a RUNTIME argument (``lax.fori_loop``
     carrying the data-dependent scalar) — the old run_n/run_3n pair per
     measurement is gone, and decode stats ride the same program.
-  * The pinned-16 worst case reuses the SAME compiled early-exit program
-    with the UN-boosted params (random weights never emit EOS → the
-    while_loop runs all 16 trips; the two loop bodies are identical, the
-    early-exit cond adds only a [K]-bool all-reduce).  Zero extra
-    compiles; the realized trip count is asserted in the output.
+  * The pinned-16 worst case reuses the SAME compiled program with
+    ``trip_budget=16`` (random weights never emit EOS → all 16 trips).
+    Zero extra compiles; the realized trip count is asserted in the
+    output.
   * A complete, parseable headline JSON line is printed (and flushed)
     IMMEDIATELY after the first slope measurement; the enriched line
     (pinned / auto-micro-batch details) follows as a SECOND line when
     the side measurements finish.  A timeout costs detail, not the
     number.
-  * Optional phases are gated on a wall-clock budget
-    (``BENCH_TIME_BUDGET_S``, default 1200 s) — when short, they are
-    skipped and annotated in the detail dict.
+  * Only the auto-micro-batch COMPILE phase is gated on a wall-clock
+    budget (``BENCH_TIME_BUDGET_S``, default 2700 s) — when short, it is
+    skipped and annotated in the detail dict.  The compile-free pinned-16
+    phase always runs (headline is already out; a kill costs detail only).
   * ``bench.py --precompile`` (or BENCH_PRECOMPILE=1) compiles every
     program the timed run needs and exits — run it before round end so
     the driver's timed run hits a warm ``.jax_cache/tpu``.
@@ -60,8 +65,9 @@ scale; "1344x1024" for the 4:3 bucket), BENCH_LLM_LAYERS (default 32 —
 the REAL Llama-2-7B depth), BENCH_LLM_INT8 (default 1: weight-only int8
 so the 7B fits one v5e chip's HBM; 0 = bf16), BENCH_QUERIES (default
 300 — the OpenSeeD checkpoint's decoder geometry), BENCH_ITERS (4),
-BENCH_EOS_BOOST (lm_head EOS-column scale factor, default 12; 0
-disables the bias AND early exit → legacy pinned-16-only bench),
+BENCH_DECODE_TRIPS (runtime decode-trip budget for the HEADLINE, default
+4 — the realistic regime: longest predicate among the top-K pairs at
+1-3 tokens + its EOS trip; 16 = decode worst case),
 BENCH_SKIP_PINNED (1 = skip the pinned-16 side measurements),
 BENCH_PIPELINE (default 1; N>1 = micro-batched ``make_pipelined_infer``
 path — lax.map segmenter, flattened [N·K]-pair decode),
@@ -93,11 +99,24 @@ def _emit(obj) -> None:
     print(json.dumps(obj), flush=True)
 
 
+def _mark(msg: str) -> None:
+    """Stderr breadcrumb with elapsed time.  The driver's rc=124 artifact
+    keeps the output tail — these lines turn a silent timeout into a
+    phase-attributed one (r4's BENCH_r04.json had NOTHING but a jax
+    warning).  Stderr only, never interleaved into the stdout JSON."""
+    print(f"[bench +{time.time() - T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
 def main():
     precompile = ("--precompile" in sys.argv) or bool(
         int(os.environ.get("BENCH_PRECOMPILE", 0))
     )
-    budget = float(os.environ.get("BENCH_TIME_BUDGET_S", 1200))
+    # Budget gates only the auto-mb COMPILE phase (everything after the
+    # headline line is detail).  2700 s default: a congested tunnel can
+    # eat ~30 min in setup alone (measured r5), and the headline JSON is
+    # emitted long before this matters.
+    budget = float(os.environ.get("BENCH_TIME_BUDGET_S", 2700))
 
     import jax
     import jax.numpy as jnp
@@ -118,6 +137,7 @@ def main():
         except Exception as e:  # pragma: no cover
             probe_ok.append(f"error: {e}")
 
+    _mark("imports done; probing device backend...")
     t = threading.Thread(target=_probe, daemon=True)
     t.start()
     t.join(timeout=float(os.environ.get("BENCH_DEVICE_TIMEOUT_S", 600)))
@@ -152,7 +172,9 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 4))
     fusion_stride = int(os.environ.get("BENCH_FUSION_STRIDE", 1))  # 1 = parity
     fusion_candidates = int(os.environ.get("BENCH_FUSION_CANDIDATES", 64))
-    eos_boost = float(os.environ.get("BENCH_EOS_BOOST", 12.0))
+    # headline decode-trip budget: longest predicate among the top-K
+    # pairs (1-3 tokens) + its EOS trip ≈ 4 of the 16 worst-case trips
+    decode_trips = int(os.environ.get("BENCH_DECODE_TRIPS", 4))
     skip_pinned = bool(int(os.environ.get("BENCH_SKIP_PINNED", 0)))
     # DEFAULT-ON since r5: dynamic int8-activation prefill (measured
     # 1.68x on the FFN prefill matmul).  The r5 discriminative knob
@@ -200,37 +222,19 @@ def main():
         input_hw=(size, size_w),
         fusion_stride=fusion_stride,
         fusion_candidates=fusion_candidates,
-        decode_early_exit=eos_boost > 0,
+        decode_early_exit=True,  # the shipped program
     )
+    _mark(f"device ok ({probe_ok[0]}); building pipeline + params "
+          f"(jitted on-device init; slow under tunnel congestion)...")
     pipeline = PSGv4(cfg, jax.random.PRNGKey(0))
+    _mark("params initialized")
 
-    # --- EOS bias: make random-weight decode emit short predicates so the
-    # early-exit while_loop runs a realistic, measurable step count.  The
-    # UN-boosted tree is kept (sharing every leaf but the lm_head column
-    # scale) — running the SAME compiled program with it never emits EOS,
-    # so the while_loop runs all 16 trips == the pinned-16 worst case,
-    # with ZERO extra compiles (r5; trip counts are asserted on device).
-    eos_id = pipeline.tokenizer.eos_id
+    # Decode trip counts are controlled by the RUNTIME trip_budget scalar
+    # (random weights never emit EOS, so realized trips == budget; the
+    # early-exit cond still evaluates its [K]-bool all-reduce every trip —
+    # the measured program is exactly the shipped one).
     pad_id = pipeline.tokenizer.pad_id
-    params_pinned = pipeline.params
-    params = params_pinned
-    if eos_boost > 0:
-        lm = params_pinned["llm"]["params"]["core"]["lm_head"]
-        leaf = "scale" if "scale" in lm else "kernel"
-        boosted = (
-            lm["scale"].at[eos_id].mul(eos_boost) if leaf == "scale"
-            else lm["kernel"].at[:, eos_id].mul(eos_boost)
-        )
-        # shallow-copy only the dicts on the path to the swapped leaf;
-        # every other leaf (7 GB of int8 weights) is shared
-        params = dict(params_pinned)
-        params["llm"] = dict(params_pinned["llm"])
-        params["llm"]["params"] = dict(params_pinned["llm"]["params"])
-        params["llm"]["params"]["core"] = dict(
-            params_pinned["llm"]["params"]["core"]
-        )
-        params["llm"]["params"]["core"]["lm_head"] = {**lm, leaf: boosted}
-        pipeline.params = params
+    params = pipeline.params
 
     rng = np.random.default_rng(0)
     img1 = jnp.asarray(
@@ -260,19 +264,23 @@ def main():
             # the EXACT shipped program (tools/infer.py --micro-batch /
             # auto-selection → make_pipelined_infer): lax.map segmenter +
             # Q-Former, then ONE flattened [N·K]-pair LLM prefill+decode
-            def per_iter(p, images, hws, carry):
-                return pipeline._pipelined_impl(p, images + carry * 1e-9, hws)
+            def per_iter(p, images, hws, carry, budget):
+                return pipeline._pipelined_impl(
+                    p, images + carry * 1e-9, hws, budget
+                )
         else:
-            def per_iter(p, image, img_hw, carry):
-                return infer_impl(pipeline, p, image + carry * 1e-9, img_hw)
+            def per_iter(p, image, img_hw, carry, budget):
+                return infer_impl(
+                    pipeline, p, image + carry * 1e-9, img_hw, budget
+                )
 
         @jax.jit
-        def run(p, image, img_hw, n):
+        def run(p, image, img_hw, n, budget):
             def body(_, carry):
                 s, _, _ = carry
                 # data dependency: perturb the image by the previous scalar
                 # so iterations can't be elided or reordered
-                out = per_iter(p, image, img_hw, s)
+                out = per_iter(p, image, img_hw, s, budget)
                 s2 = (
                     jnp.sum(out["gen_scores"])
                     + jnp.sum(out["top_pair_scores"])
@@ -288,22 +296,29 @@ def main():
             return jax.lax.fori_loop(0, n, body, init)
         return run
 
-    def timed(run, p, b_img, b_hw, n):
+    def timed(run, p, b_img, b_hw, n, budget):
         t0 = time.time()
-        s, trips, mlen = (float(v) for v in run(p, b_img, b_hw, jnp.int32(n)))
+        s, trips, mlen = (
+            float(v)
+            for v in run(p, b_img, b_hw, jnp.int32(n), jnp.int32(budget))
+        )
         return time.time() - t0, s, int(trips), mlen
 
-    def slope(run, p, mb):
+    def slope(run, p, mb, budget):
         """(step_s, compile_plus_first_s, checksum, trips, mean_len).
         First T(n) call includes the (cached or remote) compile; slope
         over best-of-2 T(n)/T(3n) cancels the tunnel round-trip."""
         b_img, b_hw = batched_inputs(mb)
         t0 = time.time()
-        _, s, trips, mlen = timed(run, p, b_img, b_hw, iters)
-        timed(run, p, b_img, b_hw, 3 * iters)
+        _, s, trips, mlen = timed(run, p, b_img, b_hw, iters, budget)
+        timed(run, p, b_img, b_hw, 3 * iters, budget)
         compile_and_first = time.time() - t0
-        t_lo = min(timed(run, p, b_img, b_hw, iters)[0] for _ in range(2))
-        t_hi = min(timed(run, p, b_img, b_hw, 3 * iters)[0] for _ in range(2))
+        t_lo = min(
+            timed(run, p, b_img, b_hw, iters, budget)[0] for _ in range(2)
+        )
+        t_hi = min(
+            timed(run, p, b_img, b_hw, 3 * iters, budget)[0] for _ in range(2)
+        )
         step = max(t_hi - t_lo, 1e-9) / (2 * iters)
         return step, compile_and_first, s, trips, mlen
 
@@ -311,26 +326,25 @@ def main():
     trivial = jax.jit(lambda x: jnp.sum(x))
     b_img, b_hw = batched_inputs(micro_batch)
     float(trivial(b_img))
+    _mark("inputs staged on device; measuring tunnel rtt...")
     t0 = time.time()
     for _ in range(3):
         float(trivial(b_img + 1.0))
     rtt = (time.time() - t0) / 3
 
     run_main = make_run(micro_batch)
-    want_auto = (
-        eos_boost > 0 and not skip_pinned and micro_batch < AUTO_MB_SIZE
-    )
+    want_auto = not skip_pinned and micro_batch < AUTO_MB_SIZE
 
     if precompile:
         # compile (and persist to .jax_cache/tpu) every program the timed
         # run needs, then exit — no timing, no budget gates
         print("precompile: main program...", file=sys.stderr, flush=True)
-        timed(run_main, params, b_img, b_hw, 1)
+        timed(run_main, params, b_img, b_hw, 1, decode_trips)
         if want_auto:
             print("precompile: auto-mb program...", file=sys.stderr,
                   flush=True)
             a_img, a_hw = batched_inputs(AUTO_MB_SIZE)
-            timed(make_run(AUTO_MB_SIZE), params_pinned, a_img, a_hw, 1)
+            timed(make_run(AUTO_MB_SIZE), params, a_img, a_hw, 1, 16)
         print(f"precompile done in {time.time() - T0:.0f}s",
               file=sys.stderr, flush=True)
         return
@@ -339,12 +353,15 @@ def main():
         f"psg_v4_e2e_infer_img_per_s@{spec}px_llm{llm_layers}L"
         + ("_int8" if llm_int8 else "")
         + ("_w8a8" if act_int8 else "")
-        + ("_eosexit" if eos_boost > 0 else "")
+        + "_eosexit"  # the shipped early-exit program (trip-budget timed)
         + (f"_mb{micro_batch}" if micro_batch > 1 else "")
     )
 
+    _mark(f"rtt {rtt * 1e3:.0f} ms; headline slope at trip budget "
+          f"{decode_trips} (compile-or-load + {10 * iters} pipeline "
+          f"runs)...")
     step, compile_and_first, checksum, trips, mean_len = slope(
-        run_main, params, micro_batch
+        run_main, params, micro_batch, decode_trips
     )
     ips = micro_batch / step
     detail = {
@@ -354,6 +371,12 @@ def main():
         "iters": iters,
         "checksum": checksum,
         "device": str(jax.devices()[0]),
+        # the shipped early-exit program timed at the realistic runtime
+        # trip budget (longest top-K predicate 1-3 tokens + EOS trip)
+        "decode": "early_exit_trip_budget",
+        "decode_trip_budget": decode_trips,
+        "realized_decode_steps": trips,  # asserted == budget (of max 16)
+        "mean_generated_tokens": round(mean_len, 2),
     }
     if act_int8:
         detail["prefill"] = "int8_activations"
@@ -361,13 +384,6 @@ def main():
         detail["enc_points_per_level"] = enc_points
     if micro_batch > 1:
         detail["micro_batch"] = micro_batch  # images per program
-    if eos_boost > 0:
-        detail["decode"] = "eos_early_exit"
-        detail["realized_decode_steps"] = trips  # of max 16
-        detail["mean_generated_tokens"] = round(mean_len, 2)
-        detail["eos_boost"] = eos_boost
-    else:
-        detail["decode"] = "pinned16"
     line = {
         "metric": metric,
         "value": round(ips, 3),
@@ -381,14 +397,19 @@ def main():
     # exists — a timeout past this point costs detail, not the number
     _emit({**line, "detail": {**detail, "partial": True}})
 
-    if eos_boost > 0 and not skip_pinned:
-        # pinned-16 worst case: SAME compiled program, un-boosted params
-        # (never emits EOS → all 16 while_loop trips; cond's extra work is
-        # one [K]-bool all-reduce).  No compile → only the budget for the
-        # ~12 timed pipeline runs is needed.
-        if _remaining(budget) > 10 * 2 * iters * step * 16 / max(trips, 1):
+    if not skip_pinned:
+        # pinned-16 worst case: SAME compiled program, SAME params,
+        # trip_budget=16 (random weights never emit EOS → all 16 trips).
+        # No compile, and the headline JSON is already out — run it
+        # UNCONDITIONALLY unless its own cost estimate (~12 pipeline runs
+        # at 16 trips) is absurd; a driver kill mid-phase costs only
+        # detail, never the number.  (r5: the old elapsed-budget gate
+        # skipped this 40 s phase after a congested-tunnel 30 min SETUP,
+        # losing the worst-case number for nothing.)
+        if 10 * 2 * iters * step * 16 / max(trips, 1) < 600:
+            _mark("headline emitted; pinned-16 slope (no compile)...")
             p_step, _, _, p_trips, _ = slope(
-                run_main, params_pinned, micro_batch
+                run_main, params, micro_batch, 16
             )
             detail["pinned16_per_image_img_per_s"] = round(
                 micro_batch / p_step, 3
@@ -398,7 +419,7 @@ def main():
         else:
             detail["pinned16_per_image_img_per_s"] = None
             detail["skipped"] = detail.get("skipped", []) + [
-                "pinned16 (time budget)"
+                "pinned16 (cost estimate > 600s)"
             ]
         # DEFAULT-PATH worst case: tools/infer.py (no flags) calibrates
         # realized decode steps on the first images and auto-selects the
@@ -410,8 +431,9 @@ def main():
             if _remaining(budget) > float(
                 os.environ.get("BENCH_AUTO_MB_RESERVE_S", 420)
             ):
+                _mark("auto-micro-batch slope (one compile-or-load)...")
                 a_step, a_cf, _, a_trips, _ = slope(
-                    make_run(AUTO_MB_SIZE), params_pinned, AUTO_MB_SIZE
+                    make_run(AUTO_MB_SIZE), params, AUTO_MB_SIZE, 16
                 )
                 detail["pinned16_img_per_s"] = round(AUTO_MB_SIZE / a_step, 3)
                 detail["pinned16_program"] = f"mb{AUTO_MB_SIZE}"

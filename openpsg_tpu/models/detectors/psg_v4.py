@@ -227,6 +227,10 @@ class PSGv4:
         self.text_encoder = TextEncoder(dim=self.cfg.segmenter.proj_dim)
 
         self.params = self._init_params(rng, precomputed_class_embeds)
+        # runtime decode-trip cap (tail-latency SLO knob; None = the
+        # static cfg.max_new_tokens bound).  A RUNTIME scalar in the
+        # compiled program — changing it never recompiles.
+        self.decode_trip_budget: Optional[int] = None
 
     # ------------------------------------------------------------------ init
     def _init_params(self, rng, precomputed_class_embeds):
@@ -323,14 +327,22 @@ class PSGv4:
 
     # ------------------------------------------------------------- inference
     @functools.partial(jax.jit, static_argnums=0)
-    def _infer_jit(self, params, image_u8: jnp.ndarray, img_hw: jnp.ndarray):
+    def _infer_jit(
+        self, params, image_u8: jnp.ndarray, img_hw: jnp.ndarray,
+        trip_budget: jnp.ndarray = None,
+    ):
         """The whole per-image pipeline as one program.
 
         image_u8: [H, W, 3] float/uint8 RGB 0-255 (padded bucket);
-        img_hw: (2,) int32 valid region.
+        img_hw: (2,) int32 valid region;
+        trip_budget: int32 scalar runtime decode-trip cap (tail-latency
+        SLO knob; pass ``jnp.int32(cfg.max_new_tokens)`` for no cap —
+        :meth:`infer` does).  A traced scalar: ONE executable serves
+        every budget.
         """
         return self._relation_tail(
-            params, *self._seg_stage(params, image_u8, img_hw)
+            params, *self._seg_stage(params, image_u8, img_hw),
+            trip_budget=trip_budget,
         )
 
     def _seg_stage(self, params, image_u8: jnp.ndarray, img_hw: jnp.ndarray):
@@ -418,7 +430,7 @@ class PSGv4:
 
     def _relation_tail(
         self, params, mask_features, object_masks, valid, labels, sel_oid,
-        obj_scores, pan_full, pass_count=None,
+        obj_scores, pan_full, pass_count=None, trip_budget=None,
     ) -> Dict[str, jnp.ndarray]:
         """Relation stage shared by predicted- and GT-mask inference:
         pair instructions → Q-Former → existence filter → batched decode."""
@@ -427,7 +439,7 @@ class PSGv4:
             obj_scores, pan_full, pass_count,
         )
         out["gen_tokens"], out["gen_scores"], out["decode_trips"] = (
-            self._tail_decode(params, prefix, pmask)
+            self._tail_decode(params, prefix, pmask, trip_budget=trip_budget)
         )
         return out
 
@@ -521,7 +533,7 @@ class PSGv4:
         )
         return out, prefix, pmask
 
-    def _tail_decode(self, params, prefix, pmask):
+    def _tail_decode(self, params, prefix, pmask, trip_budget=None):
         """LLM prefill + greedy decode over a flat pair batch.  Decode is
         weight-streaming-bound (the int8 matvec block measures 1.538 ms at
         20 pairs vs 1.537 at 40), so callers batching several images'
@@ -533,6 +545,7 @@ class PSGv4:
             pad_id=self.tokenizer.pad_id,
             early_exit=self.cfg.decode_early_exit,
             return_trips=True,
+            trip_budget=trip_budget,
         )
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -589,10 +602,21 @@ class PSGv4:
         (openseed_relation_v2.py:183-190): pan_results (np), rel_results
         {object_id_list, relation}, rel_scores."""
         dev = self._infer_jit(
-            self.params, jnp.asarray(image_u8), jnp.asarray(img_hw, jnp.int32)
+            self.params, jnp.asarray(image_u8), jnp.asarray(img_hw, jnp.int32),
+            self._budget_arr(),
         )
         dev = jax.device_get(dev)  # one batched transfer, not per-array
         return self.postprocess(dev)
+
+    def _budget_arr(self) -> jnp.ndarray:
+        """The runtime decode-trip cap as an int32 device array (cached —
+        one tiny host→device transfer per VALUE, not per call; the
+        tunneled-TPU rtt makes per-call transfers visible)."""
+        v = int(self.decode_trip_budget or self.cfg.max_new_tokens)
+        cached = getattr(self, "_budget_cache", None)
+        if cached is None or cached[0] != v:
+            self._budget_cache = (v, jnp.int32(v))
+        return self._budget_cache[1]
 
     # ------------------------------------------------------- batched/sharded
     def make_pair_sharded_infer(self, mesh, axis: str = "dp"):
@@ -619,7 +643,7 @@ class PSGv4:
         def one(params, image, hw):
             self._pair_constraint = pc
             try:
-                return impl(self, params, image, hw)
+                return impl(self, params, image, hw, self._budget_arr())
             finally:
                 self._pair_constraint = None
 
@@ -634,7 +658,7 @@ class PSGv4:
         impl = self._infer_jit.__wrapped__
 
         def one(params, image, hw):
-            return impl(self, params, image, hw)
+            return impl(self, params, image, hw, self._budget_arr())
 
         batched = jax.vmap(one, in_axes=(None, 0, 0))
         if mesh is None:
@@ -673,7 +697,7 @@ class PSGv4:
         del n_images
         return jax.jit(functools.partial(PSGv4._pipelined_impl, self))
 
-    def _pipelined_impl(self, params, images, hws):
+    def _pipelined_impl(self, params, images, hws, trip_budget=None):
         """Traceable body of :meth:`make_pipelined_infer` (bench.py embeds
         it inside its timing scan so the measured program IS the shipped
         one)."""
@@ -688,6 +712,7 @@ class PSGv4:
             params,
             prefix.reshape((N * K,) + prefix.shape[2:]),
             pmask.reshape((N * K,) + pmask.shape[2:]),
+            trip_budget=trip_budget,
         )
         out["gen_tokens"] = toks.reshape((N, K) + toks.shape[1:])
         out["gen_scores"] = scores.reshape((N, K) + scores.shape[1:])

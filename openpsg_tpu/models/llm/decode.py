@@ -37,6 +37,7 @@ def greedy_decode(
     pad_id: int = 0,
     early_exit: bool = True,
     return_trips: bool = False,
+    trip_budget=None,
 ) -> Tuple[jnp.ndarray, ...]:
     """→ (tokens [B, max_new_tokens] int32, scores [B, max_new_tokens] f32).
 
@@ -52,6 +53,16 @@ def greedy_decode(
     the r4 knob bench, a straggler pair emitting id-0 tokens made a
     ~12-trip decode read as 4 "realized steps", which mis-attributed
     ~80 ms to a phantom act_int8×pruning interaction.
+
+    ``trip_budget``: optional RUNTIME int32 scalar bounding the number of
+    decode trips (a tail-latency SLO knob: caps the worst case without
+    recompiling — the reference's only lever is the static
+    ``max_new_tokens=16`` of generate(), relation_transformer_head_v4.py:
+    298).  A traced scalar joins the while_loop cond, so ONE compiled
+    program serves every budget 1..max_new_tokens; sequences cut by the
+    budget keep their tokens-so-far (pads after).  ``None`` = the static
+    bound only.  bench.py uses this to measure the realistic 4-trip
+    decode regime on the SAME executable that serves deployment.
     """
     cfg = model.cfg
     B, Lp, _ = prefix_embeds.shape
@@ -127,7 +138,11 @@ def greedy_decode(
         # Remaining buffer slots keep pad_id/0 — EXACTLY what the fixed
         # 16-step loop would emit (post-EOS steps emit pads).
         alive = ~jnp.all(done | (tok == eos_id)) if early_exit else True
-        return (t < max_new_tokens) & alive
+        within = (
+            (t < max_new_tokens) if trip_budget is None
+            else (t < jnp.minimum(max_new_tokens, trip_budget))
+        )
+        return within & alive
 
     carry = (jnp.int32(0), tok, score, done, cache, key_mask, key_positions,
              toks0, scores0)

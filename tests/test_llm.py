@@ -445,6 +445,82 @@ class TestEarlyExitDecode:
             np.testing.assert_allclose(s1, s2, atol=1e-6)
 
 
+class TestTripBudget:
+    """Runtime decode-trip budget (tail-latency SLO knob; also bench.py's
+    instrument for timing the realistic decode regime on the shipped
+    executable).  A traced scalar: one compiled program serves every
+    budget value, and budget >= max_new_tokens is bit-identical to the
+    uncapped decode."""
+
+    def _setup(self, steps=8):
+        cfg = LlamaConfig.tiny_test(vocab_size=32)
+        m = LlamaWithEmbeddings(cfg)
+        p = m.init(
+            jax.random.PRNGKey(7),
+            token_ids=jnp.zeros((1, 4), jnp.int32),
+            attention_mask=jnp.ones((1, 4), bool),
+            positions=jnp.zeros((1, 4), jnp.int32),
+        )
+        rng = np.random.default_rng(1)
+        prefix = jnp.asarray(rng.normal(size=(3, 5, cfg.dim)), jnp.float32)
+        mask = jnp.ones((3, 5), bool).at[1, 0].set(False)
+        fn = jax.jit(
+            lambda pr, mk, b: greedy_decode(
+                m, p, pr, mk, steps, eos_id=31, pad_id=0,
+                return_trips=True, trip_budget=b,
+            )
+        )
+        return fn, prefix, mask, steps
+
+    def test_budget_caps_trips_and_prefix_tokens_agree(self):
+        fn, prefix, mask, steps = self._setup()
+        t_full, s_full, trips_full = fn(prefix, mask, jnp.int32(steps))
+        for b in (1, 3, steps, steps + 5):
+            t, s, trips = fn(prefix, mask, jnp.int32(b))
+            assert int(trips) == min(b, int(trips_full))
+            k = min(b, steps)
+            # tokens emitted within the budget match the uncapped decode;
+            # slots past the budget stay pad
+            np.testing.assert_array_equal(
+                np.asarray(t)[:, :k], np.asarray(t_full)[:, :k]
+            )
+            assert (np.asarray(t)[:, k:] == 0).all()
+            np.testing.assert_allclose(
+                np.asarray(s)[:, :k], np.asarray(s_full)[:, :k], atol=1e-6
+            )
+
+    def test_one_program_many_budgets(self):
+        """Changing the budget must NOT recompile (it is a traced scalar,
+        not a static constant)."""
+        fn, prefix, mask, steps = self._setup()
+        fn(prefix, mask, jnp.int32(2))
+        n0 = fn._cache_size()
+        fn(prefix, mask, jnp.int32(5))
+        fn(prefix, mask, jnp.int32(steps))
+        assert fn._cache_size() == n0
+
+    def test_pipeline_budget_plumbs_to_decode(self):
+        """PSGv4._infer_jit's trip_budget reaches the while_loop: the
+        decode_trips output equals the runtime cap, params/program
+        unchanged."""
+        from openpsg_tpu.models.detectors.psg_v4 import PSGv4, PSGv4Config
+
+        p = PSGv4(PSGv4Config.tiny_test(), jax.random.PRNGKey(0))
+        H, W = p._model_hw()
+        img = jnp.zeros((H, W, 3), jnp.float32)
+        hw = jnp.asarray([H, W], jnp.int32)
+        full = p.cfg.max_new_tokens
+        dev_full = p._infer_jit(p.params, img, hw, jnp.int32(full))
+        dev_cap = p._infer_jit(p.params, img, hw, jnp.int32(2))
+        assert int(jnp.max(dev_cap["decode_trips"])) == 2
+        assert int(jnp.max(dev_full["decode_trips"])) <= full
+        # non-decode outputs identical (the cap only bounds generation)
+        np.testing.assert_allclose(
+            np.asarray(dev_full["top_pair_scores"]),
+            np.asarray(dev_cap["top_pair_scores"]),
+        )
+
+
 class TestRemat:
     def test_remat_matches_plain_forward_and_grad(self, tiny_llm):
         """cfg.remat must be a pure memory knob: identical params tree,
