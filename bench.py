@@ -69,17 +69,22 @@ BENCH_DECODE_TRIPS (runtime decode-trip budget for the HEADLINE, default
 4 — the realistic regime: longest predicate among the top-K pairs at
 1-3 tokens + its EOS trip; 16 = decode worst case),
 BENCH_SKIP_PINNED (1 = skip the pinned-16 side measurements),
-BENCH_PIPELINE (default 1; N>1 = micro-batched ``make_pipelined_infer``
-path — lax.map segmenter, flattened [N·K]-pair decode),
-BENCH_TIME_BUDGET_S (default 1200), BENCH_ACT_INT8 (default 1 since r5)
+BENCH_PIPELINE (default AUTO_MB_SIZE=4 since r5: the micro-batched
+``make_pipelined_infer`` program — lax.map segmenter, flattened
+[N·K]-pair decode — which the flag-free tools/infer.py path selects
+outright on the act_int8 program because it wins at every decode
+length; 1 = the per-image single-request latency program, which is
+also always reported as a side measurement),
+BENCH_TIME_BUDGET_S (default 2700), BENCH_ACT_INT8 (default 1 since r5)
 and BENCH_ENC_POINTS (default "2,2,2,4" since r5; "off" = parity) —
 both knobs measured ZERO R@20 delta on the discriminative knob harness
 (tools/selfcheck_knobs.py), so the headline runs the recommended
 deployment path; set BENCH_ACT_INT8=0 BENCH_ENC_POINTS=off for the
 exact reference-parity program.  r5 TPU-measured, same methodology:
-defaults 3.760 headline / 3.212 flag-free pinned worst (mb2) / 2.633
-per-image pinned; parity 3.017 / 2.612 / 2.139 — the knobs are worth
-+23-25% across all three regimes.
+defaults mb4 headline 4.292 / pinned-16 worst 3.596; per-image 3.760
+realistic / 2.633 pinned; mb2 4.157 / 3.172; parity per-image 3.017 /
+2.612 (mb2 flag-free) / 2.139 — the knobs are worth +23-25% and mb4
+another +14% on top.
 """
 
 from __future__ import annotations
@@ -122,7 +127,6 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     import openpsg_tpu  # noqa: F401  (enables the persistent compile cache)
 
@@ -185,13 +189,19 @@ def main():
     # VERDICT r4 #4 required to take the measured speedup as the
     # default path.  BENCH_ACT_INT8=0 restores the exact parity path.
     act_int8 = bool(int(os.environ.get("BENCH_ACT_INT8", 1)))
-    # opt-in: micro-batched inference (make_pipelined_infer) — segmenter
-    # sequential via lax.map (one image's activations at a time), relation
-    # tail + LLM batched.  Decode is HBM-weight-bound and its matvec cost
-    # is FLAT in pair batch (measured 1.538 ms @20 pairs vs 1.537 @40 for
+    # DEFAULT-ON since r5: micro-batched inference (make_pipelined_infer)
+    # at the measured HBM ceiling AUTO_MB_SIZE=4 — segmenter sequential
+    # via lax.map (one image's activations at a time), relation tail +
+    # LLM batched.  Decode is HBM-weight-bound and its matvec cost is
+    # FLAT in pair batch (measured 1.538 ms @20 pairs vs 1.537 @40 for
     # the 32x int8 FFN block), so N images amortize the 7 GB weight
-    # stream N-fold.  BENCH_PIPELINE=2 → 2 images per program.
-    micro_batch = int(os.environ.get("BENCH_PIPELINE", 1))
+    # stream N-fold; with act_int8 prefill the micro-batch wins at EVERY
+    # decode length (r5: mb4 realistic 233 ms/img vs 266 per-image), so
+    # the flag-free tools/infer.py path selects it outright and the bench
+    # headline IS that program.  mb8 OOMs (measured).  BENCH_PIPELINE=1
+    # restores the per-image (single-request latency) program as the
+    # headline; a per-image side measurement is reported either way.
+    micro_batch = int(os.environ.get("BENCH_PIPELINE", AUTO_MB_SIZE))
 
     seg_cfg = SegmenterConfig(dtype=jnp.bfloat16)
     if queries:
@@ -238,10 +248,14 @@ def main():
     pad_id = pipeline.tokenizer.pad_id
     params = pipeline.params
 
-    rng = np.random.default_rng(0)
-    img1 = jnp.asarray(
-        rng.integers(0, 255, (size, size_w, 3)).astype(np.float32)
-    )
+    # inputs are generated ON DEVICE: a congested tunnel moves the
+    # 21.7 MB host image at ~0.1 MB/s (measured r5 — 200+ s of setup),
+    # while this one tiny program materializes it in-place
+    img1 = jax.jit(
+        lambda k: jax.random.uniform(
+            k, (size, size_w, 3), jnp.float32, 0.0, 255.0
+        )
+    )(jax.random.PRNGKey(42))
     hw1 = jnp.asarray([size, size_w - 8], jnp.int32)
 
     def batched_inputs(mb):
@@ -347,6 +361,10 @@ def main():
                   flush=True)
             a_img, a_hw = batched_inputs(AUTO_MB_SIZE)
             timed(make_run(AUTO_MB_SIZE), params, a_img, a_hw, 1, 16)
+        if micro_batch > 1:
+            print("precompile: per-image program...", file=sys.stderr,
+                  flush=True)
+            timed(make_run(1), params, img1, hw1, 1, decode_trips)
         print(f"precompile done in {time.time() - T0:.0f}s",
               file=sys.stderr, flush=True)
         return
@@ -461,6 +479,28 @@ def main():
                 "pinned16_per_image_img_per_s"
             )
             detail["pinned16_program"] = f"mb{micro_batch}"
+
+    if micro_batch > 1 and _remaining(budget) > float(
+        os.environ.get("BENCH_PER_IMAGE_RESERVE_S", 420)
+    ):
+        # the per-image program is the single-request LATENCY path (and
+        # the r1-r4 headline definition — kept for cross-round
+        # comparability): one compile-or-load + two slopes, budget-gated
+        _mark("per-image (latency) program slope...")
+        run1 = make_run(1)
+        s1, cf1, _, t1, _ = slope(run1, params, 1, decode_trips)
+        detail["per_image_img_per_s"] = round(1 / s1, 3)
+        detail["per_image_step_ms"] = round(s1 * 1e3, 2)
+        detail["per_image_trips"] = t1
+        detail["per_image_compile_plus_first_s"] = round(cf1, 1)
+        if not skip_pinned:
+            s1p, _, _, t1p, _ = slope(run1, params, 1, 16)
+            detail["per_image_pinned16_img_per_s"] = round(1 / s1p, 3)
+            detail["per_image_pinned16_trips"] = t1p
+    elif micro_batch > 1:
+        detail["skipped"] = detail.get("skipped", []) + [
+            "per_image (time budget)"
+        ]
 
     detail["wall_s"] = round(time.time() - T0, 1)
     detail["partial"] = False

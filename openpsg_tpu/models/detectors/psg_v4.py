@@ -57,13 +57,20 @@ from openpsg_tpu.ops.mask_ops import downsample_nearest
 _INT_SENTINEL = np.iinfo(np.int32).max
 
 # Auto micro-batch selection (tools/infer.py default path, bench.py pinned
-# side): per-image is fastest when EOS early-exit keeps decode short, the
-# micro-batched program wins when decode runs long because the 7 GB int8
-# weight stream is paid once per micro-batch.  Measured crossover on v5e-1
-# @1344² (PARITY.md): per-image ≈ 308 ms + 11.3 ms/decode-step, mb2 ≈
-# 352 ms + 5.65 ms/step → equal near 11 steps; switch slightly early.
+# side).  r5 measurements on v5e-1 @1344² (PARITY.md):
+#   * size 4 is the HBM ceiling (mb8 OOMs next to the 7 GB int8 LLM) and
+#     the throughput optimum — the per-decode-trip weight stream is paid
+#     once per micro-batch (mb4 pinned-16: 278 ms/img vs 380 per-image).
+#   * With act_int8 prefill ON (the recommended deployment program) the
+#     micro-batch wins at EVERY decode length (realistic 4-trip: 233
+#     ms/img mb4 vs 266 per-image) — tools/infer.py selects it outright.
+#   * On the reference-parity program (act_int8 off) the mb base cost is
+#     ~44 ms/img higher and per-image wins short decodes: per-image ≈
+#     308 ms + 11.3 ms/decode-step, mb2 ≈ 352 + 5.65/step → crossover
+#     near 11 steps; the rolling-median controller switches slightly
+#     early.
 AUTO_MB_DECODE_STEPS = 10
-AUTO_MB_SIZE = 2
+AUTO_MB_SIZE = 4
 # r5 calibration robustness (VERDICT r4 #6): decisions use the MEDIAN of a
 # rolling window of realized per-image decode trip counts (one atypical
 # first image no longer pins the whole run), and the selection can switch

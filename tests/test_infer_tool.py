@@ -12,6 +12,8 @@ import sys
 import numpy as np
 import pytest
 
+from openpsg_tpu.models.detectors.psg_v4 import AUTO_MB_SIZE
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
@@ -238,6 +240,27 @@ class TestAutoMicroBatch:
         for a, p in zip(auto, plain):
             assert a["relations"] == p["relations"]
 
+    def test_act_int8_program_selects_micro_batch_outright(
+        self, mixed_fixture, tmp_path, monkeypatch
+    ):
+        """With int8-activation prefill (the recommended deployment
+        program) the micro-batch wins at every decode length (r5,
+        PARITY.md): the flag-free path must select mb AUTO_MB_SIZE
+        immediately, no calibration, and results must match per-image."""
+        root, ann = mixed_fixture
+        cfg = "tpu = dict(llm_int8=True, act_int8=True)\n"
+        auto, st = self._run(tmp_path, monkeypatch, ann, root, "actmb",
+                             [], cfg)
+        assert st["micro_batch"] == AUTO_MB_SIZE, st
+        assert st["mb_switches"] == [], st
+        plain, st2 = self._run(
+            tmp_path, monkeypatch, ann, root, "actpi",
+            ["--no-auto-micro-batch"], cfg,
+        )
+        assert st2["micro_batch"] == 0, st2
+        for a, p in zip(auto, plain):
+            assert a["relations"] == p["relations"]
+
     def test_short_decode_stays_per_image(
         self, mixed_fixture, tmp_path, monkeypatch
     ):
@@ -315,8 +338,8 @@ class TestAutoMicroBatch:
         )
         auto, st = self._run(tmp_path, monkeypatch, ann, str(root), "both", [])
         # up-switch after the window filled (4 images), down-switch after 4
-        # post-switch observations (2 mb2 chunks)
-        assert st["mb_switches"] == [(4, 2), (8, 1)], st
+        # post-switch observations (one mb4 chunk)
+        assert st["mb_switches"] == [(4, AUTO_MB_SIZE), (8, 1)], st
         assert st["micro_batch"] == 0, st   # ended on the per-image program
         assert len(auto) == 12
         assert [r["pan_seg_file_name"] for r in auto] == [

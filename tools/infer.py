@@ -17,14 +17,16 @@ pads everything to the square cap (reference-shaped, one program);
 ``--micro-batch N`` (v4, single chip) runs segmenters sequentially and
 one flattened LLM decode per group (amortized weight stream, no OOM).
 
-The flag-free v4 path AUTO-SELECTS between per-image and micro-batched:
-it tracks the MEDIAN realized decode step count over a rolling window of
-AUTO_MB_CALIB_K images and switches past the measured crossover
-(AUTO_MB_DECODE_STEPS — long predicates make the HBM-bound decode weight
-stream dominate, and the micro-batched program pays it once per
-AUTO_MB_SIZE images); it switches BACK (with hysteresis) when later
-images measure short.  Realistic short decodes keep the faster per-image
-program; ``--no-auto-micro-batch`` pins per-image unconditionally.
+The flag-free v4 path AUTO-SELECTS between per-image and micro-batched.
+With int8-activation prefill (the recommended deployment program) the
+micro-batched program wins at every decode length (r5, PARITY.md) and
+is selected outright.  On the parity program it tracks the MEDIAN
+realized decode step count over a rolling window of AUTO_MB_CALIB_K
+images and switches past the measured crossover (AUTO_MB_DECODE_STEPS —
+long predicates make the HBM-bound decode weight stream dominate, and
+the micro-batched program pays it once per AUTO_MB_SIZE images); it
+switches BACK (with hysteresis) when later images measure short.
+``--no-auto-micro-batch`` pins per-image unconditionally.
 """
 
 from __future__ import annotations
@@ -223,12 +225,13 @@ def main():
         )
     B = max(args.micro_batch or args.batch_size, 1)
 
-    # auto micro-batch: the flag-free v4 path tracks the rolling-median
-    # realized decode step count and switches between per-image and the
-    # micro-batched program around the measured crossover (long decode ⇒
-    # the per-step 7 GB int8 weight stream dominates; amortizing it across
-    # AUTO_MB_SIZE images lifts the worst case 2.13 → 2.63 img/s/chip,
-    # PARITY.md).  Short realistic decode keeps the faster per-image path.
+    # auto micro-batch (flag-free v4 path): with act_int8 prefill the
+    # micro-batched program wins outright (r5: mb4 realistic 233 ms/img
+    # vs 266 per-image, pinned 278 vs 380 — PARITY.md); on the parity
+    # program a rolling-median of realized decode steps switches between
+    # per-image and micro-batched around the measured ~11-step crossover
+    # (long decode ⇒ the per-step 7 GB int8 weight stream dominates;
+    # amortizing it across AUTO_MB_SIZE images).
     auto_mb = (
         isinstance(model, PSGv4) and not args.micro_batch
         and args.batch_size <= 1 and not args.gt_masks
@@ -241,6 +244,17 @@ def main():
         print(f"[auto] decode_early_exit=False pins "
               f"{model.cfg.max_new_tokens} decode steps: using micro-batch "
               f"{AUTO_MB_SIZE} (disable with --no-auto-micro-batch)")
+        args.micro_batch = B = AUTO_MB_SIZE
+    elif auto_mb and getattr(model.cfg.llm, "act_int8", False):
+        # r5 measurement (PARITY.md): with int8-activation prefill the
+        # micro-batched program wins at EVERY decode length (realistic
+        # 4-trip: 233 ms/img mb4 vs 266 per-image; pinned-16: 278 vs
+        # 380) — no calibration, select it outright.  The decode-length
+        # crossover only exists on the parity (bf16-prefill) program,
+        # where the mb base cost is ~44 ms/img higher.
+        print(f"[auto] act_int8 program: micro-batch {AUTO_MB_SIZE} wins "
+              f"at every decode length — selecting it (disable with "
+              f"--no-auto-micro-batch)")
         args.micro_batch = B = AUTO_MB_SIZE
     elif auto_mb:
         ctrl = AutoMBController(
