@@ -81,10 +81,10 @@ both knobs measured ZERO R@20 delta on the discriminative knob harness
 (tools/selfcheck_knobs.py), so the headline runs the recommended
 deployment path; set BENCH_ACT_INT8=0 BENCH_ENC_POINTS=off for the
 exact reference-parity program.  r5 TPU-measured, same methodology:
-defaults mb4 headline 4.292 / pinned-16 worst 3.596; per-image 3.760
-realistic / 2.633 pinned; mb2 4.157 / 3.172; parity per-image 3.017 /
-2.612 (mb2 flag-free) / 2.139 — the knobs are worth +23-25% and mb4
-another +14% on top.
+defaults mb4 headline 4.291 / pinned-16 worst 3.591; per-image 3.76-3.82
+realistic / 2.50-2.63 pinned; mb2 4.157 / 3.172; mb8 OOM; parity
+per-image 3.017 / 2.612 (mb2 flag-free) / 2.139 — the knobs are worth
++23-25% and mb4 another +14% on top.
 """
 
 from __future__ import annotations
