@@ -107,3 +107,26 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # both; importing it here makes the ordering explicit rather than
 # depending on which test module imports first).
 import openpsg_tpu  # noqa: E402,F401
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_resident_programs():
+    """Drop compiled executables at every module boundary.
+
+    Full-suite runs die with a native SIGSEGV/SIGABRT inside XLA:CPU
+    compile / cached-executable deserialization once a process holds
+    hundreds of compiled programs (an XLA code-placement limit, NOT a
+    stack limit — see CLAUDE.md).  ``-n 2 --dist loadfile`` kept each
+    worker under that cliff at ~260 tests; the r5 suite (~370 tests,
+    heavier tool modules) crossed it again (observed segfaults in
+    test_train_tool / test_infer_tool workers).  Clearing jax's
+    in-process caches at module teardown bounds residency to one
+    module's worth; the on-disk .jax_cache keeps the re-JITs cheap.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
