@@ -220,9 +220,16 @@ def main(root="/tmp/psg_knobs", seg_steps=700, rel_steps=400):
             sys.argv = argv_save
 
     def run_variant(name, quant=False, act=False, prune=False):
+        # prune: True = the default-certified level map (tiny 3-level
+        # analogue of the full model's 2,2,2,4); "deep" = the opt-in
+        # aggressive map (1 point at the fine levels; full-model
+        # 1,1,2,4 — measured +5.7% headline, PARITY.md)
         seg_cfg = dataclasses.replace(
             seg_base,
-            enc_points_per_level=(2, 2, 4) if prune else None,
+            enc_points_per_level=(
+                (1, 1, 4) if prune == "deep"
+                else (2, 2, 4) if prune else None
+            ),
         )
         llm_cfg = dataclasses.replace(llm_base, quant=quant, act_int8=act)
         cfg2 = dataclasses.replace(cfg, segmenter=seg_cfg, llm=llm_cfg)
@@ -244,6 +251,9 @@ def main(root="/tmp/psg_knobs", seg_steps=700, rel_steps=400):
         "int8+prune": run_variant("int8_prune", quant=True, prune=True),
         "int8+act+prune": run_variant(
             "int8_act_prune", quant=True, act=True, prune=True
+        ),
+        "int8+act+deep_prune": run_variant(
+            "int8_act_deep_prune", quant=True, act=True, prune="deep"
         ),
     }
 
