@@ -489,6 +489,30 @@ class TestTripBudget:
                 np.asarray(s)[:, :k], np.asarray(s_full)[:, :k], atol=1e-6
             )
 
+    def test_budget_caps_without_early_exit(self):
+        """trip_budget composes with early_exit=False (the pinned-decode
+        config): the loop runs exactly min(budget, max_new_tokens) trips."""
+        cfg = LlamaConfig.tiny_test(vocab_size=32)
+        m = LlamaWithEmbeddings(cfg)
+        p = m.init(
+            jax.random.PRNGKey(2),
+            token_ids=jnp.zeros((1, 4), jnp.int32),
+            attention_mask=jnp.ones((1, 4), bool),
+            positions=jnp.zeros((1, 4), jnp.int32),
+        )
+        rng = np.random.default_rng(5)
+        prefix = jnp.asarray(rng.normal(size=(2, 5, cfg.dim)), jnp.float32)
+        mask = jnp.ones((2, 5), bool)
+        fn = jax.jit(
+            lambda b: greedy_decode(
+                m, p, prefix, mask, 8, eos_id=31, pad_id=0,
+                early_exit=False, return_trips=True, trip_budget=b,
+            )
+        )
+        for b, want in ((3, 3), (8, 8), (12, 8)):
+            _, _, trips = fn(jnp.int32(b))
+            assert int(trips) == want, (b, int(trips))
+
     def test_one_program_many_budgets(self):
         """Changing the budget must NOT recompile (it is a traced scalar,
         not a static constant)."""
