@@ -346,6 +346,31 @@ def main():
             lambda x: jnp.einsum("bld,df->blf", x, wq.astype(jnp.bfloat16),
                                  preferred_element_type=jnp.float32) * ws
         ), x2)
+        # KV-cache attention read at decode: scales WITH the pair batch
+        # (unlike the weight stream), which is why mb4 decode amortizes
+        # 3x not 4x (r5 probe: 0.59 ms/32L-stack at B=20 pairs, 5.13 at
+        # B=80 — 2.85 GB of bf16 cache at 556 GB/s sustained; PARITY.md
+        # speed-of-light notes, int8-KV lever bounded there)
+        for Bkv in (K, 4 * K):
+            S_kv, Hh, hd = 68, 32, 128
+            qa = jnp.asarray(
+                rng.normal(size=(Bkv, Hh, 1, hd)) * 0.02, jnp.bfloat16
+            )
+            ka = jnp.asarray(
+                rng.normal(size=(Bkv, Hh, S_kv, hd)) * 0.02, jnp.bfloat16
+            )
+            va = jnp.asarray(
+                rng.normal(size=(Bkv, Hh, S_kv, hd)) * 0.02, jnp.bfloat16
+            )
+
+            def kv_att(q, k=ka, v=va):
+                s = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+                p = jax.nn.softmax(
+                    s.astype(jnp.float32), axis=-1
+                ).astype(jnp.bfloat16)
+                return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+            timed(f"micro_kv_attn_decode_[{Bkv},{S_kv}]x32", loopw(kv_att), qa)
         timed("micro_bf16_prefill_[20,52]x[4096,11008]x32", loopw(
             lambda x: jnp.einsum("bld,df->blf", x, wbf,
                                  preferred_element_type=jnp.float32)
